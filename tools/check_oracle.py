@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and
+its ``oracle_sql()`` twin on DuckDB at sf0.01, then compares
+row count, column-name set, and order-insensitive values (columns
+sorted by name, rows sorted). Floats compared both exactly and with
+tolerance so hash-level divergence shows up before the driver sees it.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Sort columns by name, then sort rows; stringify for stable order."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            vals.append(r[i])
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+STRICT = os.environ.get("STRICT", "1") == "1"  # exact == hash-stable
+
+
+def values_close(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        if STRICT:
+            return float(a) == float(b)
+        return math.isclose(float(a), float(b), rel_tol=1e-6, abs_tol=1e-9)
+    return a == b
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from frames_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("check_oracle")
+    con = duck_connection()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        status = []
+        if name not in oracles:
+            status.append(f"rows-only ({len(srows)} rows)")
+            ok = len(srows) >= 0
+        else:
+            rel = con.sql(oracles[name])
+            drows = [tuple(r) for r in rel.fetchall()]
+            dcols = list(rel.columns)
+            ok = True
+            if sorted(scols) != sorted(dcols):
+                ok = False
+                status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
+            if len(srows) != len(drows):
+                ok = False
+                status.append(f"ROWS spark={len(srows)} duck={len(drows)}")
+            if ok:
+                ns, nd = normalize(srows, scols), normalize(drows, dcols)
+                bad = 0
+                for rs, rd in zip(ns, nd):
+                    if not all(values_close(a, b) for a, b in zip(rs, rd)):
+                        bad += 1
+                        if bad <= 3:
+                            status.append(f"VAL {rs} != {rd}")
+                if bad:
+                    ok = False
+                    status.append(f"{bad} mismatched rows")
+                else:
+                    status.append(f"match ({len(srows)} rows)")
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:24s} {dt:6.1f}s  {'; '.join(status)}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
