@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frames_spark.operators import aggregate as agg_ops
+from frames_spark.operators import categorical as cat_ops
+from frames_spark.operators import core as core_ops
+from frames_spark.operators import joins as join_ops
+from frames_spark.operators import melt as melt_ops
+from frames_spark.operators import missing as missing_ops
+from frames_spark.operators import window as win_ops
 from frames_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -83,3 +89,343 @@ def q_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are fine (the decimal casts above exist for cross-engine hashing).
 def q1_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.group_fold(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# §2a Frames parity — simple folds / row-column algebra
+# ---------------------------------------------------------------------------
+
+# Mean of a per-row ratio (test/UncurryFold.hs: avg income/prestige).
+# Arbitrary quotient doubles land on decimal-rounding ties (e.g.
+# x.4796875), which Spark and DuckDB break differently — so the
+# portable rounding is floor(x*1e6 + 0.5) as an exact integer of
+# micro-units: pure IEEE ops, identical in both engines, and the
+# bigint sum is order-independent.
+def _micros(col: F.Column) -> F.Column:
+    return F.floor(col * 1000000 + 0.5).cast("long")
+
+
+_MICROS_SQL = "CAST(FLOOR({expr} * 1000000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q_mean_ratio",
+    f"""
+    SELECT CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice / l_quantity')}) AS DOUBLE)
+           / 1000000 / COUNT(*) AS mean_ratio
+    FROM lineitem
+    """,
+)
+def q_mean_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.col("l_extendedprice") / F.col("l_quantity")
+    return li.agg(
+        (F.sum(_micros(ratio)).cast("double") / 1000000 / F.count(F.lit(1))).alias(
+            "mean_ratio"
+        )
+    )
+
+
+# Fused multi-column means in one pass (benchmarks/panda.py, BenchDemo.hs).
+@register(
+    "q_col_means",
+    f"""
+    SELECT CAST(SUM({_MICROS_SQL.format(expr='value')}) AS DOUBLE)
+           / 1000000 / COUNT(value) AS mean_value,
+           CAST(SUM({_MICROS_SQL.format(expr='user_id')}) AS DOUBLE)
+           / 1000000 / COUNT(user_id) AS mean_user_id
+    FROM events
+    """,
+)
+def q_col_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def dmean(c):
+        return (
+            F.sum(_micros(F.col(c))).cast("double") / 1000000 / F.count(c)
+        ).alias(f"mean_{c}")
+
+    return ev.agg(dmean("value"), dmean("user_id"))
+
+
+# filterFrame + rcast (InCore.hs:222, Exploration.hs:47): predicate and
+# projection both push into the parquet scan.
+@register(
+    "q_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount > 0.05
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return core_ops.project(
+        core_ops.filter_rows(
+            li,
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05),
+        ),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+
+# rputField / frameCons (Rec.hs): derived column, per-row IEEE double
+# arithmetic — bit-identical across engines, no decimal needed.
+@register(
+    "q_mutate",
+    """
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice * 0.9 AS discounted,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    """,
+)
+def q_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return core_ops.mutate(
+        o.select("o_orderkey", "o_totalprice"),
+        discounted=F.col("o_totalprice") * 0.9,
+        size_class=F.when(F.col("o_totalprice") > 200000, F.lit("big")).otherwise(
+            F.lit("small")
+        ),
+    )
+
+
+# takeRows (Exploration.hs:120) — deterministic under a total order.
+@register(
+    "q_take",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def q_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return core_ops.take_rows(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        100,
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+# dropRows (Exploration.hs:125).
+@register(
+    "q_drop",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem ORDER BY l_orderkey, l_linenumber OFFSET 55000
+    """,
+)
+def q_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return core_ops.drop_rows(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        55000,
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+# maximumBy (demo/Kata04.hs): row achieving the max, total-order tiebreak.
+@register(
+    "q_argmax",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return agg_ops.argmax(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_totalprice",
+        ["o_orderkey"],
+    )
+
+
+# Record equality / distinct (test/Overlap.hs idiom).
+@register(
+    "q_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# Sorted head (Ord row instances; TakeOrderedAndProject physical op).
+@register(
+    "q_sort",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return core_ops.take_rows(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        100,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2a Frames parity — joins (src/Frames/Joins.hs; benchmarks/pandas_joins.py)
+# ---------------------------------------------------------------------------
+
+def _order_stats(spark, sf_dir):
+    """Per-customer order stats; the 'summary' side of the reference's
+    left ⋈ left_summary joins (benchmarks/pandas_joins.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("spend"),
+    )
+
+
+_ORDER_STATS_SQL = """
+    SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+"""
+
+
+# innerJoin (Joins.hs:56) — merged USING key, broadcast dim side.
+@register(
+    "q_join_inner",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = join_ops.inner_join(
+        o, c, [("o_custkey", "c_custkey")], broadcast_right=True
+    )
+    return joined.select(
+        "o_custkey", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# Multi-key join (Joins.hs composite fs; pandas_joins.py on
+# ("policyID","county")): fact joined to its own 2-key summary.
+@register(
+    "q_join_multi",
+    """
+    WITH summary AS (
+      SELECT l_orderkey, l_partkey, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS group_qty
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    )
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, s.n_lines, s.group_qty
+    FROM lineitem l JOIN summary s
+      ON l.l_orderkey = s.l_orderkey AND l.l_partkey = s.l_partkey
+    WHERE l.l_orderkey % 7 = 0
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    summary = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("group_qty"),
+    )
+    joined = join_ops.inner_join(li, summary, ["l_orderkey", "l_partkey"])
+    return joined.filter(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey", "l_partkey", "l_linenumber", "n_lines", "group_qty"
+    )
+
+
+# leftJoin (Joins.hs:223): right-side columns become Maybe (nullable).
+@register(
+    "q_join_left",
+    f"""
+    SELECT c_custkey, c_name, n_orders, spend
+    FROM customer LEFT JOIN ({_ORDER_STATS_SQL}) USING (c_custkey)
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return join_ops.left_join(c, _order_stats(spark, sf_dir), ["c_custkey"]).select(
+        "c_custkey", "c_name", "n_orders", "spend"
+    )
+
+
+# rightJoin (Joins.hs:169).
+@register(
+    "q_join_right",
+    f"""
+    SELECT c_custkey, c_name, n_orders, spend
+    FROM ({_ORDER_STATS_SQL}) RIGHT JOIN customer USING (c_custkey)
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return join_ops.right_join(_order_stats(spark, sf_dir), c, ["c_custkey"]).select(
+        "c_custkey", "c_name", "n_orders", "spend"
+    )
+
+
+# outerJoin (Joins.hs:112): both sides null-extendable, coalesced key.
+@register(
+    "q_join_outer",
+    f"""
+    WITH building AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT c_custkey, c_name, n_orders, spend
+    FROM building FULL JOIN ({_ORDER_STATS_SQL}) USING (c_custkey)
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return join_ops.outer_join(building, _order_stats(spark, sf_dir), ["c_custkey"])
+
+
+# Membership filters — semi/anti ship only keys, never payload.
+@register(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return join_ops.semi_join(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        o.filter(F.col("o_totalprice") > 300000),
+        [("c_custkey", "o_custkey")],
+    )
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return join_ops.anti_join(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        [("c_custkey", "o_custkey")],
+    )

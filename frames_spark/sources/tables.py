@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -31,7 +32,16 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): arrives as epoch-nanos long
+    # (spark.sql.legacy.parquet.nanosAsLong); truncate to the engine's
+    # native microsecond timestamps. `div` keeps the arithmetic integer-
+    # exact; DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates the same
+    # way, so oracle SQL uses CAST(ts AS TIMESTAMP).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
