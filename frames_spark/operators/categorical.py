@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 def categories(df: DataFrame, col: str) -> DataFrame:
     """Distinct categories with stable dense codes (sorted order)."""
-    w = Window.orderBy(F.col(col))
+    w = Window.orderBy(F.col("category"))
     return (
         df.select(F.col(col).alias("category"))
         .distinct()

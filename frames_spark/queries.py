@@ -429,3 +429,150 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderpriority") == "1-URGENT"),
         [("c_custkey", "o_custkey")],
     )
+
+
+# ---------------------------------------------------------------------------
+# §2a Frames parity — reshape / categorical / missing / zip
+# ---------------------------------------------------------------------------
+
+# melt wide→long (src/Frames/Melt.hs:104): narrow per-row expansion,
+# no shuffle — unpivot happens inside the scan's stage.
+_MELT_VALUES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+@register(
+    "q_melt",
+    " UNION ALL ".join(
+        f"""
+        SELECT l_orderkey, l_linenumber, '{v}' AS variable,
+               CAST({v} AS DOUBLE) AS value
+        FROM lineitem WHERE l_orderkey % 10 = 0
+        """
+        for v in _MELT_VALUES
+    ),
+)
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return melt_ops.melt(li, ["l_orderkey", "l_linenumber"], _MELT_VALUES)
+
+
+# pivot long→wide (inverse of melt; explicit value list, no discovery
+# scan). Cell agg is an exact decimal sum cast back to double.
+@register(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = melt_ops.pivot(
+        li,
+        ["l_returnflag"],
+        "l_linestatus",
+        ["O", "F"],
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")),
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("O"),
+        F.col("F").cast("double").alias("F"),
+    )
+
+
+# declareCategorical (src/Frames/Categorical.hs:66): category set with
+# stable dense codes.
+@register(
+    "q_categorical",
+    """
+    SELECT category, CAST(DENSE_RANK() OVER (ORDER BY category) - 1 AS BIGINT) AS code
+    FROM (SELECT DISTINCT o_orderpriority AS category FROM orders)
+    """,
+)
+def q_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cats = cat_ops.categories(o, "o_orderpriority")
+    return cats.select("category", F.col("code").cast("long").alias("code"))
+
+
+# Default-fill over Maybe columns (demo/MissingData.hs): nulls from a
+# left join filled with per-column defaults.
+@register(
+    "q_missing_fill",
+    f"""
+    SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(spend, 0.0) AS spend
+    FROM customer LEFT JOIN ({_ORDER_STATS_SQL}) USING (c_custkey)
+    """,
+)
+def q_missing_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    joined = join_ops.left_join(c, _order_stats(spark, sf_dir), ["c_custkey"])
+    filled = missing_ops.fill_defaults(joined, {"n_orders": 0, "spend": 0.0})
+    return filled.select("c_custkey", "n_orders", "spend")
+
+
+# Keep-missing filter (test/UncurryFoldPartialData.hs: the reference
+# blanks `prestige` where type=NA, keeps rows where it failed to
+# parse, and projects `income`). Here: blank c_acctbal where negative,
+# keep the now-missing rows, project the remaining columns.
+@register(
+    "q_missing_drop",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM (SELECT *, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+          FROM customer)
+    WHERE bal IS NULL
+    """,
+)
+def q_missing_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    maybe = missing_ops.with_nulls(
+        c.withColumn("bal", F.col("c_acctbal")), "bal", F.col("c_acctbal") < 0
+    )
+    return missing_ops.keep_missing(maybe, "bal").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# zipFrames positional concat (src/Frames/Frame.hs:68) — requires an
+# explicit total order per side (see operators/core.py scale note).
+@register(
+    "q_zip_frames",
+    """
+    WITH lhs AS (
+      SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ), rhs AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM lhs JOIN rhs USING (rn) WHERE rn <= 200
+    """,
+)
+def q_zip_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    lhs = core_ops.take_rows(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        200,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+    )
+    rhs = core_ops.take_rows(
+        o.select("o_orderkey", "o_totalprice"),
+        200,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    return core_ops.zip_frames(
+        lhs,
+        rhs,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
