@@ -576,3 +576,118 @@ def q_zip_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("c_acctbal").desc(), F.col("c_custkey")],
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2b Window / analytic operators (operators/window.py)
+# ---------------------------------------------------------------------------
+
+# Top-k per group: per-segment top 3 orders.
+@register(
+    "q_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rank_in_group AS BIGINT) AS rank_in_group
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank_in_group <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = join_ops.inner_join(
+        o, c, [("o_custkey", "c_custkey")], broadcast_right=True
+    )
+    top = win_ops.topk_per_group(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return top.withColumn("rank_in_group", F.col("rank_in_group").cast("long"))
+
+
+# Running sum per supplier over ship order (decimal-exact prefix sums).
+@register(
+    "q_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 20
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    run = win_ops.running_sum(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        F.col("l_quantity").cast("decimal(18,6)"),
+        alias="running_qty",
+    )
+    return run.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("running_qty").cast("double").alias("running_qty"),
+    )
+
+
+# Gap-based sessionization (batch twin of streaming session_window).
+@register(
+    "q_sessionize",
+    """
+    SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second',
+                                      CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP),
+                                      CAST(ts AS TIMESTAMP)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = win_ops.sessionize(ev, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+    return sess.select("event_id", "user_id", "session_id")
+
+
+# Tumbling-window rollup on the event stream (batch form; the
+# streaming twin lives in frames_spark/streaming/events.py).
+@register(
+    "q_events_window",
+    f"""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_MICROS_SQL.format(expr='value')}) AS DOUBLE) / 1000000 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_micros(F.col("value"))).cast("double") / 1000000).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
