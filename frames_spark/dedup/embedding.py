@@ -1,0 +1,131 @@
+"""Embedding-cosine near-duplicate detection.
+
+Exact path (oracle-checkable): fixed-point cosine over all candidate
+pairs — ONLY safe at small scale or after bucketing.
+
+Scale path: random-hyperplane LSH. Hyperplanes are pseudo-random but
+fully deterministic — component (p, d) of plane p is ±1 by bit d of
+hash60("plane-p") extended md5 stream — so signatures are reproducible
+across runs/engines with no RNG state. Documents agreeing on all
+``num_planes`` signs land in one bucket; cosine runs within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frames_spark.functions.hashing import hash60
+from frames_spark.functions.vectors import (
+    cosine_from_fixed,
+    dot_fixed,
+    norm2_fixed,
+    to_fixed,
+)
+
+
+def _fixed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        to_fixed(F.col(vec_col)).alias("fvec"),
+    ).withColumn("n2", norm2_fixed(F.col("fvec")))
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact; small scale / within
+    buckets only — see sign_buckets for the 100 TB path)."""
+    a = _fixed(df, id_col, vec_col).select(
+        F.col("vid").alias("id_a"), F.col("fvec").alias("va"), F.col("n2").alias("na2")
+    )
+    b = _fixed(df, id_col, vec_col).select(
+        F.col("vid").alias("id_b"), F.col("fvec").alias("vb"), F.col("n2").alias("nb2")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def sign_buckets(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane signature bucket per vector.
+
+    Plane components are ±1 derived from md5 bits (deterministic, no
+    RNG). sign_p(v) = sign(sum_d v[d] * plane_p[d]); the bucket is the
+    num_planes-bit signature string.
+    """
+    fixed = _fixed(df, id_col, vec_col)
+    dim = 64  # embeddings table dimension; parameterize per corpus
+
+    def plane_sign(p: int) -> F.Column:
+        # bit d of the plane-p hash stream decides component ±1;
+        # 60 usable bits per md5, so fold d into the seed every 60.
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.shiftright(
+                    hash60(F.concat(F.lit(f"plane-{p}-"), (d / 60).cast("int").cast("string")), seed="emb"),
+                    d % 60,
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
+        return F.when(dot_fixed(F.col("fvec"), comp) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+
+    bucket = F.concat(*[plane_sign(p) for p in range(num_planes)])
+    return fixed.select(F.col("vid"), bucket.alias("bucket"))
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Scale path: bucket by hyperplane signature, exact cosine within
+    buckets only. Recall is tunable via num_planes (fewer planes =
+    bigger buckets = higher recall & cost)."""
+    buckets = sign_buckets(df, id_col, vec_col, num_planes)
+    bucketed = df.join(
+        buckets.withColumnRenamed("vid", id_col), id_col, "inner"
+    )
+    a = _fixed(bucketed, id_col, vec_col)
+    ab = bucketed.select(F.col(id_col).alias("vid"), "bucket").join(a, "vid")
+    lhs = ab.select(
+        "bucket",
+        F.col("vid").alias("id_a"),
+        F.col("fvec").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    rhs = ab.select(
+        "bucket",
+        F.col("vid").alias("id_b"),
+        F.col("fvec").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = lhs.join(rhs, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,80 @@
+"""N-gram Jaccard near-duplicate pairs via a shingle inverted index.
+
+Never O(n^2): candidate pairs come from an equi-join on the exploded
+(shingle -> doc) inverted index, so only documents sharing at least
+one shingle ever meet, and the shuffle is keyed by shingle hash.
+
+Scale controls:
+- ``max_df`` drops stop-shingles (present in more than max_df docs)
+  before the self-join — the classic guard against the quadratic
+  blowup on boilerplate shingles. Off by default so oracle SQL can
+  match exactly; ALWAYS set it for production corpora.
+- Jaccard is exact: |A ∩ B| from the index join, |A|,|B| from
+  per-doc shingle counts; integer-ratio division is deterministic
+  across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frames_spark.functions.hashing import shingles
+from frames_spark.functions.text import tokens
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted index over distinct word n-grams."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
+    index = shingle_index(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            index.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        index = index.join(rare, "shingle", "left_semi")
+    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = index.withColumnRenamed("doc", "doc_a")
+    b = index.withColumnRenamed("doc", "doc_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

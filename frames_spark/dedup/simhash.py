@@ -1,0 +1,74 @@
+"""SimHash fingerprints + Hamming-band near-dup candidates.
+
+60-bit SimHash (fits signed BIGINT in every engine): each shingle
+hashes to 60 bits via the portable md5-based hash60; every bit votes
++1/-1 weighted by presence; the fingerprint sets bit b where the vote
+is positive. Near-dups are found by splitting the fingerprint into
+``bands`` bit-blocks and equi-joining on (band, block value) — the
+standard Hamming-distance LSH: dups within ``bands-1`` differing bits
+are guaranteed to collide in at least one band.
+
+Bit votes run via a bounded explode (60 rows per shingle) of pure JVM
+expressions — acceptable fan-out for a sketch, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frames_spark.dedup.jaccard import shingle_index
+from frames_spark.functions.hashing import hash60
+
+SIMHASH_BITS = 60
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, fast: bool = False
+) -> DataFrame:
+    """(doc, simhash) 60-bit fingerprint per document."""
+    index = shingle_index(df, id_col, text_col, n).withColumn(
+        "h", hash60(F.col("shingle"), seed="sh", fast=fast)
+    )
+    bits = index.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.when(
+            F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    return (
+        bits.groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("votes"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def hamming_candidates(fingerprints: DataFrame, bands: int = 4) -> DataFrame:
+    """Candidate pairs whose fingerprints collide in >= 1 bit-band."""
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.shiftright(F.col("simhash"), F.col("band") * width)
+        .bitwiseAND(F.lit(mask))
+        .alias("block"),
+    )
+    a = banded.select("band", "block", F.col("doc").alias("doc_a"))
+    b = banded.select("band", "block", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, ["band", "block"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -691,3 +691,151 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2b Text analysis (frames_spark/functions/text.py)
+# ---------------------------------------------------------------------------
+
+from frames_spark.dedup import embedding as embed_ops  # noqa: E402
+from frames_spark.dedup import exact as exact_ops  # noqa: E402
+from frames_spark.dedup import jaccard as jac_ops  # noqa: E402
+from frames_spark.dedup import minhash as mh_ops  # noqa: E402
+from frames_spark.dedup import simhash as simh_ops  # noqa: E402
+from frames_spark.functions import text as text_fns  # noqa: E402
+from frames_spark.functions.hashing import hash60_sql  # noqa: E402
+from frames_spark.similarity import ann as ann_ops  # noqa: E402
+
+# Shared SQL fragments: normalized text and its whitespace tokens.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+# Length/token/punctuation/stopword quality metrics — one scan.
+@register(
+    "q_text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_raw,
+           len({_TOKENS_SQL}) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE)
+             / len({_TOKENS_SQL}) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    norm = text_fns.normalize(text)
+    ntok = text_fns.n_tokens(text)
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars_raw"),
+        ntok.cast("long").alias("n_tokens"),
+        text_fns.punct_ratio(text).alias("punct_ratio"),
+        (
+            F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("double")
+            / ntok
+        ).alias("avg_token_len"),
+    )
+
+
+# Stopword-hit language-ID scoring (functions/text.py LANG_STOPWORDS):
+# per-language marker-token counts + argmax prediction. The pipeline is
+# the real operator; swap bigger lists / a Pandas-UDF model at will.
+def _lang_case(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in text_fns.LANG_STOPWORDS[lang])
+    return f"SUM(CASE WHEN tok IN ({toks}) THEN 1 ELSE 0 END) AS score_{lang}"
+
+
+@register(
+    "q_langid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), scores AS (
+      SELECT doc_id, {", ".join(_lang_case(lang) for lang in ["en", "de", "fr", "es", "zh"])}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr
+                     AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                WHEN score_de >= score_fr AND score_de >= score_es
+                     AND score_de >= score_zh THEN 'de'
+                WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+                WHEN score_es >= score_zh THEN 'es'
+                ELSE 'zh' END AS predicted
+    FROM scores
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("tok")
+    )
+    langs = ["en", "de", "fr", "es", "zh"]
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("tok").isin(text_fns.LANG_STOPWORDS[lang]), 1
+                ).otherwise(0)
+            ).alias(f"score_{lang}")
+            for lang in langs
+        ]
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in langs}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), F.lit("de"))
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
+        .when(s["es"] >= s["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return scores.select(
+        "doc_id", *[f"score_{lang}" for lang in langs], predicted.alias("predicted")
+    )
+
+
+# Document fingerprint: md5 of normalized text (portable, SURVEY §4).
+@register(
+    "q_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_fns.fingerprint(F.col("text")).alias("fp"))
+
+
+# BPE-ish token estimate: regex token classes; ~4 chars per BPE token.
+@register(
+    "q_tokens_bpe",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all({_NORM_SQL}, '{text_fns.TOKEN_REGEX}')) AS tok
+      FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_regex_tokens,
+           CAST(SUM(CAST(ceil(length(tok) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_tokens
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(text_fns.regex_tokens(text_fns.normalize(F.col("text")))).alias(
+            "tok"
+        ),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_regex_tokens"),
+        F.sum(F.ceil(F.length("tok") / 4.0).cast("long")).alias("bpe_tokens"),
+    )
