@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from frames_spark.functions.hashing import hash60
+
 from frames_spark.functions.vectors import (
     cosine_from_fixed,
     dot_fixed,
@@ -55,31 +55,39 @@ def cosine_pairs(
     )
 
 
+def plane_components(p: int, dim: int) -> list[int]:
+    """±1 components of deterministic pseudo-random hyperplane ``p``:
+    bit d of the md5 stream md5('emb#plane-p-<chunk>') — no RNG state,
+    reproducible across runs, engines, and cluster versions."""
+    import hashlib
+
+    comps: list[int] = []
+    chunk = -1
+    bits = 0
+    while len(comps) < dim:
+        if len(comps) % 128 == 0:
+            chunk += 1
+            digest = hashlib.md5(f"emb#plane-{p}-{chunk}".encode()).digest()
+            bits = int.from_bytes(digest, "big")
+        comps.append(1 if (bits >> (len(comps) % 128)) & 1 else -1)
+    return comps
+
+
 def sign_buckets(
-    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8, dim: int = 64
 ) -> DataFrame:
     """(id, bucket) — random-hyperplane signature bucket per vector.
 
-    Plane components are ±1 derived from md5 bits (deterministic, no
-    RNG). sign_p(v) = sign(sum_d v[d] * plane_p[d]); the bucket is the
-    num_planes-bit signature string.
+    Planes are driver-side constant arrays (folded into the plan as
+    literals — zero per-row hashing cost); sign_p(v) =
+    sign(sum_d v[d] * plane_p[d]); the bucket is the num_planes-bit
+    signature string.
     """
     fixed = _fixed(df, id_col, vec_col)
-    dim = 64  # embeddings table dimension; parameterize per corpus
 
     def plane_sign(p: int) -> F.Column:
-        # bit d of the plane-p hash stream decides component ±1;
-        # 60 usable bits per md5, so fold d into the seed every 60.
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: F.when(
-                F.shiftright(
-                    hash60(F.concat(F.lit(f"plane-{p}-"), (d / 60).cast("int").cast("string")), seed="emb"),
-                    d % 60,
-                ).bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long")),
+        comp = F.array(
+            *[F.lit(v).cast("long") for v in plane_components(p, dim)]
         )
         return F.when(dot_fixed(F.col("fvec"), comp) >= 0, F.lit("1")).otherwise(
             F.lit("0")

@@ -30,14 +30,16 @@ def simhash(
     index = shingle_index(df, id_col, text_col, n).withColumn(
         "h", hash60(F.col("shingle"), seed="sh", fast=fast)
     )
+    # shiftright/shiftleft builtins take literal shift amounts only;
+    # column-valued shifts go through expr().
     bits = index.select(
         "doc",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        F.when(
-            F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1
-        )
-        .otherwise(-1)
-        .alias("vote"),
+        "h",
+    ).select(
+        "doc",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
     )
     return (
         bits.groupBy("doc", "bit")
@@ -46,7 +48,7 @@ def simhash(
         .agg(
             F.sum(
                 F.when(
-                    F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))
+                    F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )

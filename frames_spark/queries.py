@@ -839,3 +839,272 @@ def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_regex_tokens"),
         F.sum(F.ceil(F.length("tok") / 4.0).cast("long")).alias("bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2b Deduplication (frames_spark/dedup/*)
+#
+# The synthetic corpus has no natural duplicates, so each dedup query
+# plants them deterministically (same derivation in Spark and SQL):
+# exact copies / drop-last-word near-copies / one-component-perturbed
+# embeddings, ids offset by 1_000_000.
+# ---------------------------------------------------------------------------
+
+_DUP_OFFSET = 1_000_000
+
+
+def _with_exact_copies(docs: DataFrame) -> DataFrame:
+    copies = docs.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionAll(copies)
+
+
+_EXACT_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+"""
+
+
+def _with_near_copies(docs: DataFrame) -> DataFrame:
+    toks = text_fns.tokens(F.col("text"))
+    clipped = F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ")
+    copies = docs.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), clipped.alias("text")
+    )
+    return docs.select("doc_id", "text").unionAll(copies)
+
+
+_NEAR_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+           array_to_string(list_slice({_TOKENS_SQL}, 1, len({_TOKENS_SQL}) - 1), ' ') AS text
+    FROM documents
+"""
+
+# Distinct word-trigram shingles of a (doc_id, text) relation, in SQL.
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id AS doc,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, {tokens} AS toks FROM ({corpus}))
+"""
+
+
+# Exact dedup: md5-fingerprint groupBy (dedup/exact.py).
+@register(
+    "q_dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM ({_EXACT_CORPUS_SQL}) GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_ops.exact_dedup_groups(
+        _with_exact_copies(docs), "doc_id", "text"
+    ).select("fp", "canonical_id", "n_copies")
+
+
+# N-gram Jaccard near-dup pairs via shingle inverted index.
+@register(
+    "q_dedup_ngram",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jac_ops.jaccard_pairs(
+        _with_near_copies(docs), "doc_id", "text", n=3, threshold=0.6
+    )
+
+
+# MinHash signatures + banded LSH candidates (dedup/minhash.py).
+_MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
+
+@register(
+    "q_dedup_minhash",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    sigs AS (
+      SELECT doc, i AS sig_i,
+             MIN({hash60_sql("concat(CAST(i AS VARCHAR), '|', shingle)", seed="mh")}) AS min_hash
+      FROM shingled, range(0, {_MH_K}) t(i)
+      GROUP BY doc, i
+    ),
+    banded AS (
+      SELECT doc, CAST(FLOOR(sig_i / {_MH_ROWS}) AS BIGINT) AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY sig_i) AS band_key
+      FROM sigs GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = mh_ops.minhash_signatures(
+        _with_near_copies(docs), "doc_id", "text", n=3, num_hashes=_MH_K
+    )
+    return mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+
+
+# SimHash 60-bit fingerprints (dedup/simhash.py).
+@register(
+    "q_dedup_simhash",
+    f"""
+    WITH shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT doc_id, text FROM documents")}),
+    hashed AS (
+      SELECT doc, {hash60_sql("shingle", seed="sh")} AS h FROM shingled
+    ),
+    votes AS (
+      SELECT doc, b.bit, SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM hashed, range(0, 60) b(bit) GROUP BY doc, b.bit
+    )
+    SELECT doc, SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simh_ops.simhash(docs, "doc_id", "text")
+
+
+# Embedding-cosine near-dup pairs, fixed-point exact (dedup/embedding.py).
+_EMB_CORPUS_SQL = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_DUP_OFFSET} AS vec_id,
+           list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+                          x -> CASE WHEN x[2] = 1
+                                    THEN CAST(x[1] AS FLOAT) + CAST(0.125 AS FLOAT)
+                                    ELSE CAST(x[1] AS FLOAT) END) AS embedding
+    FROM embeddings
+"""
+
+
+def _with_perturbed_copies(emb: DataFrame) -> DataFrame:
+    perturbed = F.transform(
+        F.arrays_zip(
+            F.col("embedding"),
+            F.sequence(F.lit(1), F.size("embedding")),
+        ),
+        lambda x: F.when(
+            x["1"] == 1,
+            (x["embedding"].cast("float") + F.lit(0.125).cast("float")).cast("float"),
+        ).otherwise(x["embedding"].cast("float")),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        perturbed.alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionAll(copies)
+
+
+_FIXED_SQL = """
+    SELECT vec_id, i,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS e
+    FROM ({corpus}), range(1, 65) t(i)
+"""
+
+
+@register(
+    "q_dedup_embed",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus=_EMB_CORPUS_SQL)}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.e * b.e) AS dot
+      FROM fixed a JOIN fixed b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.9
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embed_ops.cosine_pairs(
+        _with_perturbed_copies(emb), "vec_id", "embedding", threshold=0.9
+    )
+
+
+# Scale path: hyperplane-LSH bucketed near-dup (rows-only check — the
+# bucketing is deterministic but the SQL twin would be impractical;
+# recall vs the exact path is asserted in tests/test_dedup.py).
+@register("q_dedup_embed_lsh")
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embed_ops.near_dup_pairs_lsh(
+        _with_perturbed_copies(emb), "vec_id", "embedding",
+        threshold=0.9, num_planes=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2b Similarity search (frames_spark/similarity/ann.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ann_bruteforce",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e * c.e) AS dot
+      FROM fixed q JOIN fixed c ON q.i = c.i AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 3
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ops.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5
+    )
+
+
+# Bucketed ANN scale path (rows-only; recall asserted in tests).
+@register("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ops.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=5, num_planes=4,
+    )
