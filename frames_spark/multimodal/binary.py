@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus a typed metadata struct —
+the pattern that survives 100 TB: bytes stay columnar in parquet,
+metadata prunes without touching payloads, and decode/feature steps
+run as Arrow-batched ``mapInPandas`` (never row-at-a-time Python).
+
+The container has no image/audio libraries, so the actual decoders
+are stubbed: ``decode_stub`` raises NotImplementedError unless
+``fake=True``, in which case it produces deterministic fake features
+(so the Spark-side plumbing — schema, batching, partitioning — is
+fully real and testable). Swap `_decode_real` with PIL/ffmpeg calls
+in a deployment image.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, digest string, feature array<double>"
+)
+
+
+def attach_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Fill the typed metadata struct from the payload (cheap JVM ops;
+    width/height stay NULL until a real decoder runs)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _decode_real(payload: bytes) -> list[float]:
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg — not present in this "
+        "container; run with fake=True or deploy with decoder libs"
+    )
+
+
+def _decode_fake(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'embedding': md5-derived floats in [0, 1)."""
+    digest = hashlib.md5(payload or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+    dim: int = 8,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: one pandas batch per Arrow chunk — the decode cost
+    dominates, so batch shape (not per-row overhead) sets throughput.
+    """
+    decode = _decode_fake if fake else (lambda p, _d=dim: _decode_real(p))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": payloads.map(lambda p: len(p or b"")),
+                    "digest": payloads.map(
+                        lambda p: hashlib.md5(p or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(lambda p: decode(p, dim)),
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """Deterministic 1-in-n media sampling by id hash (md5, portable) —
+    the 'sample frames from videos' shape without a decoder."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return df.filter(bucket.cast("long") % every_n == 0)

@@ -200,16 +200,22 @@ def q_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_take",
     """
     SELECT l_orderkey, l_linenumber, l_quantity
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    LIMIT 100
     """,
 )
 def q_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus — the
+    # order must be total or the boundary rows are engine-dependent.
     return core_ops.take_rows(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+        ),
         100,
-        ["l_orderkey", "l_linenumber"],
-    )
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 # dropRows (Exploration.hs:125).
@@ -217,16 +223,20 @@ def q_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_drop",
     """
     SELECT l_orderkey, l_linenumber, l_quantity
-    FROM lineitem ORDER BY l_orderkey, l_linenumber OFFSET 55000
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    OFFSET 55000
     """,
 )
 def q_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return core_ops.drop_rows(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+        ),
         55000,
-        ["l_orderkey", "l_linenumber"],
-    )
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 # maximumBy (demo/Kata04.hs): row achieving the max, total-order tiebreak.
@@ -617,7 +627,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_partkey, l_suppkey, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_qty
     FROM lineitem WHERE l_suppkey <= 20
@@ -628,7 +639,8 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = win_ops.running_sum(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        ["l_shipdate", "l_orderkey", "l_linenumber",
+         "l_partkey", "l_suppkey", "l_quantity"],
         F.col("l_quantity").cast("decimal(18,6)"),
         alias="running_qty",
     )

@@ -1,0 +1,95 @@
+"""Structured Streaming operators over the events stream.
+
+Frames' streaming story is constant-memory pipes producers
+(reference: src/Frames/CSV.hs ``readTableOpt``/pipes); Spark's is
+Structured Streaming — same declarative transformations, incremental
+execution, plus watermarks for late data. These builders return
+running StreamingQuery objects writing to an in-memory sink so local
+tests drive them to completion with ``processAllAvailable()``; a real
+deployment swaps source/sink formats (kafka/delta) with the SAME
+transformation graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch nanos (see tables.py)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory stream of the events table (one file = one
+    micro-batch locally; kafka source in production)."""
+    # the file-stream source only accepts directories; glob-filter the
+    # single events file out of the table directory
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with a watermark
+    bounding state for late data — the streaming twin of
+    queries.q_events_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (streaming twin of
+    queries.q_sessionize's lag+cumsum batch form)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, name: str) -> "DataFrame":
+    """Start → drain → stop against an in-memory table; returns the
+    materialized result (batch DataFrame). Local test harness only."""
+    query = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return result.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,110 @@
+"""CSV ingest parity with Frames (readTable / tableTypes / rowGen /
+readTableMaybe / writeDSV — SURVEY.md §2a csv row)."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+
+from frames_spark.sources import csv as fcsv
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("csv")
+
+
+def test_infer_clean(spark, csv_dir):
+    p = str(csv_dir / "clean.csv")
+    with open(p, "w") as f:
+        f.write("name,age,score,flag\nalice,30,1.5,true\nbob,25,2.0,false\n")
+    schema = fcsv.infer_schema(spark, p)
+    assert [f.dataType for f in schema.fields] == [
+        T.StringType(), T.LongType(), T.DoubleType(), T.BooleanType(),
+    ]
+    df = fcsv.read_csv(spark, p)
+    rows = {r.name: r for r in df.collect()}
+    assert rows["alice"].age == 30 and rows["bob"].score == 2.0
+
+
+def test_lattice_promotion(spark, csv_dir):
+    """Int column containing a float promotes to double; mixed
+    bool/int degrades to string (ColumnUniverse lattice)."""
+    p = str(csv_dir / "promote.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,true\n2.5,1\n")
+    schema = fcsv.infer_schema(spark, p)
+    assert schema.fields[0].dataType == T.DoubleType()
+    assert schema.fields[1].dataType == T.StringType()
+
+
+def test_no_header_with_prefix(spark, csv_dir):
+    """rowGen: caller-provided names + identifier prefix."""
+    p = str(csv_dir / "nohdr.csv")
+    with open(p, "w") as f:
+        f.write("1,foo\n2,bar\n")
+    df = fcsv.read_csv(
+        spark, p, header=False, column_names=["id", "label"], prefix="u_"
+    )
+    assert df.columns == ["u_id", "u_label"]
+    assert df.count() == 2
+
+
+def test_dsv_roundtrip(spark, csv_dir):
+    """writeDSV + readTableOpt custom separator round trip."""
+    p = str(csv_dir / "pipe_in.csv")
+    out = str(csv_dir / "pipe_out")
+    with open(p, "w") as f:
+        f.write("x|y\n1|one\n2|two\n")
+    df = fcsv.read_csv(spark, p, sep="|")
+    fcsv.write_csv(df, out, sep="|")
+    back = fcsv.read_csv(spark, out, sep="|")
+    assert sorted(r.y for r in back.collect()) == ["one", "two"]
+
+
+def test_permissive_maybe_columns(spark, csv_dir):
+    """readTableMaybe: unparseable cells -> NULL, row preserved."""
+    p = str(csv_dir / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("k,v\n1,10\n2,oops\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    df = fcsv.read_csv(spark, p, schema=schema, permissive=True)
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows == {1: 10, 2: None, 3: 30}
+
+
+def test_quoted_rfc4180(spark, csv_dir):
+    p = str(csv_dir / "quoted.csv")
+    with open(p, "w") as f:
+        f.write('a,b\n"x,y",1\n"he said ""hi""",2\n')
+    df = fcsv.read_csv(spark, p)
+    vals = sorted(r.a for r in df.collect())
+    assert vals == ['he said "hi"', "x,y"]
+
+
+def test_latin1(spark, csv_dir):
+    """readFileLatin1Ln (CSV.hs:267)."""
+    p = str(csv_dir / "latin1.csv")
+    with open(p, "wb") as f:
+        f.write("name,n\ncaf\xe9,1\n".encode("latin-1"))
+    df = fcsv.read_csv(spark, p, encoding="ISO-8859-1")
+    assert df.collect()[0].name == "café"
+
+
+def test_column_subset_projection(spark, csv_dir):
+    """readTableOpt column subset."""
+    p = str(csv_dir / "subset.csv")
+    with open(p, "w") as f:
+        f.write("a,b,c\n1,2,3\n")
+    df = fcsv.read_csv(spark, p, columns=["a", "c"])
+    assert df.columns == ["a", "c"]
+
+
+def test_sanitize_names(spark):
+    assert fcsv.sanitize_name("Total Price ($)") == "Total_Price"
+    assert fcsv.sanitize_name("2024 rev") == "c2024_rev"

@@ -1,0 +1,84 @@
+"""Dedup family: planted-duplicate recovery + LSH recall floors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.dedup import embedding, exact, jaccard, minhash, simhash
+from frames_spark.queries import (
+    _with_exact_copies,
+    _with_near_copies,
+    _with_perturbed_copies,
+)
+from frames_spark.sources.tables import load_table
+
+
+def test_exact_dedup_collapses_planted_copies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    corpus = _with_exact_copies(docs)
+    deduped = exact.exact_dedup(corpus, "doc_id", "text")
+    assert deduped.count() == n
+    # canonical keep-rule: min id -> all originals survive
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_jaccard_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    corpus = _with_near_copies(docs)
+    pairs = jaccard.jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6
+    ).collect()
+    planted = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b == r.doc_a + 1_000_000}
+    # dropping one word keeps >0.6 trigram jaccard for almost all docs
+    assert len(planted) >= docs.count() * 0.9
+    assert all(0 < r.jaccard <= 1 for r in pairs)
+
+
+def test_minhash_candidates_cover_planted_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    corpus = _with_near_copies(docs)
+    sigs = minhash.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    cands = minhash.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 1_000_000) for r in docs.select("doc_id").collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8  # banded MinHash recall floor for ~0.9 jaccard
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40).cache()
+    corpus = _with_near_copies(docs)
+    fp = simhash.simhash(corpus, "doc_id", "text")
+    a = fp.filter(F.col("doc") < 1_000_000).select(
+        F.col("doc").alias("d"), F.col("simhash").alias("ha")
+    )
+    b = fp.filter(F.col("doc") >= 1_000_000).select(
+        (F.col("doc") - 1_000_000).alias("d"), F.col("simhash").alias("hb")
+    )
+    joined = a.join(b, "d").withColumn(
+        "hamming", F.bit_count(F.expr("ha ^ hb"))
+    )
+    avg_ham = joined.agg(F.avg("hamming")).first()[0]
+    assert avg_ham < 10  # near-identical docs -> close fingerprints
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(150).cache()
+    corpus = _with_perturbed_copies(emb)
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding.cosine_pairs(
+            corpus, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding.near_dup_pairs_lsh(
+            corpus, "vec_id", "embedding", threshold=0.9, num_planes=4
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # no false positives (exact verify)
+    assert len(lsh_pairs) >= 0.5 * max(len(exact_pairs), 1)

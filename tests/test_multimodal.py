@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing (decode stubbed; schema,
+batching, and determinism real)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_spark.multimodal import binary
+from frames_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    """Synthesize binary payloads from document text (no media libs in
+    the container; payload bytes are opaque to the pipeline anyway)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return binary.attach_meta(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    ).cache()
+
+
+def test_meta_schema_and_values(media):
+    assert [f.name for f in media.schema["meta"].dataType.fields] == [
+        "mime", "width", "height", "n_bytes",
+    ]
+    row = media.first()
+    assert row.meta.n_bytes == len(row.payload)
+
+
+def test_feature_extraction_deterministic(media):
+    feats = binary.extract_features(media, fake=True, dim=8)
+    rows = {r.media_id: r for r in feats.collect()}
+    again = {r.media_id: r for r in binary.extract_features(media, fake=True, dim=8).collect()}
+    assert rows.keys() == again.keys()
+    sample = next(iter(rows))
+    assert rows[sample].feature == again[sample].feature
+    assert len(rows[sample].feature) == 8
+    assert rows[sample].digest == again[sample].digest
+
+
+def test_real_decode_is_stubbed(media):
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        binary.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_is_deterministic_subset(media):
+    s1 = {r.media_id for r in binary.frame_sample(media, 5).collect()}
+    s2 = {r.media_id for r in binary.frame_sample(media, 5).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < 50

@@ -1,0 +1,41 @@
+"""Structured Streaming twins of the batch event rollups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.sources.tables import load_table
+from frames_spark.streaming import events as sev
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir):
+    stream = sev.read_event_stream(spark, sf_dir)
+    result = sev.run_to_memory(sev.windowed_rollup(stream), "win_rollup")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events")
+    )
+    got = {
+        (r.bucket, r.event_type): r.n_events
+        for r in result.select("bucket", "event_type", "n_events").collect()
+    }
+    want = {(r.bucket, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_session_rollup_event_conservation(spark, sf_dir):
+    stream = sev.read_event_stream(spark, sf_dir)
+    result = sev.run_to_memory(sev.session_rollup(stream), "sess_rollup")
+    total = result.agg(F.sum("n_events")).first()[0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    # session windows for one user never overlap (small result set:
+    # check driver-side)
+    by_user: dict[int, list[tuple]] = {}
+    for r in result.collect():
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"overlapping sessions {s1}-{e1} vs {s2}"
