@@ -1,0 +1,79 @@
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query materializes fully through the noop sink (no count-star
+shortcuts, no driver collect cost). A tiny warmup action amortizes
+JVM/codegen startup out of the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from frames_spark import queries as Q
+from frames_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative, scale-relevant set: the flagship fold (production
+# double-typed variant), scan+filter, joins, window analytics, event
+# rollup, and the training-data-pipeline operators (exact dedup,
+# MinHash LSH, bucketed embedding dedup, brute-force ANN, text stats).
+BENCH_QUERIES = {
+    "q1": Q.q1_bench,
+    "filter_project": Q.q_filter_project,
+    "join_inner": Q.q_join_inner,
+    "join_multi": Q.q_join_multi,
+    "topk_per_group": Q.q_topk_per_group,
+    "events_window": Q.q_events_window,
+    "sessionize": Q.q_sessionize,
+    "dedup_exact": Q.q_dedup_exact,
+    "dedup_minhash": Q.q_dedup_minhash,
+    "dedup_embed_lsh": Q.q_dedup_embed_lsh,
+    "ann_bruteforce": Q.q_ann_bruteforce,
+    "text_stats": Q.q_text_stats,
+    "langid": Q.q_langid,
+}
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("frames_spark_bench")
+    # warmup: JVM + parquet footer caches
+    materialize(Q.q1_bench(spark, SF_DIR).limit(1))
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,17 +73,14 @@ def plane_components(p: int, dim: int) -> list[int]:
     return comps
 
 
-def sign_buckets(
-    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8, dim: int = 64
-) -> DataFrame:
-    """(id, bucket) — random-hyperplane signature bucket per vector.
+def _bucket_expr(num_planes: int, dim: int) -> F.Column:
+    """Hyperplane-signature bucket of the ``fvec`` column.
 
     Planes are driver-side constant arrays (folded into the plan as
     literals — zero per-row hashing cost); sign_p(v) =
     sign(sum_d v[d] * plane_p[d]); the bucket is the num_planes-bit
     signature string.
     """
-    fixed = _fixed(df, id_col, vec_col)
 
     def plane_sign(p: int) -> F.Column:
         comp = F.array(
@@ -93,8 +90,27 @@ def sign_buckets(
             F.lit("0")
         )
 
-    bucket = F.concat(*[plane_sign(p) for p in range(num_planes)])
-    return fixed.select(F.col("vid"), bucket.alias("bucket"))
+    return F.concat(*[plane_sign(p) for p in range(num_planes)])
+
+
+def fixed_with_buckets(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """(vid, fvec, n2, bucket) in ONE pass over the vectors — the
+    self-join inputs for bucketed similarity, with no re-derivation of
+    the fixed-point representation per side."""
+    return _fixed(df, id_col, vec_col).withColumn(
+        "bucket", _bucket_expr(num_planes, dim)
+    )
+
+
+def sign_buckets(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane signature bucket per vector."""
+    return fixed_with_buckets(df, id_col, vec_col, num_planes, dim).select(
+        "vid", "bucket"
+    )
 
 
 def near_dup_pairs_lsh(
@@ -107,12 +123,7 @@ def near_dup_pairs_lsh(
     """Scale path: bucket by hyperplane signature, exact cosine within
     buckets only. Recall is tunable via num_planes (fewer planes =
     bigger buckets = higher recall & cost)."""
-    buckets = sign_buckets(df, id_col, vec_col, num_planes)
-    bucketed = df.join(
-        buckets.withColumnRenamed("vid", id_col), id_col, "inner"
-    )
-    a = _fixed(bucketed, id_col, vec_col)
-    ab = bucketed.select(F.col(id_col).alias("vid"), "bucket").join(a, "vid")
+    ab = fixed_with_buckets(df, id_col, vec_col, num_planes)
     lhs = ab.select(
         "bucket",
         F.col("vid").alias("id_a"),

@@ -23,6 +23,23 @@ from frames_spark.dedup.jaccard import shingle_index
 from frames_spark.functions.hashing import hash60
 
 
+# Classic affine re-hashing: ONE expensive base hash per shingle, then
+# k cheap mixes h_i = (a_i * (base % P) + b_i) % P. P < 2^30 keeps
+# every intermediate below 2^60 — no bigint overflow, so the SQL twin
+# is exact (engines disagree on overflow, never on in-range math).
+MINHASH_P = 1_073_741_789  # largest prime < 2^30
+
+
+def _mix_consts(i: int) -> tuple[int, int]:
+    # deterministic per-seed odd multiplier/offset derived from md5
+    import hashlib
+
+    d = hashlib.md5(f"mh-mix-{i}".encode()).digest()
+    a = (int.from_bytes(d[:8], "big") % (MINHASH_P - 2)) | 1
+    b = int.from_bytes(d[8:], "big") % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -31,24 +48,20 @@ def minhash_signatures(
     num_hashes: int = 16,
     fast: bool = False,
 ) -> DataFrame:
-    """(doc, sig_i, min_hash) — long form, one row per hash seed."""
-    index = shingle_index(df, id_col, text_col, n)
-    seeded = index.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("sig_i"),
-        "shingle",
+    """(doc, sig_0 .. sig_{k-1}) — WIDE form: the k min-aggregates run
+    in one partial-aggregated shuffle over the shingle index; no k-way
+    row explosion (the long-form version shuffled k x the index)."""
+    index = shingle_index(df, id_col, text_col, n).withColumn(
+        "base", hash60(F.col("shingle"), seed="mh", fast=fast) % MINHASH_P
     )
-    return (
-        seeded.withColumn(
-            "h",
-            hash60(
-                F.concat(F.col("sig_i").cast("string"), F.lit("|"), F.col("shingle")),
-                seed="mh",
-                fast=fast,
-            ),
-        )
-        .groupBy("doc", "sig_i")
-        .agg(F.min("h").alias("min_hash"))
+    consts = [_mix_consts(i) for i in range(num_hashes)]
+    return index.groupBy("doc").agg(
+        *[
+            F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(
+                f"sig_{i}"
+            )
+            for i, (a, b) in enumerate(consts)
+        ]
     )
 
 
@@ -58,20 +71,29 @@ def lsh_candidate_pairs(
     """Candidate pairs from banded signature collisions.
 
     A pair collides if ALL ``rows_per_band`` signature values in some
-    band match — the band key is the concatenation of that band's
-    values, so one equi-join finds all collisions.
+    band match — the band key concatenates that band's values, so one
+    equi-join on (band, band_key) finds all collisions. Band-key
+    cardinality is effectively unbounded (concatenated 30-bit mins),
+    so the join shuffle is skew-free.
     """
-    banded = (
-        signatures.withColumn("band", F.floor(F.col("sig_i") / rows_per_band))
-        .groupBy("doc", "band")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.struct("sig_i", "min_hash")))
-                .getField("min_hash")
-                .cast("array<string>"),
-            ).alias("band_key")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for band in range(bands)
+        ]
     )
+    banded = signatures.select(
+        "doc", F.explode(band_structs).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
     a = banded.select("band", "band_key", F.col("doc").alias("doc_a"))
     b = banded.select("band", "band_key", F.col("doc").alias("doc_b"))
     return (

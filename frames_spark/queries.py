@@ -957,16 +957,17 @@ _MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    hashed AS (
+      SELECT doc, {hash60_sql("shingle", seed="mh")} % {mh_ops.MINHASH_P} AS base
+      FROM shingled
+    ),
     sigs AS (
-      SELECT doc, i AS sig_i,
-             MIN({hash60_sql("concat(CAST(i AS VARCHAR), '|', shingle)", seed="mh")}) AS min_hash
-      FROM shingled, range(0, {_MH_K}) t(i)
-      GROUP BY doc, i
+      SELECT doc,
+             {", ".join(f"MIN(({a} * base + {b}) % {mh_ops.MINHASH_P}) AS sig_{i}" for i, (a, b) in enumerate(mh_ops._mix_consts(i) for i in range(_MH_K)))}
+      FROM hashed GROUP BY doc
     ),
     banded AS (
-      SELECT doc, CAST(FLOOR(sig_i / {_MH_ROWS}) AS BIGINT) AS band,
-             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY sig_i) AS band_key
-      FROM sigs GROUP BY 1, 2
+      {" UNION ALL ".join(f"SELECT doc, {band} AS band, " + " || ',' || ".join(f"CAST(sig_{band * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)) + " AS band_key FROM sigs" for band in range(_MH_BANDS))}
     )
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM banded a JOIN banded b

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from frames_spark.dedup.embedding import _fixed, sign_buckets
+from frames_spark.dedup.embedding import _fixed, fixed_with_buckets
 from frames_spark.functions.vectors import cosine_from_fixed, dot_fixed
 
 
@@ -76,19 +76,13 @@ def lsh_topk(
     """Bucketed ANN: compare each query only against corpus vectors in
     its hyperplane bucket. Recall < 1 by design; scales as corpus/2^p
     per bucket."""
-    cb = sign_buckets(corpus, id_col, vec_col, num_planes)
-    qb = sign_buckets(queries, id_col, vec_col, num_planes)
-    c = _fixed(corpus, id_col, vec_col).join(
-        cb.withColumnRenamed("vid", "cid"), F.col("vid") == F.col("cid")
-    ).select(
+    c = fixed_with_buckets(corpus, id_col, vec_col, num_planes).select(
         F.col("vid").alias("neighbor_id"),
         F.col("fvec").alias("cvec"),
         F.col("n2").alias("cn2"),
         "bucket",
     )
-    q = _fixed(queries, id_col, vec_col).join(
-        qb.withColumnRenamed("vid", "qid"), F.col("vid") == F.col("qid")
-    ).select(
+    q = fixed_with_buckets(queries, id_col, vec_col, num_planes).select(
         F.col("vid").alias("query_id"),
         F.col("fvec").alias("qvec"),
         F.col("n2").alias("qn2"),
