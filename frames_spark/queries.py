@@ -1121,3 +1121,153 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
         k=5, num_planes=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# §2b More OLAP coverage: as-of join, cube/rollup, distinct counts,
+# quantiles
+# ---------------------------------------------------------------------------
+
+from frames_spark.operators.asof import asof_join  # noqa: E402
+
+
+# As-of join: attach each 'click' event's latest preceding 'purchase'
+# value per user. Spark lacks a native as-of join; operators/asof.py
+# is the one-shuffle union-window formulation.
+@register(
+    "q_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM r
+            WHERE r.user_id = l.user_id AND r.ts <= l.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS last_purchase_value
+    FROM l
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"), "user_id", "ts",
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = asof_join(
+        left.withColumnRenamed("event_id", "l_event_id"),
+        right,
+        key="user_id",
+        ts="ts",
+        value_cols=["last_purchase_value"],
+        right_tiebreak="r_event_id",
+    )
+    return out.select(
+        F.col("l_event_id").alias("event_id"), "user_id", "last_purchase_value"
+    )
+
+
+# CUBE: all grouping-set totals (Frames has no native cube; standard
+# OLAP surface for this engine). NULL marks the rolled-up dimension.
+@register(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias(
+            "sum_qty"
+        ),
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias(
+            "spend"
+        ),
+    )
+
+
+# Exact distinct counts (the portable twin of approx_count_distinct —
+# see q_approx_distinct below for the sketch used at 100 TB).
+@register(
+    "q_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# HLL sketch distinct — rows-only (sketch estimates are
+# engine-specific by design); the exact twin above is the oracle.
+@register("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx")
+    )
+
+
+# Quantiles over integer micro-units: identical sort + identical
+# linear-interpolation arithmetic on both engines (the raw-double
+# version risks ulp drift in (1-f)*a + f*b; micros make a and b exact
+# integers so the expression is bit-stable).
+@register(
+    "q_quantiles",
+    f"""
+    SELECT o_orderpriority,
+           quantile_cont({_MICROS_SQL.format(expr='o_totalprice')}, 0.5) / 1000000 AS p50,
+           quantile_cont({_MICROS_SQL.format(expr='o_totalprice')}, 0.9) / 1000000 AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    micros = _micros(F.col("o_totalprice"))
+    return o.groupBy("o_orderpriority").agg(
+        (F.percentile(micros, F.lit(0.5)) / 1000000).alias("p50"),
+        (F.percentile(micros, F.lit(0.9)) / 1000000).alias("p90"),
+    )
+
+
+# Sketch quantiles for the 100 TB path — rows-only by design.
+@register("q_approx_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        )
+    )

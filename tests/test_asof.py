@@ -1,0 +1,74 @@
+"""As-of join semantics (operators/asof.py).
+
+Mirrors pandas.merge_asof(direction='backward') semantics: for each
+left row, the latest right row with ts <= left.ts in the same key
+group; ties at equal ts are visible (<=); deterministic tiebreak
+among equal-ts right rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from frames_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2026-01-01 10:00:00")),  # before any right -> null
+            (2, "u1", _ts("2026-01-01 12:00:00")),  # == right ts -> visible
+            (3, "u1", _ts("2026-01-01 15:00:00")),  # latest preceding = 14:00
+            (4, "u2", _ts("2026-01-01 11:00:00")),  # other key
+            (5, "u3", _ts("2026-01-01 11:00:00")),  # key with no right rows
+        ],
+        "l_id int, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", _ts("2026-01-01 12:00:00"), 100.0),
+            (11, "u1", _ts("2026-01-01 14:00:00"), 200.0),
+            (12, "u2", _ts("2026-01-01 10:30:00"), 50.0),
+            # equal-ts tie: higher tiebreak (14) must win
+            (13, "u2", _ts("2026-01-01 10:30:00"), 60.0),
+        ],
+        "r_id int, user_id string, ts timestamp, val double",
+    )
+    right = right.withColumn("r_id", F.col("r_id").cast("int"))
+
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        value_cols=["val"], right_tiebreak="r_id",
+    )
+    got = {r["l_id"]: r["val"] for r in out.collect()}
+    assert got == {1: None, 2: 100.0, 3: 200.0, 4: 60.0, 5: None}
+    # every left row survives exactly once
+    assert out.count() == 5
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The union-window formulation must not produce a join at all —
+    one Exchange on the key, no CartesianProduct / SortMergeJoin."""
+    left = spark.range(100).select(
+        F.col("id").alias("l_id"),
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("r_id"),
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    out = asof_join(left, right, key="k", ts="ts",
+                    value_cols=["val"], right_tiebreak="r_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
