@@ -1271,3 +1271,54 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_approx"
         )
     )
+
+
+# Range join: every purchase within 1 hour after a click by the same
+# user. operators/rangejoin.py turns the non-equi range condition into
+# a bucketed equi-join (one shuffle, 2x right amplification) instead
+# of a per-key product.
+from frames_spark.operators.rangejoin import range_join  # noqa: E402
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT l.event_id AS click_id, l.user_id,
+           r.event_id AS purchase_id, r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = range_join(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", window_seconds=3600,
+    )
+    return out.select("click_id", "user_id", "purchase_id", "purchase_value")
+
+
+# IVF ANN — k-means coarse quantizer, probe nprobe cells per query.
+# Rows-only: centroid training is iterative (not SQL-expressible);
+# tests/test_ivf.py pins recall against the exact search and checks
+# full-probe == brute-force exactly.
+@register("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=3,
+    )

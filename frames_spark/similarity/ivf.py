@@ -1,0 +1,159 @@
+"""IVF (inverted-file) ANN: k-means coarse quantizer + probed search.
+
+The scale path for similarity search beyond hyperplane LSH
+(similarity/ann.py): train K centroids (seeded MLlib KMeans — one
+distributed fit, centroids are tiny), assign every corpus vector to
+its nearest centroid (ONE pass, no shuffle of the corpus beyond the
+write), and at query time score only the ``nprobe`` nearest cells —
+corpus/K * nprobe candidates per query instead of the whole corpus.
+
+The corpus-side candidate join is an equi-join on centroid_id;
+the only non-equi work is queries x centroids, which is O(Q*K) on
+two broadcast-size inputs. Scoring reuses the same fixed-point
+cosine as brute_force_topk, so with nprobe == n_centroids the result
+is bit-identical to the exact search (recall == 1).
+
+At 100 TB the assigned corpus would be written out partitioned by
+centroid_id (sources/sink.py write_partitioned) so query-time probes
+prune to nprobe directories; build_ivf/ivf_search are split to make
+that persist-reuse explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from frames_spark.dedup.embedding import _fixed
+from frames_spark.functions.vectors import (
+    cosine_from_fixed,
+    dot_fixed,
+    norm2_fixed,
+    to_fixed,
+)
+
+
+def build_ivf(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (assigned, centroids): the corpus with a
+    ``centroid_id`` column, and the tiny centroid table
+    (centroid_id, cvec: array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="centroid_id"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, "centroid_id").join(
+        corpus, id_col
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, cvec array<double>",
+    )
+    return assigned, centroids
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query id, centroid_id) for each query's nprobe nearest
+    centroids by cosine. Queries x centroids are both broadcast-size."""
+    qv = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(qv, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = queries.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    scored = scored.withColumn("_sim", dot / (norm(qv) * norm(F.col("cvec"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), "centroid_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors per query, searching only nprobe cells.
+
+    Output matches brute_force_topk's schema:
+    (query_id, neighbor_id, cosine, rank), self-matches excluded.
+    """
+    probes = _probe_cells(queries, centroids, id_col, vec_col, nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    q = _fixed(queries, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("fvec").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    ).join(probes, "query_id")
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_fixed(F.col(vec_col)).alias("cvec"),
+        "centroid_id",
+    ).withColumn("cn2", norm2_fixed(F.col("cvec")))
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("qvec"), F.col("cvec")), F.col("qn2"), F.col("cn2")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot build + search (index persistence is the caller's
+    concern at scale — see build_ivf)."""
+    assigned, centroids = build_ivf(corpus, id_col, vec_col, n_centroids, seed)
+    return ivf_search(assigned, centroids, queries, id_col, vec_col, k, nprobe)

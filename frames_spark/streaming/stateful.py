@@ -1,0 +1,81 @@
+"""Custom stateful streaming: applyInPandasWithState operators.
+
+Windowed/session aggregates (streaming/events.py) cover what
+Structured Streaming expresses declaratively; anything with custom
+per-key state machines needs applyInPandasWithState — Arrow-batched
+per-key state with explicit timeout-driven eviction, the PySpark
+analog of flatMapGroupsWithState.
+
+``running_user_stats`` keeps one tiny fixed-size state record per
+user (count, sum, max ts) and emits the updated running totals each
+micro-batch — state size is O(distinct active users), independent of
+stream length; with an idle timeout configured, evicted keys bound
+even that at 100 TB event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),  # epoch micros
+    ]
+)
+
+
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        ts_us = (pdf["ts"].astype("int64") // 1000).max()
+        last_us = max(last_us, int(ts_us))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, last event time), one emitted row
+    per user per micro-batch that touched that user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,57 @@
+"""IVF ANN (similarity/ivf.py): recall vs exact search, exactness at
+full probe, and candidate-join plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_spark.similarity.ann import brute_force_topk
+from frames_spark.similarity.ivf import build_ivf, ivf_search, ivf_topk
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qs(emb):
+    return emb.filter(F.col("vec_id") < 5)
+
+
+def _hits(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ivf_full_probe_is_exact(emb, qs):
+    exact = _hits(brute_force_topk(emb, qs, "vec_id", "embedding", k=K))
+    full = _hits(
+        ivf_topk(emb, qs, "vec_id", "embedding", k=K, n_centroids=8, nprobe=8)
+    )
+    assert full == exact
+
+
+def test_ivf_recall(emb, qs):
+    exact = _hits(brute_force_topk(emb, qs, "vec_id", "embedding", k=K))
+    approx = _hits(
+        ivf_topk(emb, qs, "vec_id", "embedding", k=K, n_centroids=8, nprobe=3)
+    )
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # probing fewer cells must actually restrict the candidate set
+    assert len(approx) <= len(exact)
+
+
+def test_ivf_candidate_join_shape(emb, qs):
+    assigned, centroids = build_ivf(emb, "vec_id", "embedding", n_centroids=8)
+    out = ivf_search(assigned, centroids, qs, "vec_id", "embedding", k=K, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus-side candidate join is an equi-join on centroid_id —
+    # never a cartesian against the corpus
+    assert "CartesianProduct" not in plan
+    # determinism: same seed -> same result
+    again = ivf_search(assigned, centroids, qs, "vec_id", "embedding", k=K, nprobe=2)
+    assert _hits(out) == _hits(again)

@@ -1,0 +1,106 @@
+"""Skew-salted operators (operators/skew.py) and sinks
+(sources/sink.py): results must equal the unsalted/unbucketed
+equivalents, and the plans must show the promised shape
+(two-stage aggregate; zero-exchange bucketed join; partition
+pruning on partitioned parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_spark.operators.skew import salted_join, salted_sum_count
+from frames_spark.sources.sink import read_table, write_bucketed, write_partitioned
+
+
+@pytest.fixture
+def skewed(spark):
+    # 10k rows, 90% on one hot key
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise((F.floor(F.col("id") / 10) % 5).cast("string"))
+        .alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.col("id").alias("rid"),
+    )
+
+
+def test_salted_sum_count_matches_plain(spark, skewed):
+    got = {
+        r["k"]: (r["sum_v"], r["n"])
+        for r in salted_sum_count(skewed, ["k"], ["v"], salt=8).collect()
+    }
+    want = {
+        r["k"]: (r["sum_v"], r["n"])
+        for r in skewed.groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6 * max(1.0, abs(want[k][0]))
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("0", "a"), ("1", "b"), ("2", "c")], "k string, label string"
+    )
+    got = sorted(
+        (r["rid"], r["label"])
+        for r in salted_join(skewed, dim, "k", salt=8).collect()
+    )
+    want = sorted(
+        (r["rid"], r["label"]) for r in skewed.join(dim, "k", "inner").collect()
+    )
+    assert got == want
+
+    # left join keeps unmatched large rows exactly once
+    dim2 = dim.filter(F.col("k") != "hot")
+    left = salted_join(skewed, dim2, "k", salt=8, how="left")
+    assert left.count() == skewed.count()
+    assert left.filter(F.col("label").isNull()).count() == skewed.filter(
+        ~F.col("k").isin("0", "1", "2")
+    ).count()
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a_val")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b_val")
+        )
+        write_bucketed(a, "t_bkt_a", "k", 4, sort_col="k", path=str(tmp_path / "a"))
+        write_bucketed(b, "t_bkt_b", "k", 4, sort_col="k", path=str(tmp_path / "b"))
+        joined = read_table(spark, "t_bkt_a").join(
+            read_table(spark, "t_bkt_b"), "k", "inner"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "pp")
+    write_partitioned(df, path, ["part"])
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("part") == "2")
+    assert one.count() == 25
+    # partition filter must reach the scan as a PartitionFilter
+    # (directory skip), not a post-scan data filter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "= 2" in pf, plan

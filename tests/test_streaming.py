@@ -39,3 +39,43 @@ def test_session_rollup_event_conservation(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 <= s2, f"overlapping sessions {s1}-{e1} vs {s2}"
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    """applyInPandasWithState running totals: the last emitted row per
+    user must equal the batch per-user aggregate."""
+    from frames_spark.streaming.stateful import running_user_stats
+
+    stream = sev.read_event_stream(spark, sf_dir)
+    result = running_user_stats(stream)
+    query = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # memory sink in update mode appends each emission; the LAST row
+    # per user is the final running total
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM user_stats) WHERE rn = 1
+        """
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("tv"),
+        )
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
+    assert got == want
