@@ -25,6 +25,9 @@ from frames_spark.functions.vectors import (
 
 
 def _fixed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from frames_spark.operators.core import spread
+
+    df = spread(df)  # vector arithmetic is CPU-bound
     return df.select(
         F.col(id_col).alias("vid"),
         to_fixed(F.col(vec_col)).alias("fvec"),

@@ -16,8 +16,10 @@ from frames_spark.functions.text import fingerprint
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-fingerprint canonical id + duplicate count."""
+    from frames_spark.operators.core import spread
+
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        spread(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("canonical_id"),

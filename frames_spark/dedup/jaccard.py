@@ -21,12 +21,14 @@ from pyspark.sql import functions as F
 
 from frames_spark.functions.hashing import shingles
 from frames_spark.functions.text import tokens
+from frames_spark.operators.core import spread
 
 
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, shingle) inverted index over distinct word n-grams."""
+    df = spread(df)  # shingling is CPU-bound; never run it on 1 partition
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),

@@ -91,6 +91,22 @@ def chunked(df: DataFrame, num_chunks: int) -> DataFrame:
     return df.repartition(num_chunks)
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan out a narrow scan before CPU-heavy per-row work.
+
+    A small parquet file arrives as ONE partition, so an expression-
+    heavy pipeline (shingling, hashing, vector math) runs on one core
+    no matter how many are free — maxPartitionBytes can't split below
+    file/row-group granularity. Repartitioning a few MB of input is
+    noise next to the per-row compute it unlocks; at real scale inputs
+    already have >= cores partitions and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def preview(df: DataFrame, n: int = 10) -> str:
     """showFrame/printFrame — driver-side peek via take(n), never collect."""
     return df._show_string(n, 0, False)

@@ -738,7 +738,7 @@ _TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     norm = text_fns.normalize(text)
     ntok = text_fns.n_tokens(text)
@@ -783,7 +783,7 @@ def _lang_case(lang: str) -> str:
     """,
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("tok")
     )
@@ -821,7 +821,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", text_fns.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -840,7 +840,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(text_fns.regex_tokens(text_fns.normalize(F.col("text")))).alias(

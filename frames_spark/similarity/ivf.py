@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from frames_spark.dedup.embedding import _fixed
+from frames_spark.operators.core import spread
 from frames_spark.functions.vectors import (
     cosine_from_fixed,
     dot_fixed,
@@ -46,7 +47,7 @@ def build_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = corpus.select(
+    feat = spread(corpus).select(
         F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat")
     )
     model = KMeans(
@@ -113,7 +114,7 @@ def ivf_search(
         F.col("fvec").alias("qvec"),
         F.col("n2").alias("qn2"),
     ).join(probes, "query_id")
-    c = assigned.select(
+    c = spread(assigned).select(
         F.col(id_col).alias("neighbor_id"),
         to_fixed(F.col(vec_col)).alias("cvec"),
         "centroid_id",
