@@ -39,6 +39,12 @@ BENCH_QUERIES = {
     "ann_bruteforce": Q.q_ann_bruteforce,
     "text_stats": Q.q_text_stats,
     "langid": Q.q_langid,
+    "asof_join": Q.q_asof_join,
+    "range_join": Q.q_range_join,
+    "cube": Q.q_cube,
+    "quantiles": Q.q_quantiles,
+    "count_distinct": Q.q_count_distinct,
+    "ann_ivf": Q.q_ann_ivf,
 }
 
 

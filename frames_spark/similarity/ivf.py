@@ -40,22 +40,40 @@ def build_ivf(
     vec_col: str,
     n_centroids: int = 16,
     seed: int = 42,
+    max_train: int = 100_000,
+    max_iter: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assigned, centroids): the corpus with a
     ``centroid_id`` column, and the tiny centroid table
-    (centroid_id, cvec: array<double>)."""
+    (centroid_id, cvec: array<double>).
+
+    The quantizer fits on a hash-bounded sample (``max_train``
+    vectors) — at corpus scale you never iterate k-means over
+    everything; assignment of the full corpus is the single
+    model.transform pass, which carries the corpus columns through
+    (no reattach join)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = spread(corpus).select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat")
+    feat = spread(corpus).withColumn(
+        "_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    n = corpus.count()
+    train = feat.select("_feat")
+    if n > max_train:
+        # content-hash sample: deterministic, partition-independent
+        train = feat.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n // max_train + 1)) == 0
+        ).select("_feat")
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="centroid_id"
-    ).fit(feat)
-    assigned = model.transform(feat).select(id_col, "centroid_id").join(
-        corpus, id_col
-    )
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",  # k-means|| costs extra passes; random + seeded is enough for a coarse quantizer
+        featuresCol="_feat",
+        predictionCol="centroid_id",
+    ).fit(train)
+    assigned = model.transform(feat).drop("_feat")
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
