@@ -45,6 +45,7 @@ BENCH_QUERIES = {
     "quantiles": Q.q_quantiles,
     "count_distinct": Q.q_count_distinct,
     "ann_ivf": Q.q_ann_ivf,
+    "pipeline_clean": Q.q_pipeline_clean,
 }
 
 

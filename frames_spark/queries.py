@@ -783,36 +783,10 @@ def _lang_case(lang: str) -> str:
     """,
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.langid import language_scores
+
     docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("tok")
-    )
-    langs = ["en", "de", "fr", "es", "zh"]
-    scores = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("tok").isin(text_fns.LANG_STOPWORDS[lang]), 1
-                ).otherwise(0)
-            ).alias(f"score_{lang}")
-            for lang in langs
-        ]
-    )
-    s = {lang: F.col(f"score_{lang}") for lang in langs}
-    predicted = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
-            & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
-            F.lit("en"),
-        )
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), F.lit("de"))
-        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
-        .when(s["es"] >= s["zh"], F.lit("es"))
-        .otherwise(F.lit("zh"))
-    )
-    return scores.select(
-        "doc_id", *[f"score_{lang}" for lang in langs], predicted.alias("predicted")
-    )
+    return language_scores(docs, "doc_id", "text")
 
 
 # Document fingerprint: md5 of normalized text (portable, SURVEY §4).
@@ -1321,4 +1295,76 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
         k=5, n_centroids=8, nprobe=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus cleaning pipeline (pipelines/pretrain.py): quality
+# gate -> language gate -> exact dedup -> minhash near-dup drop, as
+# one lazy plan with an exact end-to-end SQL oracle.
+# ---------------------------------------------------------------------------
+
+_PUNCT_SQL = (
+    "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+
+_PIPELINE_ORACLE = f"""
+    WITH quality AS (
+      SELECT doc_id, text FROM documents
+      WHERE len({_TOKENS_SQL}) >= 10 AND {_PUNCT_SQL} <= 0.2
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM quality
+    ),
+    scores AS (
+      SELECT doc_id, {", ".join(_lang_case(lang) for lang in ["en", "de", "fr", "es", "zh"])}
+      FROM toks GROUP BY doc_id
+    ),
+    lang AS (
+      SELECT doc_id FROM scores
+      WHERE score_en >= score_de AND score_en >= score_fr
+        AND score_en >= score_es AND score_en >= score_zh
+    ),
+    gated AS (
+      SELECT q.* FROM quality q WHERE q.doc_id IN (SELECT doc_id FROM lang)
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM_SQL})
+    ),
+    uniq AS (
+      SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM canon)
+    ),
+    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM uniq")}),
+    hashed AS (
+      SELECT doc, {hash60_sql("shingle", seed="mh")} % {mh_ops.MINHASH_P} AS base
+      FROM shingled
+    ),
+    sigs AS (
+      SELECT doc,
+             {", ".join(f"MIN(({a} * base + {b}) % {mh_ops.MINHASH_P}) AS sig_{i}" for i, (a, b) in enumerate(mh_ops._mix_consts(i) for i in range(_MH_K)))}
+      FROM hashed GROUP BY doc
+    ),
+    banded AS (
+      {" UNION ALL ".join(f"SELECT doc, {band} AS band, " + " || ',' || ".join(f"CAST(sig_{band * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)) + " AS band_key FROM sigs" for band in range(_MH_BANDS))}
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc AS doc_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    )
+    SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens
+    FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("q_pipeline_clean", _PIPELINE_ORACLE)
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.pipelines.pretrain import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(
+        docs, min_tokens=10, max_punct=0.2, lang="en",
+        shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
     )

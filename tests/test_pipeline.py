@@ -1,0 +1,42 @@
+"""Training-corpus cleaning pipeline (pipelines/pretrain.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.functions import text as text_fns
+from frames_spark.pipelines.pretrain import clean_corpus
+from frames_spark.sources.tables import load_table
+
+
+def test_pipeline_stages_monotone(spark, sf_dir):
+    """Each gate only removes rows, survivors satisfy every gate, and
+    the result is duplicate-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = clean_corpus(docs, min_tokens=10, max_punct=0.2, lang="en").cache()
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+
+    # survivors all meet the quality gate
+    joined = out.join(docs, "doc_id")
+    bad = joined.filter(
+        (text_fns.n_tokens(F.col("text")) < 10)
+        | (text_fns.punct_ratio(F.col("text")) > 0.2)
+    )
+    assert bad.count() == 0
+    # n_tokens column is consistent with the text
+    mismatch = joined.filter(
+        F.col("n_tokens") != text_fns.n_tokens(F.col("text")).cast("long")
+    )
+    assert mismatch.count() == 0
+    # no duplicate ids, no exact-duplicate texts
+    assert out.select("doc_id").distinct().count() == n_out
+    assert joined.select(text_fns.fingerprint(F.col("text"))).distinct().count() == n_out
+
+
+def test_pipeline_single_plan_no_cartesian(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = clean_corpus(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
