@@ -66,15 +66,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded signature collisions.
 
     A pair collides if ALL ``rows_per_band`` signature values in some
-    band match — the band key concatenates that band's values, so one
-    equi-join on (band, band_key) finds all collisions. Band-key
-    cardinality is effectively unbounded (concatenated 30-bit mins),
-    so the join shuffle is skew-free.
+    band match — the band key concatenates that band's values. One
+    groupBy on (band, band_key) gathers each bucket and the i<j pairs
+    expand JVM-side inside the bucket — the self-join formulation
+    would execute the (expensive) signature lineage once per side and
+    shuffle it twice; this computes it once and shuffles once.
+
+    Band-key cardinality is effectively unbounded (concatenated
+    30-bit mins), so buckets are tiny and the shuffle is skew-free;
+    ``max_bucket`` additionally drops degenerate buckets (corpus-wide
+    boilerplate collapsing into one key) before the quadratic
+    expansion — set it for production corpora.
     """
     band_structs = F.array(
         *[
@@ -94,11 +104,20 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc", F.explode(band_structs).alias("b")
     ).select("doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
-    a = banded.select("band", "band_key", F.col("doc").alias("doc_a"))
-    b = banded.select("band", "band_key", F.col("doc").alias("doc_b"))
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
