@@ -55,12 +55,23 @@ def jaccard_pairs(
         index = index.join(rare, "shingle", "left_semi")
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = index.withColumnRenamed("doc", "doc_a")
-    b = index.withColumnRenamed("doc", "doc_b")
+    # posting-list groupBy + in-array pair expansion: the index
+    # lineage (shingle explode) runs ONCE and shuffles once, vs twice
+    # each for the self-join form. Posting lists are small by the
+    # max_df guard (and naturally for content shingles).
+    postings = (
+        index.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(

@@ -66,11 +66,20 @@ def hamming_candidates(fingerprints: DataFrame, bands: int = 4) -> DataFrame:
         .bitwiseAND(F.lit(mask))
         .alias("block"),
     )
-    a = banded.select("band", "block", F.col("doc").alias("doc_a"))
-    b = banded.select("band", "block", F.col("doc").alias("doc_b"))
+    # bucket groupBy + in-array pair expansion (see minhash.py) —
+    # fingerprint lineage computes once, one shuffle on (band, block)
+    buckets = (
+        banded.groupBy("band", "block")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(b, ["band", "block"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
