@@ -1368,3 +1368,55 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
     )
+
+
+# JSON column extraction: typed from_json over the events.props
+# payload (the semi-structured column every event pipeline carries).
+# Catalyst prunes the parse to the single referenced field.
+@register(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           COUNT(CAST(props->>'k' AS BIGINT)) AS n_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k LONG").getField("k")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+# Time-range window: per-user rolling 1-hour revenue (RANGE frame over
+# event time, not row count). Micros keep the in-frame float sum exact
+# on both engines.
+@register(
+    "q_running_sum_time",
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM({_MICROS_SQL.format(expr='value')}) OVER (
+             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 1000000 AS rolling_value
+    FROM events
+    """,
+)
+def q_running_sum_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_micros(F.col("value"))).over(w).cast("double") / 1000000).alias(
+            "rolling_value"
+        ),
+    )
