@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from frames_spark.dedup.exact import exact_dedup
 from frames_spark.dedup.minhash import lsh_candidate_pairs, minhash_signatures
 from frames_spark.functions import text as text_fns
-from frames_spark.functions.langid import language_scores
+from frames_spark.functions.langid import predicted_lang
 from frames_spark.operators.core import spread
 
 
@@ -55,10 +55,9 @@ def clean_corpus(
         (text_fns.n_tokens(text) >= min_tokens)
         & (text_fns.punct_ratio(text) <= max_punct)
     )
-    right_lang = language_scores(quality, id_col, text_col).filter(
-        F.col("predicted") == lang
-    ).select(id_col)
-    gated = quality.join(right_lang, id_col, "left_semi")
+    # language gate is a pure scan expression (functions/langid.py) —
+    # fused with the quality filter into the scan, no join, no shuffle
+    gated = quality.filter(predicted_lang(text) == lang)
     unique = exact_dedup(gated, id_col, text_col)
     pairs = lsh_candidate_pairs(
         minhash_signatures(unique, id_col, text_col, shingle_n, num_hashes),
