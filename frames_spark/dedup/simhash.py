@@ -8,8 +8,9 @@ is positive. Near-dups are found by splitting the fingerprint into
 standard Hamming-distance LSH: dups within ``bands-1`` differing bits
 are guaranteed to collide in at least one band.
 
-Bit votes run via a bounded explode (60 rows per shingle) of pure JVM
-expressions — acceptable fan-out for a sketch, no Python in the loop.
+Bit votes are 60 wide sum-aggregates over the shingle index — ONE
+shuffle of the index rows (the exploded bit formulation shuffled 60
+rows per shingle), same wide-aggregate trick as minhash signatures.
 """
 
 from __future__ import annotations
@@ -30,29 +31,20 @@ def simhash(
     index = shingle_index(df, id_col, text_col, n).withColumn(
         "h", hash60(F.col("shingle"), seed="sh", fast=fast)
     )
-    # shiftright/shiftleft builtins take literal shift amounts only;
-    # column-valued shifts go through expr().
-    bits = index.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    return (
-        bits.groupBy("doc", "bit")
-        .agg(F.sum("vote").alias("votes"))
-        .groupBy("doc")
-        .agg(
+    votes = index.groupBy("doc").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
     )
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc", sig.alias("simhash"))
 
 
 def hamming_candidates(fingerprints: DataFrame, bands: int = 4) -> DataFrame:

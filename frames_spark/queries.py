@@ -814,16 +814,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure scan expressions — no explode, no per-token shuffle
     docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
+    toks = text_fns.regex_tokens(text_fns.normalize(F.col("text")))
+    return docs.select(
         "doc_id",
-        F.explode(text_fns.regex_tokens(text_fns.normalize(F.col("text")))).alias(
-            "tok"
-        ),
-    )
-    return toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_regex_tokens"),
-        F.sum(F.ceil(F.length("tok") / 4.0).cast("long")).alias("bpe_tokens"),
+        F.size(toks).cast("long").alias("n_regex_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("bpe_tokens"),
     )
 
 
