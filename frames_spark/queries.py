@@ -1421,3 +1421,89 @@ def q_running_sum_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_value"
         ),
     )
+
+
+# GROUPING SETS — the general form of cube/rollup: exactly the
+# requested grouping combinations, one pass, partial agg map-side.
+@register(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# Pearson correlation from EXACT integer moment sums: micros-scaled
+# values accumulate as DECIMAL(38,0) (order-independent), and the
+# final corr is one float expression over those exact sums — the
+# same arithmetic in both engines, so it is bit-stable. A bare
+# corr() would drift in the last ulps with partition order.
+@register(
+    "q_corr",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST({_MICROS_SQL.format(expr='l_quantity')} AS HUGEINT) AS x,
+             CAST({_MICROS_SQL.format(expr='l_extendedprice')} AS HUGEINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM m GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _micros(F.col("l_quantity")).cast("decimal(18,0)")
+    y = _micros(F.col("l_extendedprice")).cast("decimal(18,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # nullif-guarded: a constant or single-row group has a zero
+    # denominator, which ANSI mode turns into a runtime error rather
+    # than an IEEE inf — corr is NULL there on both engines.
+    denom = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.nullif(denom, F.lit(0.0))
+    return s.select("l_returnflag", corr.alias("corr_qty_price"))
+
+
+# Decile assignment per group — ntile over a total order.
+@register(
+    "q_ntile",
+    """
+    SELECT o_orderkey,
+           NTILE(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))

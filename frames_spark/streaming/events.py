@@ -93,3 +93,48 @@ def run_to_memory(result: DataFrame, name: str) -> "DataFrame":
     finally:
         query.stop()
     return result.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_stream_click_purchase_join(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click paired with purchases by
+    the same user within ``window_seconds`` after it.
+
+    Both sides carry watermarks and the join predicate carries the
+    time bound, so state for either side is dropped once the
+    watermark passes — bounded state, the streaming twin of
+    operators/rangejoin.range_join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id", F.col("c_user").alias("user_id"), "purchase_id", "purchase_value"
+    )

@@ -79,3 +79,32 @@ def test_stateful_running_user_stats(spark, sf_dir):
     )
     want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    """Stream-stream windowed join result == the batch range join on
+    the same data (append mode, watermark-bounded state)."""
+    stream = sev.read_event_stream(spark, sf_dir)
+    joined = sev.stream_stream_click_purchase_join(stream)
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    from frames_spark import queries as Q
+
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in Q.q_range_join(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
