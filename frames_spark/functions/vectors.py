@@ -46,7 +46,13 @@ def norm2_fixed(a: Column) -> Column:
 def cosine_from_fixed(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
     """cos = dot / (sqrt(na2) * sqrt(nb2)) — one deterministic double
     expression over exact integers (na2*nb2 would overflow BIGINT,
-    so take the two sqrts separately)."""
-    return dot.cast("double") / (
-        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double"))
+    so take the two sqrts separately).
+
+    nullif-guarded: a zero vector has norm 0, and ANSI mode (on by
+    default in Spark 4) turns that division into a runtime error
+    instead of NaN — cosine vs a zero vector is NULL, which filters
+    and rankings treat as no-match."""
+    return dot.cast("double") / F.nullif(
+        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double")),
+        F.lit(0.0),
     )

@@ -101,7 +101,11 @@ def _probe_cells(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     scored = queries.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
-    scored = scored.withColumn("_sim", dot / (norm(qv) * norm(F.col("cvec"))))
+    # nullif: zero query/centroid vectors must rank last, not raise
+    # (ANSI mode errors on float division by zero)
+    scored = scored.withColumn(
+        "_sim", dot / F.nullif(norm(qv) * norm(F.col("cvec")), F.lit(0.0))
+    )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), "centroid_id")
     return (
         scored.withColumn("_r", F.row_number().over(w))
