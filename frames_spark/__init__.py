@@ -2,10 +2,66 @@
 data-processing capabilities of acowley/Frames, re-expressed Spark-first
 and extended with large-scale training-data pipeline operators.
 
-See SURVEY.md for the reference mapping and architecture.
+See SURVEY.md for the reference mapping and architecture, USAGE.md for
+the Frames -> frames_spark migration table. The flat namespace below
+re-exports the operators a Frames user reaches for first; submodules
+(`dedup`, `similarity`, `streaming`, `pipelines`, ...) hold the
+extended surface.
 """
 
+from frames_spark.operators.aggregate import argmax, column_means, group_fold, mean_ratio
+from frames_spark.operators.asof import asof_join
+from frames_spark.operators.categorical import categories, encode, one_hot
+from frames_spark.operators.core import (
+    chunked,
+    drop_rows,
+    filter_rows,
+    mutate,
+    preview,
+    project,
+    rename,
+    spread,
+    take_rows,
+    zip_frames,
+)
+from frames_spark.operators.joins import (
+    anti_join,
+    inner_join,
+    join,
+    left_join,
+    outer_join,
+    right_join,
+    semi_join,
+)
+from frames_spark.operators.melt import melt, pivot
+from frames_spark.operators.missing import drop_missing, fill_defaults, keep_missing
+from frames_spark.operators.rangejoin import range_join
+from frames_spark.operators.skew import salted_join, salted_sum_count
+from frames_spark.operators.window import running_sum, sessionize, topk_per_group
 from frames_spark.session import get_spark
+from frames_spark.sources.csv import infer_schema, read_csv, write_csv
+from frames_spark.sources.jsonl import read_jsonl, write_jsonl
+from frames_spark.sources.sink import write_bucketed, write_partitioned
+from frames_spark.sources.tables import load_table, load_tables
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = [
+    "get_spark",
+    # sources
+    "read_csv", "write_csv", "infer_schema", "read_jsonl", "write_jsonl",
+    "write_partitioned", "write_bucketed", "load_table", "load_tables",
+    # row/column algebra
+    "project", "filter_rows", "mutate", "rename", "take_rows", "drop_rows",
+    "zip_frames", "chunked", "spread", "preview",
+    # aggregation
+    "group_fold", "column_means", "mean_ratio", "argmax",
+    # joins
+    "join", "inner_join", "left_join", "right_join", "outer_join",
+    "semi_join", "anti_join", "asof_join", "range_join",
+    "salted_join", "salted_sum_count",
+    # reshape / categorical / missing
+    "melt", "pivot", "categories", "encode", "one_hot",
+    "fill_defaults", "drop_missing", "keep_missing",
+    # window analytics
+    "topk_per_group", "running_sum", "sessionize",
+]
+__version__ = "0.2.0"

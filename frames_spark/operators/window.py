@@ -19,10 +19,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _order_cols(order: Column | str | Sequence[Column | str]) -> list[Column]:
+    """Normalize an order spec. A bare string would otherwise be
+    ITERATED CHARACTER BY CHARACTER by orderBy(*order) — a silent
+    nonsense window and a baffling unresolved-column error."""
+    if isinstance(order, (str, Column)):
+        order = [order]
+    return [F.col(c) if isinstance(c, str) else c for c in order]
+
+
 def topk_per_group(
-    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Column | str | Sequence[Column | str],
+    k: int,
 ) -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order))
     return (
         df.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= k)
@@ -32,13 +44,13 @@ def topk_per_group(
 def running_sum(
     df: DataFrame,
     keys: Sequence[str],
-    order: Sequence[Column | str],
+    order: Column | str | Sequence[Column | str],
     value: Column,
     alias: str = "running_sum",
 ) -> DataFrame:
     w = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(*_order_cols(order))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(alias, F.sum(value).over(w))

@@ -108,3 +108,31 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
         for r in Q.q_range_join(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Parquet sink + checkpoint: a restart over the same source
+    reprocesses nothing — row count stays exactly the batch count."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            sev.read_event_stream(spark, sf_dir)
+            .select("event_id", "user_id", "ts", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    run_once()  # restart from checkpoint — must be a no-op
+    n_second = spark.read.parquet(out).count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_first == n_second == n_batch
