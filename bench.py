@@ -39,6 +39,8 @@ BENCH_QUERIES = {
     "ann_bruteforce": Q.q_ann_bruteforce,
     "text_stats": Q.q_text_stats,
     "langid": Q.q_langid,
+    "top_unshipped": Q.q_top_unshipped,
+    "sample_hash": Q.q_sample_hash,
     "asof_join": Q.q_asof_join,
     "range_join": Q.q_range_join,
     "cube": Q.q_cube,

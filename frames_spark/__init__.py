@@ -36,6 +36,11 @@ from frames_spark.operators.joins import (
 from frames_spark.operators.melt import melt, pivot
 from frames_spark.operators.missing import drop_missing, fill_defaults, keep_missing
 from frames_spark.operators.rangejoin import range_join
+from frames_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_test_split,
+)
 from frames_spark.operators.skew import salted_join, salted_sum_count
 from frames_spark.operators.window import running_sum, sessionize, topk_per_group
 from frames_spark.session import get_spark
@@ -63,5 +68,7 @@ __all__ = [
     "fill_defaults", "drop_missing", "keep_missing",
     # window analytics
     "topk_per_group", "running_sum", "sessionize",
+    # deterministic sampling
+    "hash_sample", "train_test_split", "stratified_hash_sample",
 ]
 __version__ = "0.2.0"

@@ -1507,3 +1507,195 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (operators/sampling.py).
+# Membership is a content-hash predicate: pure scan-stage filter, no
+# shuffle, reproducible on any partitioning or engine — unlike
+# df.sample(), which changes with physical layout.
+# ---------------------------------------------------------------------------
+
+from frames_spark.operators import sampling as sample_ops  # noqa: E402
+
+
+@register(
+    "q_sample_hash",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {sample_ops.hash_sample_sql("o_orderkey", 0.05, seed="smp")}
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return sample_ops.hash_sample(o, "o_orderkey", 0.05, seed="smp").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_train_test_split",
+    f"""
+    SELECT CASE WHEN {sample_ops.hash_sample_sql("doc_id", 0.1, seed="split")}
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_ops.train_test_split(docs, "doc_id", 0.1, seed="split")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_STRATA_FRACS = {"AUTOMOBILE": 0.5, "BUILDING": 0.1, "MACHINERY": 0.02}
+
+
+@register(
+    "q_sample_stratified",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE {sample_ops.stratified_hash_sample_sql("c_mktsegment", "c_custkey",
+                                                 _STRATA_FRACS, 0.01, seed="st")}
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        sample_ops.stratified_hash_sample(
+            c, "c_mktsegment", "c_custkey", _STRATA_FRACS, 0.01, seed="st"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-table join + grouped revenue + top-k. The segment
+# filter prunes customer BEFORE the join (predicate pushdown), the
+# pruned customer side broadcasts, and only orders x lineitem shuffles
+# on the join key. Revenue in micros for a bit-stable top-10 order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_unshipped",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')})
+                AS DOUBLE) / 1000000 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 1000000).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gaps: lag over (user, time) — the Frames idiom of a
+# stateful fold over ordered rows, as one window pass + one agg.
+# Gap sums stay integer microseconds end-to-end; the mean is one
+# float division over exact ints (bit-stable both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_user_gaps",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / NULLIF(COUNT(gap_us), 0) / 1000000
+             AS mean_gap_s
+    FROM d GROUP BY user_id
+    """,
+)
+def q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    n = F.count("gap_us")
+    return gaps.groupBy("user_id").agg(
+        n.alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.nullif(n, F.lit(0)) / 1000000).alias(
+            "mean_gap_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group mode (most frequent value): two-level aggregate — count per
+# (group, value) shuffles once on the composite key, then the argmax is
+# a window over the (small) distinct-pair set. Deterministic tie-break
+# by value. Frames ref: fold-built frequency maps (Exploration.hs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mode",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event, n FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
