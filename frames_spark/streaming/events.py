@@ -79,11 +79,15 @@ def session_rollup(
     )
 
 
-def run_to_memory(result: DataFrame, name: str) -> "DataFrame":
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> "DataFrame":
     """Start → drain → stop against an in-memory table; returns the
-    materialized result (batch DataFrame). Local test harness only."""
+    materialized result (batch DataFrame). Local test harness only.
+    `complete` fits aggregations; row-level streams (dedup, maps)
+    need `append`."""
     query = (
-        result.writeStream.outputMode("complete")
+        result.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -138,3 +142,21 @@ def stream_stream_click_purchase_join(
     return clicks.join(purchases, cond, "inner").select(
         "click_id", F.col("c_user").alias("user_id"), "purchase_id", "purchase_value"
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event.
+
+    `dropDuplicatesWithinWatermark` keys state by the dedup columns
+    and EVICTS entries once the watermark passes them — state is
+    O(events per watermark window), not O(stream history), which is
+    the only formulation that survives an unbounded stream. A plain
+    `dropDuplicates` on a stream never frees its state. The batch
+    twin is queries.q_dedup_exact / dedup.exact.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

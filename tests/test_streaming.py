@@ -136,3 +136,30 @@ def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     n_second = spark.read.parquet(out).count()
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n_first == n_second == n_batch
+
+
+def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    """A doubled source (every event delivered twice, in two files =
+    two micro-batches) dedups back to exactly the batch row count,
+    with watermark-evictable state."""
+    import shutil
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events_redelivered.parquet")
+
+    raw = (
+        spark.readStream.schema(sev.EVENT_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    result = sev.run_to_memory(
+        sev.dedup_stream(stream, ["event_id"]), "dedup_stream", output_mode="append"
+    )
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert result.count() == n_batch
+    ids = [r.event_id for r in result.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == n_batch
