@@ -76,13 +76,14 @@ def plane_components(p: int, dim: int) -> list[int]:
     return comps
 
 
-def _bucket_expr(num_planes: int, dim: int) -> F.Column:
+def _bucket_expr(num_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
     """Hyperplane-signature bucket of the ``fvec`` column.
 
     Planes are driver-side constant arrays (folded into the plan as
     literals — zero per-row hashing cost); sign_p(v) =
     sign(sum_d v[d] * plane_p[d]); the bucket is the num_planes-bit
-    signature string.
+    signature string. ``plane_offset`` selects an independent plane
+    set per LSH table.
     """
 
     def plane_sign(p: int) -> F.Column:
@@ -93,7 +94,9 @@ def _bucket_expr(num_planes: int, dim: int) -> F.Column:
             F.lit("0")
         )
 
-    return F.concat(*[plane_sign(p) for p in range(num_planes)])
+    return F.concat(
+        *[plane_sign(plane_offset + p) for p in range(num_planes)]
+    )
 
 
 def fixed_with_buckets(
@@ -122,26 +125,66 @@ def near_dup_pairs_lsh(
     vec_col: str,
     threshold: float,
     num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Scale path: bucket by hyperplane signature, exact cosine within
-    buckets only. Recall is tunable via num_planes (fewer planes =
-    bigger buckets = higher recall & cost)."""
-    ab = fixed_with_buckets(df, id_col, vec_col, num_planes)
-    lhs = ab.select(
-        "bucket",
-        F.col("vid").alias("id_a"),
-        F.col("fvec").alias("va"),
-        F.col("n2").alias("na2"),
+    """Scale path: multi-table hyperplane LSH, exact cosine on the
+    deduped candidate set only.
+
+    AND-OR amplification: a pair is a candidate if it agrees on ALL
+    ``num_planes`` signs in ANY of ``num_tables`` independent plane
+    sets — more planes shrink buckets (quadratic cost), more tables
+    recover recall (linear cost). All tables come from ONE pass over
+    the vectors (an array explode), candidates gather with one
+    groupBy on (table, bucket) and expand i<j inside the bucket —
+    the self-join formulation executed the fixed-point lineage once
+    per side and shuffled it twice. Cross-table duplicate candidates
+    are dropped BEFORE the exact cosine, so each pair's 64-dim dot
+    product runs once. ``max_bucket`` drops degenerate buckets (a
+    corpus of near-zero or boilerplate vectors collapsing into one
+    signature) before the quadratic expansion."""
+    fixed = _fixed(df, id_col, vec_col)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(num_planes, dim, plane_offset=t * num_planes).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(num_tables)
+        ]
     )
-    rhs = ab.select(
-        "bucket",
-        F.col("vid").alias("id_b"),
-        F.col("fvec").alias("vb"),
-        F.col("n2").alias("nb2"),
+    banded = fixed.select(
+        F.struct("vid", "fvec", "n2").alias("v"), F.explode(tables).alias("b")
+    ).select("v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .filter(F.size("vs") >= 2)
     )
-    pairs = lhs.join(rhs, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("vs") <= max_bucket)
+    pairs = F.expr(
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.vid").alias("id_a"),
+            F.col("p.b.vid").alias("id_b"),
+            F.col("p.a.fvec").alias("va"),
+            F.col("p.b.fvec").alias("vb"),
+            F.col("p.a.n2").alias("na2"),
+            F.col("p.b.n2").alias("nb2"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        pairs.withColumn(
+        cand.withColumn(
             "cosine",
             cosine_from_fixed(
                 dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
@@ -149,5 +192,4 @@ def near_dup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

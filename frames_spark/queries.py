@@ -1049,7 +1049,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embed_ops.near_dup_pairs_lsh(
         _with_perturbed_copies(emb), "vec_id", "embedding",
-        threshold=0.9, num_planes=4,
+        threshold=0.9, num_planes=8, num_tables=4, max_bucket=2000,
     )
 
 
@@ -1698,4 +1698,240 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: corpus-wide top tokens and per-doc TF-IDF.
+# Both are explode-then-aggregate shapes — the shuffle key is the
+# token, partial aggregation combines map-side, and the result set
+# is vocabulary-sized (tiny next to the corpus).
+# ---------------------------------------------------------------------------
+
+_NORM_WS_SPARK = None  # tokens: lowercase, whitespace-normalized, split on ' '
+
+
+def _tokens_col() -> "F.Column":
+    return F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+
+
+_TOKENS_SQL = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+
+@register(
+    "q_top_tokens",
+    f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+# Per-doc top TF-IDF term WITHOUT floats: ranking by (tf DESC, df ASC,
+# term ASC) is order-equivalent to tf/df scoring for fixed tf and
+# avoids cross-engine libm drift in log(); the integers themselves are
+# exact on both engines.
+@register(
+    "q_tfidf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token <> '' GROUP BY token
+    )
+    SELECT doc_id, token AS top_term, tf, df FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rk
+      FROM tf JOIN df USING (token)
+    ) WHERE rk = 1
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), "token")
+    return (
+        tf.join(df, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tf", "df")
+    )
+
+
+# Token-repetition ratio: a Gopher-style quality signal. Integer
+# counts; the ratio is one float division over exact ints.
+@register(
+    "q_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS repetition
+    FROM t
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens_col(), lambda x: x != "")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        (1 - nd.cast("double") / F.nullif(n, F.lit(0))).alias("repetition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outlier flagging: per-type z-score from EXACT integer moment sums
+# (same technique as q_corr). The tiny per-type stats table broadcasts
+# back onto the stream — never a window over a whole event_type
+# partition, which would put one hot type on one executor.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_zscore",
+    f"""
+    WITH m AS (
+      SELECT event_type, event_id,
+             CAST({_MICROS_SQL.format(expr='value')} AS HUGEINT) AS v
+      FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(v) AS sv, SUM(v*v) AS svv
+      FROM m GROUP BY event_type
+    )
+    SELECT m.event_id,
+           (CAST(m.v AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n)
+           / NULLIF(sqrt(CAST(s.svv AS DOUBLE) / s.n
+                    - (CAST(s.sv AS DOUBLE) / s.n) * (CAST(s.sv AS DOUBLE) / s.n)), 0)
+             AS z,
+           ABS((CAST(m.v AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n))
+           > 2 * sqrt(CAST(s.svv AS DOUBLE) / s.n
+                      - (CAST(s.sv AS DOUBLE) / s.n) * (CAST(s.sv AS DOUBLE) / s.n))
+             AS is_outlier
+    FROM m JOIN s USING (event_type)
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type", "event_id", _micros(F.col("value")).cast("decimal(38,0)").alias("v")
+    )
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sv") / F.col("n")
+    var = d("svv") / F.col("n") - mean * mean
+    std = F.sqrt(var)
+    z = (d("v") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        m.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            z.alias("z"),
+            (F.abs(d("v") - mean) > 2 * std).alias("is_outlier"),
+        )
+    )
+
+
+# Fixed-bound histogram: integer bucket ids from one scan — the
+# 100 TB-safe histogram (no sort, no sketch needed for fixed bounds).
+@register(
+    "q_histogram",
+    """
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / 25) AS BIGINT), 0), 19) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25).cast("long"), F.lit(0)), F.lit(19)
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# Set algebra over keyed row sets (Frames' Rec equality idiom):
+# urgent-but-never-low customers (EXCEPT), both-priorities customers
+# (INTERSECT) — tagged and unioned into one result.
+@register(
+    "q_set_ops",
+    """
+    WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT 'urgent_only' AS op, o_custkey FROM (SELECT * FROM u EXCEPT SELECT * FROM l)
+    UNION ALL
+    SELECT 'both' AS op, o_custkey FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    return (
+        u.exceptAll(low).select(F.lit("urgent_only").alias("op"), "o_custkey")
+        .unionAll(low.intersect(u).select(F.lit("both").alias("op"), "o_custkey"))
+    )
+
+
+# Distribution position per row: cume_dist and percent_rank share the
+# same closed-form definitions in every engine (counts over counts),
+# so the doubles are bit-stable.
+@register(
+    "q_cume_dist",
+    """
+    SELECT o_orderkey,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS cd,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS pr
+    FROM orders
+    """,
+)
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
     )
