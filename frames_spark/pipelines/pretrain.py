@@ -1,15 +1,16 @@
 """End-to-end training-corpus cleaning pipeline.
 
-The composition a pretraining data pipeline actually runs, as ONE
-lazy DataFrame plan (Catalyst fuses the filter stages into the scan;
-the only shuffles are the four keyed aggregations/joins, each on a
-uniform hash key):
+The composition a pretraining data pipeline actually runs, as one
+DataFrame plan with a single staged materialization at its fan-out
+point (Catalyst fuses the filter stages into the scan; every shuffle
+is keyed by a uniform hash):
 
   1. quality gate   — token count + punctuation ratio (pure scan
                       expressions, no shuffle);
   2. language gate  — stopword-hit language ID, keep target language
-                      (one agg on doc id + semi-join);
-  3. exact dedup    — md5 fingerprint, keep min doc id per group;
+                      (pure scan expression, fused with 1);
+  3. exact dedup    — md5 fingerprint, keep min doc id per group
+                      (row_number window: one payload shuffle);
   4. near-dup drop  — MinHash+LSH candidate pairs on the surviving
                       corpus, greedily drop the higher doc id of each
                       pair (deterministic, single anti-join — no
@@ -30,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from frames_spark.dedup.exact import exact_dedup
 from frames_spark.dedup.minhash import lsh_candidate_pairs, minhash_signatures
 from frames_spark.functions import text as text_fns
 from frames_spark.functions.langid import predicted_lang
@@ -48,17 +48,58 @@ def clean_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     rows_per_band: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
-    """The cleaned corpus: (id, n_tokens) for every surviving doc."""
+    """The cleaned corpus: (id, n_tokens) for every surviving doc.
+
+    The DAG is a diamond: the deduped corpus feeds BOTH the near-dup
+    candidate branch and the final anti-join. Lazily that subplan
+    would execute once per consumer — the regex-heavy gate
+    expressions ran 4x in the naive composition. Two structural
+    fixes:
+
+    - exact dedup is a window (row_number over fp) rather than a
+      groups+semi-join, so its input lineage appears ONCE and the
+      payload still shuffles exactly once, on the uniform md5 key;
+    - with ``persist`` (default), the deduped corpus is cached
+      MEMORY_AND_DISK at the fan-out point — the production pattern
+      for diamond DAGs (at 100 TB the equivalent is staging it to a
+      parquet table; either way you pay one materialization instead
+      of recomputing the gates per branch).
+
+    ``n_tokens`` is computed at gate time and carried through, never
+    recomputed from text.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
     text = F.col(text_col)
-    quality = spread(docs).filter(
-        (text_fns.n_tokens(text) >= min_tokens)
-        & (text_fns.punct_ratio(text) <= max_punct)
+    gated = (
+        spread(docs)
+        .select(F.col(id_col), text.alias(text_col))
+        .filter(
+            (text_fns.n_tokens(text) >= min_tokens)
+            & (text_fns.punct_ratio(text) <= max_punct)
+            # language gate is a pure scan expression
+            # (functions/langid.py) — fused with the quality filter
+            # into the scan, no join, no shuffle
+            & (predicted_lang(text) == lang)
+        )
+        .select(
+            F.col(id_col),
+            text.alias(text_col),
+            text_fns.n_tokens(text).cast("long").alias("n_tokens"),
+            text_fns.fingerprint(text).alias("fp"),
+        )
     )
-    # language gate is a pure scan expression (functions/langid.py) —
-    # fused with the quality filter into the scan, no join, no shuffle
-    gated = quality.filter(predicted_lang(text) == lang)
-    unique = exact_dedup(gated, id_col, text_col)
+    w = Window.partitionBy("fp").orderBy(id_col)
+    unique = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, text_col, "n_tokens")
+    )
+    if persist:
+        unique = unique.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(
         minhash_signatures(unique, id_col, text_col, shingle_n, num_hashes),
         bands,
@@ -66,7 +107,4 @@ def clean_corpus(
     )
     near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = unique.join(near_dups, id_col, "left_anti")
-    return kept.select(
-        F.col(id_col),
-        text_fns.n_tokens(text).cast("long").alias("n_tokens"),
-    )
+    return kept.select(F.col(id_col), F.col("n_tokens"))
