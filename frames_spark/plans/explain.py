@@ -58,3 +58,10 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
         if tok.isdigit():
             return int(tok)
     return 0
+
+def n_parquet_scans(df: DataFrame) -> int:
+    """Distinct parquet-scan NODES in the plan (the formatted string
+    prints each node twice: once in the tree, once in the details)."""
+    import re
+
+    return len(set(re.findall(r"\((\d+)\) Scan parquet", formatted_plan(df))))

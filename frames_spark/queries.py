@@ -1935,3 +1935,69 @@ def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/expectations.py): violation
+# queries an ingest pipeline gates on. Profile is one full-scan agg
+# for ALL columns together; orphan checks are key-only anti-joins.
+# ---------------------------------------------------------------------------
+
+from frames_spark.operators import expectations as exp_ops  # noqa: E402
+
+
+@register(
+    "q_profile",
+    """
+    SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_totalprice)
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return exp_ops.profile(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "q_check_unique",
+    """
+    SELECT o_custkey, COUNT(*) AS n_rows FROM orders
+    GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def q_check_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exp_ops.duplicate_keys(load_table(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+# The testdata has full referential integrity, so the check runs
+# against the URGENT-order subset to produce actual violations
+# (customers with no urgent order) — same plan shape as a true FK
+# check: key-only distinct + broadcast anti-join.
+@register(
+    "q_check_orphans",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_check_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return exp_ops.orphans(c, "c_custkey", o, "o_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )

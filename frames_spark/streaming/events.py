@@ -160,3 +160,11 @@ def dedup_stream(
     """
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (batch) dimension — broadcast per batch, no streaming state at
+    all. The standard shape for attaching user/customer attributes to
+    an event stream."""
+    return events.join(F.broadcast(dim), key)

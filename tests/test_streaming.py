@@ -163,3 +163,66 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     assert result.count() == n_batch
     ids = [r.event_id for r in result.select("event_id").collect()]
     assert len(ids) == len(set(ids)) == n_batch
+
+
+def test_stream_static_enrichment_join(spark, sf_dir):
+    """Stream-static join: per-batch broadcast against a dim table,
+    no watermark/state needed; totals match the batch join."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = sev.read_event_stream(spark, sf_dir)
+    enriched = sev.enrich_with_dim(stream, dim, "user_id").groupBy(
+        "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        (r.c_mktsegment, r.n)
+        for r in sev.run_to_memory(enriched, "enrich").collect()
+    }
+    want = {
+        (r.c_mktsegment, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """foreachBatch with batch-id-keyed overwrite: reprocessing a
+    batch overwrites its own output instead of duplicating it — the
+    exactly-once recipe for sinks without transactional support."""
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def write_batch(batch_df, batch_id: int):
+        # partition the sink BY BATCH ID: replays replace, never append
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        sev.read_event_stream(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    written = spark.read.parquet(out)
+    assert written.count() == n_batch
+    # replaying batch 0 by hand is a no-op on row count (overwrite)
+    b0 = written.filter(F.col("batch_id") == 0).drop("batch_id")
+    write_batch(b0, 0)
+    assert spark.read.parquet(out).count() == n_batch
