@@ -1,0 +1,106 @@
+"""Connected components over near-duplicate candidate pairs.
+
+Pair generation (minhash/jaccard/simhash/embedding LSH) yields EDGES;
+a real dedup pipeline needs CLUSTERS — if A~B and B~C, all three are
+one duplicate group even when (A,C) never collides — so it can keep
+exactly one canonical document per group. This module turns the edge
+list into a (node, component) assignment with pure DataFrame ops.
+
+Algorithm: iterative min-label propagation. Every node starts
+labelled with itself; each round every node takes the minimum label
+among itself and its neighbors; fixpoint = each node labelled with
+the smallest node id in its component. Rounds needed = graph
+diameter, and near-dup graphs are forests of tiny dense clusters
+(diameter 1-3), so 3-5 rounds is typical. For adversarial
+long-chain graphs the alternating star algorithms (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) converge in
+O(log^2 n) rounds with the same join-shape per round; the propagation
+step here is the building block either way.
+
+Scale shape per round: one shuffle join (messages = neighbor labels,
+keyed by edge src) + one partial-aggregated groupBy min. The
+symmetrized edge list is persisted ONCE pre-partitioned on the join
+key so every round reuses the same layout instead of re-shuffling
+the edges. `localCheckpoint` truncates the lineage each round —
+without it the plan doubles per iteration and the job dies on plan
+explosion long before data size matters. On a real cluster with
+flaky executors use reliable `checkpoint()` (HDFS-backed) instead;
+local mode has no re-execution risk.
+
+Frames ref: no equivalent (Frames stops at pairwise comparisons,
+e.g. Overlap.hs row equality); clustering is part of the scale
+extension surface (SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component is the
+    smallest node id reachable via undirected edges. Deterministic:
+    the fixpoint is unique regardless of partitioning or iteration
+    order."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # distinct both dedups (pair generators may emit a pair once per
+    # band) and lets the per-round join reuse one compact layout
+    sym = sym.distinct().repartition("a").persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    # convergence probe: sum of labels is strictly decreasing until
+    # fixpoint. DECIMAL(38,0) so the probe can't overflow at any node
+    # count (sum-of-longs can wrap at ~10^10 nodes x 10^9 ids).
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "component"
+        )
+        labels = (
+            labels.select("node", "component")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
+
+
+def attach_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Left-join component labels onto a full table; rows with no
+    near-dup edge become singleton components labelled by their own
+    id. Adds ``component`` and ``is_canonical`` (the row to KEEP —
+    exactly one true per component)."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("__comp")
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("__comp"), F.col(id_col)))
+        .drop("__comp")
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )

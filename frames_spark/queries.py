@@ -709,6 +709,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2b Text analysis (frames_spark/functions/text.py)
 # ---------------------------------------------------------------------------
 
+from frames_spark.dedup import cluster as cluster_ops  # noqa: E402
 from frames_spark.dedup import embedding as embed_ops  # noqa: E402
 from frames_spark.dedup import exact as exact_ops  # noqa: E402
 from frames_spark.dedup import jaccard as jac_ops  # noqa: E402
@@ -927,9 +928,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + banded LSH candidates (dedup/minhash.py).
 _MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
 
-@register(
-    "q_dedup_minhash",
-    f"""
+# Candidate-pair SQL (doc_a, doc_b), reused as the edge list of the
+# clustering oracle below. Nested WITH so it stays one self-contained
+# subquery.
+_MINHASH_PAIRS_SQL = f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
     hashed AS (
@@ -947,14 +949,47 @@ _MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
-    """,
-)
+"""
+
+
+@register("q_dedup_minhash", _MINHASH_PAIRS_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = mh_ops.minhash_signatures(
         _with_near_copies(docs), "doc_id", "text", n=3, num_hashes=_MH_K
     )
     return mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+
+
+# Duplicate CLUSTERS from the minhash pairs: connected components by
+# min-label propagation (dedup/cluster.py). The oracle computes the
+# same fixpoint as a recursive CTE (min reachable node id); the
+# Spark side iterates joins with lineage truncation. Output is one
+# row per edge-involved doc: its component = smallest doc id in its
+# duplicate group (the canonical survivor).
+@register(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = mh_ops.minhash_signatures(
+        _with_near_copies(docs), "doc_id", "text", n=3, num_hashes=_MH_K
+    )
+    pairs = mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+    return cluster_ops.connected_components(pairs, "doc_a", "doc_b")
 
 
 # SimHash 60-bit fingerprints (dedup/simhash.py).
