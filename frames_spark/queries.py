@@ -2036,3 +2036,242 @@ def q_check_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exp_ops.orphans(c, "c_custkey", o, "o_custkey").select(
         "c_custkey", "c_mktsegment"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation shapes (Q4/Q13/Q15/Q17/Q18/Q22). Correlated
+# subqueries re-expressed as the join shapes Catalyst would
+# decorrelate them to — written directly so the plan is explicit:
+# EXISTS -> semi join with residual condition, scalar-per-group
+# subquery -> pre-aggregated join, scalar-global subquery -> 1-row
+# broadcast, NOT EXISTS -> anti join. All money/qty math in exact
+# integers (micros / bigint) so both engines hash identically.
+# ---------------------------------------------------------------------------
+
+
+# Q4 shape: orders with at least one late-shipped line (EXISTS with a
+# correlated non-equi predicate). Semi join keeps the orders payload
+# out of the shuffle; lineitem ships only (orderkey, shipdate).
+@register(
+    "q_late_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# Q13 shape: customer order-count distribution. The left join is
+# replaced by a fact-side pre-aggregation (orders collapse to one row
+# per customer BEFORE touching the customer table) + coalesce(0) for
+# customers with no match — same result, |orders| -> |customers|
+# join input.
+@register(
+    "q_cust_order_dist",
+    """
+    SELECT n_orders, COUNT(*) AS n_custs FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+# Q15 shape: supplier(s) with the maximum revenue — a global scalar
+# subquery. The scalar max is a 1-row aggregate broadcast back onto
+# the per-supplier revenue (equi-join on the value); Spark reuses the
+# rev exchange for both branches instead of scanning lineitem twice.
+@register(
+    "q_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS rev_micros
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_micros
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev_micros = (SELECT MAX(rev_micros) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_micros"
+        )
+    )
+    mx = rev.agg(F.max("rev_micros").alias("__mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["rev_micros"] == mx["__mx"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "rev_micros")
+    )
+
+
+# Q17 shape: lines below 20% of their part's average quantity — a
+# correlated scalar aggregate per group. Decorrelated: per-part
+# (sum, count) pre-agg joined back on partkey; the 0.2*avg compare
+# becomes exact integer math (5*qty*n < sum). The small-part filter
+# broadcasts and prunes lineitem before the per-part join.
+@register(
+    "q_small_qty_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey AS pa_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS n_li
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           SUM({_MICROS_SQL.format(expr='l_extendedprice')}) AS rev_micros,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN pa   ON pa_partkey = l_partkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND 5 * CAST(l_quantity AS BIGINT) * n_li < sum_qty
+    GROUP BY p_brand
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(F.broadcast(small_parts), li["l_partkey"] == small_parts["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pa_partkey"])
+        .filter(
+            5 * F.col("l_quantity").cast("long") * F.col("n_li") < F.col("sum_qty")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_micros(F.col("l_extendedprice"))).alias("rev_micros"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# Q18 shape: large-volume orders (HAVING over a fact pre-agg, then
+# dims attached). The qty sum happens on lineitem alone — the join
+# fan-in is only the ~0.1% of orders that survive the HAVING.
+@register(
+    "q_big_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 270
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 270)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "o_orderkey", "o_orderdate", "sum_qty")
+    )
+
+
+# Q22 shape: above-average-balance customers with no recent orders.
+# Global scalar subquery -> 1-row broadcast compared in exact cents
+# (bal*n > sum); NOT EXISTS -> anti join on the pruned recent-order
+# key set.
+@register(
+    "q_rich_inactive",
+    f"""
+    WITH stats AS (
+      SELECT SUM({_MICROS_SQL.format(expr='c_acctbal')}) AS sum_micros,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_custkey, c_acctbal
+    FROM customer, stats
+    WHERE {_MICROS_SQL.format(expr='c_acctbal')} * n > sum_micros
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def q_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_micros(F.col("c_acctbal"))).alias("sum_micros"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(_micros(F.col("c_acctbal")) * F.col("n") > F.col("sum_micros"))
+        .join(F.broadcast(recent), "c_custkey", "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
