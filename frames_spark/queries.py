@@ -2275,3 +2275,62 @@ def q_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(recent), "c_custkey", "left_anti")
         .select("c_custkey", "c_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel (operators/funnel.py): first-touch
+# view -> click -> purchase. Step k = min event time strictly after
+# the user's step k-1 time; every shuffle keyed by user so the
+# exchange layout is reused down the chain.
+# ---------------------------------------------------------------------------
+
+from frames_spark.operators import funnel as funnel_ops  # noqa: E402
+
+_FUNNEL_STAGES_SQL = """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS step_0_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(ts) AS step_1_ts
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE event_type = 'click' AND ts > step_0_ts
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS step_2_ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'purchase' AND ts > step_1_ts
+      GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT s0.user_id, step_0_ts, step_1_ts, step_2_ts
+      FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+              LEFT JOIN s2 ON s0.user_id = s2.user_id
+    )
+"""
+
+
+@register(
+    "q_funnel_stages",
+    _FUNNEL_STAGES_SQL + "SELECT * FROM stages",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_ops.funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "q_funnel_counts",
+    _FUNNEL_STAGES_SQL
+    + """
+    SELECT 0 AS step_idx, 'view' AS step, COUNT(step_0_ts) AS n_users FROM stages
+    UNION ALL
+    SELECT 1, 'click', COUNT(step_1_ts) FROM stages
+    UNION ALL
+    SELECT 2, 'purchase', COUNT(step_2_ts) FROM stages
+    """,
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_ops.funnel_counts(ev, ["view", "click", "purchase"])
