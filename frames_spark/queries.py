@@ -2334,3 +2334,95 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return funnel_ops.funnel_counts(ev, ["view", "click", "purchase"])
+
+
+# Per-group OLS fit y = intercept + slope*x (x=quantity, y=price):
+# same exact-DECIMAL moment sums as q_corr, then slope/intercept as
+# one float expression each — identical arithmetic both engines, so
+# bit-stable. regr_slope()/regr_intercept() would drift with
+# partition order like bare corr().
+@register(
+    "q_regression",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST({_MICROS_SQL.format(expr='l_quantity')} AS HUGEINT) AS x,
+             CAST({_MICROS_SQL.format(expr='l_extendedprice')} AS HUGEINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM m GROUP BY l_returnflag
+    ), fit AS (
+      SELECT l_returnflag, n, sx, sy,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope
+      FROM s
+    )
+    SELECT l_returnflag, slope,
+           (CAST(sy AS DOUBLE) / 1000000 - slope * (CAST(sx AS DOUBLE) / 1000000)) / CAST(n AS DOUBLE) AS intercept
+    FROM fit
+    """,
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _micros(F.col("l_quantity")).cast("decimal(18,0)")
+    y = _micros(F.col("l_extendedprice")).cast("decimal(18,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / F.nullif(
+        d("n") * d("sxx") - d("sx") * d("sx"), F.lit(0.0)
+    )
+    fit = s.select("l_returnflag", "n", "sx", "sy", slope.alias("slope"))
+    intercept = (
+        d("sy") / F.lit(1000000.0) - F.col("slope") * (d("sx") / F.lit(1000000.0))
+    ) / d("n")
+    return fit.select("l_returnflag", "slope", intercept.alias("intercept"))
+
+
+# Per-group dispersion from the same exact moments: population
+# variance/stddev over micros-scaled values, one float expression at
+# the end (stddev_pop() drifts with partition order).
+@register(
+    "q_group_stats",
+    f"""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST({_MICROS_SQL.format(expr='o_totalprice')} AS HUGEINT) AS x
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+      FROM m GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           / 1000000000000 AS var_price,
+           sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                / 1000000000000) AS std_price
+    FROM s
+    """,
+)
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = _micros(F.col("o_totalprice")).cast("decimal(18,0)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (
+        d("sxx") / d("n") - (d("sx") / d("n")) * (d("sx") / d("n"))
+    ) / F.lit(1000000000000.0)
+    return s.select(
+        "o_orderpriority", "n", var.alias("var_price"), F.sqrt(var).alias("std_price")
+    )
