@@ -48,6 +48,11 @@ BENCH_QUERIES = {
     "count_distinct": Q.q_count_distinct,
     "ann_ivf": Q.q_ann_ivf,
     "pipeline_clean": Q.q_pipeline_clean,
+    "dedup_clusters": Q.q_dedup_clusters,
+    "funnel": Q.q_funnel_counts,
+    "late_exists": Q.q_late_exists,
+    "big_orders": Q.q_big_orders,
+    "small_qty_revenue": Q.q_small_qty_revenue,
 }
 
 
