@@ -65,3 +65,54 @@ def range_join(
         F.col(f"r.{c}") for c in right.columns if c != key
     ]
     return out.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency: how many intervals are open at
+# each change point. Half-open [start, end) semantics: an interval
+# ending exactly when another starts does not overlap it.
+#
+# A naive running sum over all change points is ONE global window —
+# a single-partition sequential scan, the classic 100 TB bottleneck.
+# Instead: two-phase prefix sum. Net deltas aggregate per change
+# point (shuffle 1), per-BUCKET running offsets are computed over the
+# tiny bucket relation (#buckets rows, e.g. days), and the
+# within-bucket running sum is a window PARTITIONED by bucket —
+# fully parallel. concurrent = bucket_offset + within_bucket_cumsum.
+# ---------------------------------------------------------------------------
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start: str,
+    end: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """(t, concurrent): open-interval count after processing all
+    events at time t. Change points only; constant between rows."""
+    from pyspark.sql import Window
+
+    deltas = df.select(F.col(start).alias("t"), F.lit(1).alias("d")).unionAll(
+        df.select(F.col(end).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    bucketed = per_t.withColumn("b", F.date_trunc(bucket, F.col("t")))
+    # per-bucket exclusive prefix: offset = cumsum(bucket nets) - own net
+    bw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.sum("net").alias("bnet"))
+        .select(
+            "b", (F.sum("bnet").over(bw) - F.col("bnet")).alias("offset")
+        )
+    )
+    iw = (
+        Window.partitionBy("b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.withColumn("__run", F.sum("net").over(iw))
+        .join(offsets, "b")
+        .select("t", (F.col("offset") + F.col("__run")).alias("concurrent"))
+    )

@@ -107,3 +107,73 @@ def stratified_hash_sample_sql(
     return (
         f"({h} % {_SCALE}) < (CASE {cases} ELSE {int(default_fraction * _SCALE)} END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# each row draws a deterministic uniform u from its content hash and
+# races with key ln(u)/w; the k LARGEST keys win. Selection
+# probability is proportional to weight, the race is embarrassingly
+# parallel (pure scan expression), and the winners are found with one
+# top-k — no shuffle of the losers, reproducible on any layout.
+# Works per-stratum with a window instead of the global sort.
+# ---------------------------------------------------------------------------
+
+
+def _race_key(key: Column, weight: Column, seed: int | str) -> Column:
+    # u in (0, 1]: (hash60 + 1) / 2^60; key = ln(u)/w, maximized.
+    u = (hash60(key.cast("string"), seed=seed) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return F.log(u) / weight
+
+
+def _race_key_sql(key_expr: str, weight_expr: str, seed: int | str) -> str:
+    h = hash60_sql(f"CAST({key_expr} AS VARCHAR)", seed=seed)
+    return f"ln(CAST({h} + 1 AS DOUBLE) / {float(1 << 60)}) / ({weight_expr})"
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """k rows sampled without replacement with probability ~ weight.
+    Rows with weight <= 0 never selected. Deterministic in (key, seed).
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return (
+        df.filter(w > 0)
+        .withColumn("__race", _race_key(F.col(key), w, seed))
+        .orderBy(F.desc("__race"), key)
+        .limit(k)
+        .drop("__race")
+    )
+
+
+def weighted_sample_stratified(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    weight: Column | str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """k weighted winners per stratum: one window top-k keyed by the
+    stratum instead of a global sort."""
+    from pyspark.sql import Window
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    race = _race_key(F.col(key), w, seed)
+    rn = F.row_number().over(
+        Window.partitionBy(stratum).orderBy(F.desc("__race"), key)
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__race", race)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .drop("__race", "__rn")
+    )

@@ -2426,3 +2426,79 @@ def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority", "n", var.alias("var_price"), F.sqrt(var).alias("std_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (similarity/centroid.py): posexplode
+# -> one (label, pos) aggregate with exact integer-micros sums, one
+# float division at the end. Long form so the hash compare sees
+# scalars.
+# ---------------------------------------------------------------------------
+
+from frames_spark.operators.rangejoin import interval_concurrency  # noqa: E402
+from frames_spark.operators.sampling import (  # noqa: E402
+    _race_key_sql,
+    weighted_sample,
+)
+from frames_spark.similarity import centroid as centroid_ops  # noqa: E402
+
+
+@register(
+    "q_embed_centroids",
+    """
+    SELECT label, pos, CAST(SUM(vm) AS DOUBLE) / 1000000 / COUNT(*) AS mean
+    FROM (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_ops.component_means(emb, "label")
+
+
+# Deterministic weighted sampling without replacement (A-ES race,
+# operators/sampling.py): P(select) ~ n_chars, reproducible on any
+# partition layout, winners via one top-k. The float race key never
+# leaves the plan (ranking only), so cross-engine ulp drift can't
+# reach the hash compare.
+@register(
+    "q_weighted_sample",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars > 0
+    ORDER BY {_race_key_sql("doc_id", "n_chars", seed="ws")} DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100, seed="ws")
+
+
+# Sweep-line concurrency: users active in the last 30 minutes at
+# every change point. The oracle is the textbook single global
+# running sum; the Spark side is the two-phase bucketed prefix sum
+# (operators/rangejoin.py) — same numbers, no single-partition scan.
+@register(
+    "q_concurrency",
+    """
+    WITH iv AS (SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv
+    ),
+    per_t AS (SELECT t, SUM(d) AS net FROM deltas GROUP BY t)
+    SELECT t, CAST(SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+    FROM per_t
+    """,
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te")
+    )
+    return interval_concurrency(ev, "ts", "te", bucket="day")
