@@ -1,0 +1,43 @@
+"""Grouped Pandas transforms — the Arrow-batched escape hatch.
+
+Only for semantics the built-in operators genuinely can't express:
+per-key ORDER-DEPENDENT recursions (EWMA, stateful scans) where
+row t needs row t-1's OUTPUT, which no window frame computes.
+Everything else in this library stays JVM-side; these run one
+Arrow-batched Python call per group (`applyInPandas`), so the
+shuffle is one hash partition on the key and each group must fit
+in executor memory — true for per-user/per-entity series, not for
+global series (use the bucketed prefix-sum pattern in
+operators/rangejoin.py for those).
+
+Frames ref: Frames expresses these as lazy folds over ordered rows
+(test/UncurryFold.hs); at scale they become per-key grouped scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average of ``value`` per key in
+    event-time order: e_0 = x_0, e_t = alpha*x_t + (1-alpha)*e_{t-1}
+    (pandas ewm adjust=False). Adds ``out`` to the schema."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, {out} double"
+
+    def fn(pdf):
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        pdf[out] = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema)

@@ -2502,3 +2502,102 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te")
     )
     return interval_concurrency(ev, "ts", "te", bucket="day")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 versioning, per-key EWMA, edit-distance-1 pairs.
+# ---------------------------------------------------------------------------
+
+from frames_spark.dedup.editdist import edit1_pairs  # noqa: E402
+from frames_spark.operators.grouped import ewma_per_key  # noqa: E402
+from frames_spark.operators.scd import scd2_collapse  # noqa: E402
+
+
+# SCD type-2 dimension built from the order stream: one row per
+# PRIORITY VERSION per customer with [valid_from, valid_to) ranges —
+# lag to detect changes, lead to close intervals, one shuffle total
+# (operators/scd.py).
+@register(
+    "q_scd2",
+    """
+    WITH flagged AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderpriority) AS prev,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderpriority) AS rn
+      FROM orders
+    ),
+    vers AS (
+      SELECT o_custkey, o_orderpriority, valid_from
+      FROM flagged
+      WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    )
+    SELECT o_custkey, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY o_custkey
+             ORDER BY valid_from, o_orderpriority) AS valid_to
+    FROM vers
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    return scd2_collapse(o, "o_custkey", "o_orderdate", ["o_orderpriority"])
+
+
+# Per-user EWMA of event values — order-dependent recursion (row t
+# needs row t-1's OUTPUT), the one legitimate applyInPandas case
+# (operators/grouped.py). Rows-only check: the recursion is not
+# expressible in portable SQL; exactness vs pandas is pinned in
+# tests/test_grouped_scd.py.
+@register("q_ewma")
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3)
+
+
+# Edit-distance-1 token pairs via deletion neighborhoods (SymSpell
+# shape, dedup/editdist.py): explode |s|+1 variants, one groupBy,
+# in-bucket pair expansion, levenshtein verify.
+@register(
+    "q_typo_pairs",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+    ),
+    vocab AS (
+      -- corpus tokens plus planted single-deletion typos (synthetic
+      -- vocab has no natural typos; this makes the 0-row case a test
+      -- failure instead of a vacuous pass)
+      SELECT DISTINCT s FROM (
+        SELECT t AS s FROM toks WHERE len(t) >= 4
+        UNION ALL
+        SELECT substr(t, 2, len(t)) FROM toks WHERE len(t) >= 5
+      )
+    ),
+    variants AS (
+      SELECT DISTINCT s, variant FROM (
+        SELECT s, unnest(list_prepend(s,
+          list_transform(range(1, len(s) + 1),
+                         i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s))))
+        ) AS variant
+        FROM vocab
+      )
+    )
+    SELECT DISTINCT v1.s AS a, v2.s AS b
+    FROM variants v1 JOIN variants v2
+      ON v1.variant = v2.variant AND v1.s < v2.s
+    WHERE levenshtein(v1.s, v2.s) <= 1
+    """,
+)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+    typos = toks.filter(F.length("tok") >= 5).select(
+        F.col("tok").substr(F.lit(2), F.length("tok")).alias("tok")
+    )
+    return edit1_pairs(toks.unionAll(typos), "tok", min_len=4, max_bucket=None)
