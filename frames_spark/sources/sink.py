@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -65,3 +66,112 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup (materialized-view maintenance): each ingest
+# batch appends PARTIAL aggregate state (sum/count per key+window) —
+# an append of O(distinct keys in batch) rows, never a rewrite of
+# history — and readers merge partials with one small aggregate.
+# sum/count are algebraic: merge(sum) = sum, merge(count) = sum, so
+# avg is derived at read time. At 100 TB the raw events are written
+# once and never re-scanned; the rollup table stays tiny and the
+# merge cost is proportional to distinct (key, window), not events.
+# ---------------------------------------------------------------------------
+
+
+def append_rollup_increment(
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    value: str,
+    window: str = "1 day",
+    ts: str = "ts",
+) -> None:
+    """Aggregate one ingest batch to partial (window, keys, sum,
+    count) state and append it to the rollup table."""
+    (
+        batch.groupBy(F.window(ts, window).alias("w"), *keys)
+        .agg(
+            F.sum(value).alias("psum"),
+            F.count(F.lit(1)).alias("pcount"),
+        )
+        .select(F.col("w.start").alias("w_start"), *keys, "psum", "pcount")
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def read_rollup(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+    """Merge partial states: (w_start, keys, total, n, avg)."""
+    partials = spark.read.parquet(path)
+    return (
+        partials.groupBy("w_start", *keys)
+        .agg(F.sum("psum").alias("total"), F.sum("pcount").alias("n"))
+        .withColumn("avg", F.col("total") / F.col("n").cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clustered (z-order-style) writes: interleave the bits of the
+# cluster columns and range-sort by that key before writing, so each
+# output file covers a tight hyper-rectangle of the cluster space.
+# Parquet keeps per-file/row-group min-max stats; a point or range
+# filter on ANY clustered column then prunes most files at scan time
+# (data skipping) instead of reading everything. This is the
+# open-source shape of Delta/Iceberg OPTIMIZE ZORDER.
+# ---------------------------------------------------------------------------
+
+
+def _interleave(ids: list, bits: int) -> F.Column:
+    """Interleave ``bits``-bit non-negative ids, bit b of column ci
+    landing at position b*len(ids)+ci."""
+    parts = []
+    for ci, v in enumerate(ids):
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)), b * len(ids) + ci
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits_per_col: int = 6,
+) -> None:
+    """Range-sort by a z-value into ``n_files`` files so each file
+    covers a tight hyper-rectangle of the cluster space.
+
+    Dimensions are RANK-normalized before interleaving: each column
+    maps to an equi-depth bucket id from approxQuantile boundaries
+    (a driver-side list of <= 2^bits values — one sketch pass, no
+    shuffle). Interleaving raw values instead would let the column
+    with the widest magnitude dominate every split and leave the
+    narrow columns unclustered — the same reason Delta's ZORDER uses
+    range-partition ids, not raw bits.
+    """
+    n_buckets = 1 << bits_per_col
+    ids = []
+    for c in cols:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(c, qs, 0.001)
+        bucket = F.lit(0).cast("long")
+        for b in sorted(set(bounds)):
+            bucket = bucket + (F.col(c) > F.lit(b)).cast("long")
+        ids.append(bucket)
+    (
+        df.withColumn("__z", _interleave(ids, bits_per_col))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,86 @@
+"""Incremental rollup merge algebra + clustered-write data skipping."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from frames_spark.sources.sink import (
+    append_rollup_increment,
+    read_rollup,
+    write_clustered,
+)
+from frames_spark.sources.tables import load_table
+
+
+def test_rollup_increments_merge_to_direct_agg(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+    # two ingest batches, split arbitrarily (odd/even event ids) —
+    # partials must merge to the same totals as one direct aggregate
+    append_rollup_increment(
+        ev.filter(F.col("event_id") % 2 == 0), path, ["event_type"], "value"
+    )
+    append_rollup_increment(
+        ev.filter(F.col("event_id") % 2 == 1), path, ["event_type"], "value"
+    )
+    got = {
+        (r.w_start, r.event_type): (r.total, r.n)
+        for r in read_rollup(spark, path, ["event_type"]).collect()
+    }
+    want = {
+        (r.w_start, r.event_type): (r.total, r.n)
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "total", "n")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6  # float sum assoc only
+
+    # incremental property: each batch appends at most one partial
+    # row per (window, key) — O(distinct keys), not O(events)
+    n_partials = spark.read.parquet(path).count()
+    assert n_partials <= 2 * len(want)
+
+
+def _files_containing(path: str, col: str, value) -> int:
+    """Files whose [min, max] span admits `value` (must-read files)."""
+    import glob
+    n = 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            cols = {
+                md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+            }
+            st = cols[col].statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and lo <= value <= hi:
+            n += 1
+    return n
+
+
+def test_clustered_write_tightens_file_ranges(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    probe = o.select("o_custkey").first().o_custkey
+    shuffled = str(tmp_path / "shuffled")
+    clustered = str(tmp_path / "clustered")
+    # baseline: hash-repartitioned layout — every file spans the key range
+    o.repartition(8).write.parquet(shuffled)
+    write_clustered(o, clustered, ["o_custkey", "o_orderkey"], n_files=8)
+
+    assert spark.read.parquet(clustered).count() == o.count()
+    base = _files_containing(shuffled, "o_custkey", probe)
+    clus = _files_containing(clustered, "o_custkey", probe)
+    assert base == 8          # unclustered: no file can be skipped
+    assert clus < base        # clustered: most files prune on min/max
