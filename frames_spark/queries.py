@@ -2601,3 +2601,52 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").substr(F.lit(2), F.length("tok")).alias("tok")
     )
     return edit1_pairs(toks.unionAll(typos), "tok", min_len=4, max_bucket=None)
+
+
+# Winsorized per-group stats: clip at the group's [p05, p95] and
+# aggregate the clipped values. Bounds are FLOORED to whole micros so
+# the clip, the sum, and the clipped-row counts are all exact integer
+# math — the winsorized mean is one float division at the end. Plan:
+# bounds aggregate per group (tiny) broadcast back onto the fact.
+@register(
+    "q_winsorize",
+    f"""
+    WITH m AS (
+      SELECT o_orderpriority, {_MICROS_SQL.format(expr='o_totalprice')} AS xm
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(quantile_cont(xm, 0.05)) AS BIGINT) AS lo,
+             CAST(FLOOR(quantile_cont(xm, 0.95)) AS BIGINT) AS hi
+      FROM m GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority,
+           SUM(LEAST(GREATEST(xm, lo), hi)) AS wsum_micros,
+           SUM(CASE WHEN xm < lo THEN 1 ELSE 0 END) AS n_clip_lo,
+           SUM(CASE WHEN xm > hi THEN 1 ELSE 0 END) AS n_clip_hi,
+           CAST(SUM(LEAST(GREATEST(xm, lo), hi)) AS DOUBLE) / 1000000 / COUNT(*) AS wmean
+    FROM m JOIN b ON m.o_orderpriority = b.o_orderpriority
+    GROUP BY m.o_orderpriority
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select("o_orderpriority", _micros(F.col("o_totalprice")).alias("xm"))
+    b = m.groupBy("o_orderpriority").agg(
+        F.floor(F.percentile(F.col("xm"), F.lit(0.05))).cast("long").alias("lo"),
+        F.floor(F.percentile(F.col("xm"), F.lit(0.95))).cast("long").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("xm"), F.col("lo")), F.col("hi"))
+    return (
+        m.join(F.broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(clipped).alias("wsum_micros"),
+            F.sum((F.col("xm") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((F.col("xm") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+            (
+                F.sum(clipped).cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
+            ).alias("wmean"),
+        )
+    )
