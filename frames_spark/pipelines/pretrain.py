@@ -70,6 +70,30 @@ def clean_corpus(
     ``n_tokens`` is computed at gate time and carried through, never
     recomputed from text.
     """
+    unique, pairs = _gated_unique_pairs(
+        docs, id_col, text_col, min_tokens, max_punct, lang,
+        shingle_n, num_hashes, bands, rows_per_band, persist,
+    )
+    near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    kept = unique.join(near_dups, id_col, "left_anti")
+    return kept.select(F.col(id_col), F.col("n_tokens"))
+
+
+def _gated_unique_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    max_punct: float,
+    lang: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    persist: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 1-4 shared by both dedup policies: (unique corpus,
+    near-dup candidate pairs)."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
@@ -105,6 +129,44 @@ def clean_corpus(
         bands,
         rows_per_band,
     )
-    near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    kept = unique.join(near_dups, id_col, "left_anti")
+    return unique, pairs
+
+
+def clean_corpus_cc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+    lang: str = "en",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    persist: bool = True,
+) -> DataFrame:
+    """`clean_corpus` with TRANSITIVE near-dup dedup: connected
+    components over the candidate pairs (dedup/cluster.py), keeping
+    only each duplicate cluster's smallest doc id.
+
+    Differs from the greedy pair-drop when a cluster member never
+    appears as the higher id of any individual pair — edges (1,3),
+    (2,3): greedy keeps {1, 2} (2 looks innocent pairwise), the
+    component view keeps only {1}. The extra cost is the iterative
+    label propagation over the PAIRS ONLY (tiny relative to the
+    corpus; near-dup graphs are forests of small clusters), not over
+    the documents.
+    """
+    from frames_spark.dedup.cluster import connected_components
+
+    unique, pairs = _gated_unique_pairs(
+        docs, id_col, text_col, min_tokens, max_punct, lang,
+        shingle_n, num_hashes, bands, rows_per_band, persist,
+    )
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    drop = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    kept = unique.join(drop, id_col, "left_anti")
     return kept.select(F.col(id_col), F.col("n_tokens"))

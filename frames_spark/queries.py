@@ -1394,6 +1394,50 @@ _PIPELINE_ORACLE = f"""
 """
 
 
+_PIPELINE_CC_ORACLE = _PIPELINE_ORACLE.replace(
+    "WITH quality AS", "WITH RECURSIVE quality AS"
+).replace(
+    """    dropped AS (
+      SELECT DISTINCT b.doc AS doc_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    )""",
+    """    pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component)""",
+)
+assert "RECURSIVE" in _PIPELINE_CC_ORACLE and "reach" in _PIPELINE_CC_ORACLE
+
+
+# Transitive-dedup variant: connected components over the candidate
+# pairs, keep each cluster's min doc id (pipelines/pretrain.py
+# clean_corpus_cc). Greedy pair-drop keeps members that never appear
+# as a pair's higher id; the component view collapses whole chains.
+@register("q_pipeline_clean_cc", _PIPELINE_CC_ORACLE)
+def q_pipeline_clean_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.pipelines.pretrain import clean_corpus_cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus_cc(
+        docs, min_tokens=10, max_punct=0.2, lang="en",
+        shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+    )
+
+
 @register("q_pipeline_clean", _PIPELINE_ORACLE)
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.pipelines.pretrain import clean_corpus

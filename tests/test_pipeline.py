@@ -40,3 +40,17 @@ def test_pipeline_single_plan_no_cartesian(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cc_dedup_drops_superset_of_greedy(spark, sf_dir):
+    """Transitive (component) dedup keeps a SUBSET of the greedy
+    pair-drop survivors: greedy spares members that never appear as
+    a pair's higher id; components collapse whole chains."""
+    from frames_spark.pipelines.pretrain import clean_corpus, clean_corpus_cc
+    from frames_spark.queries import _with_near_copies
+
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    greedy = {r.doc_id for r in clean_corpus(docs).collect()}
+    cc = {r.doc_id for r in clean_corpus_cc(docs).collect()}
+    assert cc <= greedy
+    assert len(cc) > 0
