@@ -9,9 +9,21 @@ re-exports the operators a Frames user reaches for first; submodules
 extended surface.
 """
 
+from frames_spark.dedup.cluster import attach_components, connected_components
+from frames_spark.dedup.editdist import edit1_pairs
 from frames_spark.operators.aggregate import argmax, column_means, group_fold, mean_ratio
 from frames_spark.operators.asof import asof_join
 from frames_spark.operators.categorical import categories, encode, one_hot
+from frames_spark.operators.expectations import (
+    duplicate_keys,
+    null_violations,
+    orphans,
+    out_of_range,
+    profile,
+)
+from frames_spark.operators.funnel import funnel_counts, funnel_stages
+from frames_spark.operators.grouped import ewma_per_key
+from frames_spark.operators.scd import scd2_collapse
 from frames_spark.operators.core import (
     chunked,
     drop_rows,
@@ -35,18 +47,28 @@ from frames_spark.operators.joins import (
 )
 from frames_spark.operators.melt import melt, pivot
 from frames_spark.operators.missing import drop_missing, fill_defaults, keep_missing
-from frames_spark.operators.rangejoin import range_join
+from frames_spark.operators.rangejoin import interval_concurrency, range_join
 from frames_spark.operators.sampling import (
     hash_sample,
     stratified_hash_sample,
     train_test_split,
+    weighted_sample,
+    weighted_sample_stratified,
 )
 from frames_spark.operators.skew import salted_join, salted_sum_count
 from frames_spark.operators.window import running_sum, sessionize, topk_per_group
 from frames_spark.session import get_spark
+from frames_spark.similarity.centroid import centroids, component_means
+from frames_spark.sources.binaryfiles import read_binary_dir
 from frames_spark.sources.csv import infer_schema, read_csv, write_csv
 from frames_spark.sources.jsonl import read_jsonl, write_jsonl
-from frames_spark.sources.sink import write_bucketed, write_partitioned
+from frames_spark.sources.sink import (
+    append_rollup_increment,
+    read_rollup,
+    write_bucketed,
+    write_clustered,
+    write_partitioned,
+)
 from frames_spark.sources.tables import load_table, load_tables
 
 __all__ = [
@@ -70,5 +92,18 @@ __all__ = [
     "topk_per_group", "running_sum", "sessionize",
     # deterministic sampling
     "hash_sample", "train_test_split", "stratified_hash_sample",
+    "weighted_sample", "weighted_sample_stratified",
+    # data quality
+    "profile", "duplicate_keys", "orphans", "out_of_range",
+    "null_violations",
+    # dedup / similarity
+    "connected_components", "attach_components", "edit1_pairs",
+    "centroids", "component_means",
+    # event analytics
+    "funnel_stages", "funnel_counts", "interval_concurrency",
+    "scd2_collapse", "ewma_per_key",
+    # scale sinks / sources
+    "read_binary_dir", "append_rollup_increment", "read_rollup",
+    "write_clustered",
 ]
 __version__ = "0.2.0"
