@@ -2694,3 +2694,102 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wmean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + chi-square independence — product-analytics
+# staples from exact integer counts.
+# ---------------------------------------------------------------------------
+
+
+# Cohort retention: users grouped by first-activity week; cell
+# (cohort, offset) = distinct users active offset weeks later. Two
+# shuffles: first-seen agg per user, then the (cohort, offset)
+# distinct count. The self-join the textbook SQL implies is replaced
+# by attaching the cohort to each event via the per-user first-seen
+# broadcast... at 100 TB the per-user table shuffles on user_id —
+# the same key as the event agg, so AQE coalesces into one exchange
+# chain.
+@register(
+    "q_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort,
+                            CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7 AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+    ).cast("long")
+    return (
+        ev.join(first_seen, "user_id")
+        .select("user_id", "cohort", offset.alias("week_offset"))
+        .distinct()
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Chi-square independence of two categoricals: contingency counts
+# and margins are exact ints (one groupBy + window margins), the
+# statistic is float arithmetic applied identically in both engines.
+@register(
+    "q_chi_square",
+    """
+    WITH joined AS (
+      SELECT o_orderpriority AS a, c_mktsegment AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS n_ab FROM joined GROUP BY a, b),
+    m AS (
+      SELECT a, b, n_ab,
+             SUM(n_ab) OVER (PARTITION BY a) AS n_a,
+             SUM(n_ab) OVER (PARTITION BY b) AS n_b,
+             SUM(n_ab) OVER () AS n
+      FROM cells
+    )
+    SELECT SUM(
+             (CAST(n_ab AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_ab AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+           ) AS chi2,
+           COUNT(*) AS n_cells
+    FROM m
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("o_orderpriority").alias("a"), F.col("c_mktsegment").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    m = cells.select(
+        "a", "b", "n_ab",
+        F.sum("n_ab").over(Window.partitionBy("a")).alias("n_a"),
+        F.sum("n_ab").over(Window.partitionBy("b")).alias("n_b"),
+        F.sum("n_ab").over(Window.partitionBy()).alias("n"),
+    )
+    expected = d("n_a") * d("n_b") / d("n")
+    term = (d("n_ab") - expected) * (d("n_ab") - expected) / expected
+    return m.agg(F.sum(term).alias("chi2"), F.count(F.lit(1)).alias("n_cells"))
