@@ -28,15 +28,17 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """Parquet-directory stream of the events table (one file = one
     micro-batch locally; kafka source in production)."""
     # the file-stream source only accepts directories; glob-filter the
-    # single events file out of the table directory
+    # events file(s) out of the table directory
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -103,14 +105,21 @@ def stream_stream_click_purchase_join(
     events: DataFrame,
     window_seconds: int = 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click paired with purchases by
+    """Stream-stream join: each click paired with purchases by
     the same user within ``window_seconds`` after it.
 
     Both sides carry watermarks and the join predicate carries the
     time bound, so state for either side is dropped once the
     watermark passes — bounded state, the streaming twin of
     operators/rangejoin.range_join.
+
+    ``how="left_outer"`` additionally emits unconverted clicks with
+    null purchase columns — but only once the watermark passes the
+    click's join window (the engine can't declare "no purchase" until
+    late purchases are impossible), so tail-of-stream clicks stay
+    buffered until a later batch advances the watermark.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -139,7 +148,7 @@ def stream_stream_click_purchase_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
         )
     )
-    return clicks.join(purchases, cond, "inner").select(
+    return clicks.join(purchases, cond, how).select(
         "click_id", F.col("c_user").alias("user_id"), "purchase_id", "purchase_value"
     )
 

@@ -226,3 +226,70 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     b0 = written.filter(F.col("batch_id") == 0).drop("batch_id")
     write_batch(b0, 0)
     assert spark.read.parquet(out).count() == n_batch
+
+
+def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: unconverted clicks emit with
+    null purchase columns once the watermark passes their window. A
+    far-future sentinel event pushes the watermark so ALL original
+    clicks resolve; the result must equal the batch left range join."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    # sentinels 10 years out, one per JOIN SIDE: the watermark is
+    # tracked at each side's withWatermark node, which sits AFTER the
+    # event-type filter — a sentinel of any other type would be
+    # filtered out first and never advance either watermark, leaving
+    # the newest unmatched clicks buffered forever. Distinct user ids
+    # keep the two sentinels from matching each other.
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ns = t.column("ts").cast(pa.int64()).to_pylist()
+    future_ns = max(ns) + 10 * 365 * 24 * 3600 * 10**9
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([future_ns, future_ns], pa.int64()).cast(
+                pa.timestamp("ns")
+            ),
+            "user_id": pa.array([-999, -998], pa.int64()),
+            "event_type": pa.array(["click", "purchase"]),
+            "value": pa.array([0.0, 0.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(sentinel, src / "events2.parquet")
+
+    stream = sev.read_event_stream(spark, str(src), glob="events*.parquet")
+    joined = sev.stream_stream_click_purchase_join(stream, how="left_outer")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in sev.run_to_memory(joined, "loj", output_mode="append").collect()
+        if r.click_id >= 0  # drop the sentinel click
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 3600 SECONDS"))
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(purchases, cond, "left_outer").collect()
+    }
+    assert got == want
+    assert any(p is None for _, p in got)  # unmatched clicks present
