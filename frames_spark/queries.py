@@ -2793,3 +2793,59 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = d("n_a") * d("n_b") / d("n")
     term = (d("n_ab") - expected) * (d("n_ab") - expected) / expected
     return m.agg(F.sum(term).alias("chi2"), F.count(F.lit(1)).alias("n_cells"))
+
+
+# Robust outliers by MAD (median absolute deviation): per-group
+# median and MAD over exact micros, flag |x - med| > 3 * MAD.
+# Unlike the z-score gate (q_zscore), one wild value can't drag the
+# threshold — the standard robust quality gate. Two grouped
+# percentile passes (median, then MAD over the broadcast-joined
+# deviations); all comparisons in exact integer micros.
+@register(
+    "q_mad_outliers",
+    f"""
+    WITH m AS (
+      SELECT event_type, event_id,
+             {_MICROS_SQL.format(expr='value')} AS xm
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(xm, 0.5)) AS BIGINT) AS med
+      FROM m GROUP BY event_type
+    ),
+    dev AS (
+      SELECT m.event_type, event_id, xm, med, ABS(xm - med) AS ad
+      FROM m JOIN med ON m.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(ad, 0.5)) AS BIGINT) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, event_id,
+           CAST(xm AS DOUBLE) / 1000000 AS value
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    WHERE ad > 3 * mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type", "event_id", _micros(F.col("value")).alias("xm"))
+    med = m.groupBy("event_type").agg(
+        F.floor(F.percentile(F.col("xm"), F.lit(0.5))).cast("long").alias("med")
+    )
+    dev = m.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("xm") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.percentile(F.col("ad"), F.lit(0.5))).cast("long").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .select(
+            "event_type", "event_id",
+            (F.col("xm").cast("double") / 1000000).alias("value"),
+        )
+    )
