@@ -53,6 +53,12 @@ BENCH_QUERIES = {
     "late_exists": Q.q_late_exists,
     "big_orders": Q.q_big_orders,
     "small_qty_revenue": Q.q_small_qty_revenue,
+    "weighted_sample": Q.q_weighted_sample,
+    "concurrency": Q.q_concurrency,
+    "scd2": Q.q_scd2,
+    "cohort_retention": Q.q_cohort_retention,
+    "winsorize": Q.q_winsorize,
+    "mad_outliers": Q.q_mad_outliers,
 }
 
 
@@ -67,7 +73,9 @@ def main() -> None:
 
     # best-of-N: this suppresses co-tenant noise without hiding real
     # cost — each rep re-executes the full plan (nothing is cached).
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # best-of-3 by default: this box shows 3-9x co-tenant swings on
+    # identical plans; two reps still leaves occasional double-hits
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         best = float("inf")

@@ -2762,11 +2762,11 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(n_ab) OVER () AS n
       FROM cells
     )
-    SELECT SUM(
+    SELECT CAST(SUM(CAST(FLOOR(
              (CAST(n_ab AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
              * (CAST(n_ab AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
-           ) AS chi2,
+             * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS chi2,
            COUNT(*) AS n_cells
     FROM m
     """,
@@ -2791,8 +2791,15 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ab").over(Window.partitionBy()).alias("n"),
     )
     expected = d("n_a") * d("n_b") / d("n")
+    # each cell's term is bit-stable (pure float expr over exact
+    # ints), but a float SUM over cells drifts with partition order —
+    # quantize per-cell to integer micros and sum longs instead
     term = (d("n_ab") - expected) * (d("n_ab") - expected) / expected
-    return m.agg(F.sum(term).alias("chi2"), F.count(F.lit(1)).alias("n_cells"))
+    term_q = F.floor(term * 1000000 + 0.5).cast("long")
+    return m.agg(
+        (F.sum(term_q).cast("double") / 1000000).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
 
 
 # Robust outliers by MAD (median absolute deviation): per-group
