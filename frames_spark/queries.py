@@ -2856,3 +2856,81 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xm").cast("double") / 1000000).alias("value"),
         )
     )
+
+
+# Day-over-day revenue change: daily sums in exact micros, LAG for
+# the previous day, pct change as one float division of exact ints.
+@register(
+    "q_day_over_day",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS rev_micros
+      FROM orders GROUP BY 1
+    )
+    SELECT day, rev_micros,
+           LAG(rev_micros) OVER (ORDER BY day) AS prev_micros,
+           CAST(rev_micros - LAG(rev_micros) OVER (ORDER BY day) AS DOUBLE)
+             / NULLIF(CAST(LAG(rev_micros) OVER (ORDER BY day) AS DOUBLE), 0) AS pct_change
+    FROM daily
+    """,
+)
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    # one row per DAY — the global window is over the tiny aggregated
+    # relation, not the fact table (the same two-level shape as the
+    # bucketed prefix sum in interval_concurrency)
+    w = Window.orderBy("day")
+    prev = F.lag("rev_micros").over(w)
+    return daily.select(
+        "day", "rev_micros", prev.alias("prev_micros"),
+        (
+            (F.col("rev_micros") - prev).cast("double")
+            / F.nullif(prev.cast("double"), F.lit(0.0))
+        ).alias("pct_change"),
+    )
+
+
+# Gaps-and-islands: longest consecutive-day activity streak per
+# user. island id = active_day - row_number (constant within a run
+# of consecutive days); one distinct + two windows, all keyed by
+# user.
+@register(
+    "q_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY user_id
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    islands = days.withColumn("island", F.date_sub(F.col("d"), rn))
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("max_streak"))
+    )
