@@ -85,17 +85,32 @@ def _bucket_expr(num_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
     signature string. ``plane_offset`` selects an independent plane
     set per LSH table.
     """
+    return F.array_join(_sign_array(num_planes, dim, plane_offset), "")
 
-    def plane_sign(p: int) -> F.Column:
-        comp = F.array(
-            *[F.lit(v).cast("long") for v in plane_components(p, dim)]
-        )
-        return F.when(dot_fixed(F.col("fvec"), comp) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
 
-    return F.concat(
-        *[plane_sign(plane_offset + p) for p in range(num_planes)]
+def _sign_array(num_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
+    """array<'1'|'0'> of hyperplane signs — ONE transform over a 2-D
+    plane literal instead of ``num_planes`` unrolled dot-product
+    expressions. The unrolled form put 32 aggregate lambdas and 2048
+    literal nodes in the plan; this form is a single data-driven loop
+    (constant-folded plane matrix), which keeps analysis time and
+    generated-code size flat as planes x tables grows."""
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(v).cast("long")
+                    for v in plane_components(plane_offset + p, dim)
+                ]
+            )
+            for p in range(num_planes)
+        ]
+    )
+    return F.transform(
+        planes,
+        lambda comp: F.when(
+            dot_fixed(F.col("fvec"), comp) >= 0, F.lit("1")
+        ).otherwise(F.lit("0")),
     )
 
 
@@ -145,16 +160,17 @@ def near_dup_pairs_lsh(
     corpus of near-zero or boilerplate vectors collapsing into one
     signature) before the quadratic expansion."""
     fixed = _fixed(df, id_col, vec_col)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_expr(num_planes, dim, plane_offset=t * num_planes).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(num_tables)
-        ]
+    # ALL tables' signs in one data-driven pass (see _sign_array);
+    # each table's bucket is a slice of the shared sign array
+    signs = _sign_array(num_tables * num_planes, dim)
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda t: F.struct(
+            t.alias("tbl"),
+            F.array_join(
+                F.slice(signs, t * num_planes + 1, num_planes), ""
+            ).alias("bucket"),
+        ),
     )
     banded = fixed.select(
         F.struct("vid", "fvec", "n2").alias("v"), F.explode(tables).alias("b")
