@@ -69,3 +69,26 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert has_pushed_filters(q)
     plan = formatted_plan(q)
     assert "o_custkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across ingest batches: mergeSchema unions the
+    fields; rows from the old files read the new column as null."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        p + "/batch=1"
+    )
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "v1", "v2"}
+    assert merged.count() == 5
+    old_rows = merged.filter(F.col("v2").isNull()).count()
+    assert old_rows == 3
+    # without mergeSchema the footer of ONE file wins — new column
+    # may silently vanish; pin the contrast so readers reach for the flag
+    plain = spark.read.parquet(p)
+    assert plain.count() == 5
