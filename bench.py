@@ -59,6 +59,7 @@ BENCH_QUERIES = {
     "cohort_retention": Q.q_cohort_retention,
     "winsorize": Q.q_winsorize,
     "mad_outliers": Q.q_mad_outliers,
+    "nation_volume": Q.q_nation_volume,
 }
 
 

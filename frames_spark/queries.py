@@ -2934,3 +2934,110 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("len").alias("max_streak"))
     )
+
+
+# TPC-H Q7 shape: revenue volume between nation pairs by year. The
+# dim chain (nation -> customer / supplier) broadcasts; the only
+# shuffles are the fact joins on their natural keys. Exercises the
+# full star schema including region/nation.
+@register(
+    "q_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS volume_micros
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+    """,
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    # nation filter applied BEFORE joining: customer/supplier prune
+    # to the two nations, then broadcast against the facts
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            "c_nationkey",
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("volume_micros"))
+    )
+
+
+# TPC-H Q2 shape: argmin per group with join-back — the supplier
+# offering each part's minimum price. Pre-agg min per part (partial
+# map-side), equi-join back on (part, price) — no window over the
+# fact, no correlated subquery at runtime.
+@register(
+    "q_cheapest_supplier",
+    f"""
+    WITH px AS (
+      SELECT l_partkey, l_suppkey,
+             MIN({_MICROS_SQL.format(expr='l_extendedprice / l_quantity')}) AS unit_micros
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_micros) AS best_micros
+      FROM px GROUP BY l_partkey
+    )
+    SELECT px.l_partkey, MIN(l_suppkey) AS best_suppkey, best_micros
+    FROM px JOIN best
+      ON px.l_partkey = best.l_partkey AND unit_micros = best_micros
+    GROUP BY px.l_partkey, best_micros
+    """,
+)
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = _micros(F.col("l_extendedprice") / F.col("l_quantity"))
+    px = li.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("unit_micros"))
+    best = px.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_micros").alias("best_micros")
+    )
+    return (
+        px.join(
+            best,
+            (px["l_partkey"] == best["b_partkey"])
+            & (px["unit_micros"] == best["best_micros"]),
+        )
+        .groupBy("l_partkey", "best_micros")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select("l_partkey", "best_suppkey", "best_micros")
+    )
