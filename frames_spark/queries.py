@@ -3041,3 +3041,33 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_suppkey").alias("best_suppkey"))
         .select("l_partkey", "best_suppkey", "best_micros")
     )
+
+
+# CDC compaction: latest record per key (deterministic (ts, id)
+# tie-break) — the upsert-merge read path for an append-only change
+# log. One window keyed by the entity; at scale this is the
+# compaction job that keeps a changelog queryable without a
+# transactional table format.
+@register(
+    "q_latest_per_key",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
