@@ -26,6 +26,7 @@ from frames_spark.operators.grouped import ewma_per_key
 from frames_spark.operators.scd import scd2_collapse
 from frames_spark.operators.core import (
     chunked,
+    stack_frames,
     drop_rows,
     filter_rows,
     mutate,
@@ -78,7 +79,7 @@ __all__ = [
     "write_partitioned", "write_bucketed", "load_table", "load_tables",
     # row/column algebra
     "project", "filter_rows", "mutate", "rename", "take_rows", "drop_rows",
-    "zip_frames", "chunked", "spread", "preview",
+    "zip_frames", "stack_frames", "chunked", "spread", "preview",
     # aggregation
     "group_fold", "column_means", "mean_ratio", "argmax",
     # joins

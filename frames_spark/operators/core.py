@@ -110,3 +110,18 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 def preview(df: DataFrame, n: int = 10) -> str:
     """showFrame/printFrame — driver-side peek via take(n), never collect."""
     return df._show_string(n, 0, False)
+
+
+def stack_frames(frames: Sequence[DataFrame], allow_missing: bool = False) -> DataFrame:
+    """Vertical concat by COLUMN NAME (Frames appends rows of the
+    same record type; distributed frames must align by name, not
+    position — a positional unionAll silently mismatches reordered
+    schemas). ``allow_missing`` null-fills columns absent on one
+    side instead of raising — the schema-drift ingest case.
+    """
+    if not frames:
+        raise ValueError("stack_frames needs at least one frame")
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=allow_missing)
+    return out

@@ -3071,3 +3071,80 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+# Session-level rollup on top of sessionization: duration, event
+# count, and revenue per (user, session). The session assignment is
+# the same two-window pass as q_sessionize; the rollup adds ONE more
+# aggregate on (user, session) — same partitioning key prefix, so
+# the sort from the window carries into the agg.
+@register(
+    "q_session_stats",
+    f"""
+    WITH sess AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT event_id, user_id, ts, value, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second',
+                                      CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP),
+                                      CAST(ts AS TIMESTAMP)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(date_diff('microsecond', MIN(CAST(ts AS TIMESTAMP)), MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS duration_us,
+           SUM({_MICROS_SQL.format(expr='value')}) AS value_micros,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = win_ops.sessionize(ev, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+    dur = (
+        F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    ).alias("duration_us")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dur,
+        F.sum(_micros(F.col("value"))).alias("value_micros"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+    )
+
+
+# First/last value per group in one window pass — the "entry and
+# exit state" idiom (first page, last page, net change).
+@register(
+    "q_first_last",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           first_value(value) OVER w AS first_value,
+           last_value(value)  OVER w AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+    ).distinct()

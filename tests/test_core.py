@@ -70,3 +70,26 @@ def test_chunked_repartition(spark, sf_dir):
 def test_preview_returns_text(spark, sf_dir):
     out = core.preview(load_table(spark, sf_dir, "region"), 3)
     assert "r_name" in out
+
+
+def test_stack_frames_aligns_by_name(spark):
+    from frames_spark.operators.core import stack_frames
+
+    a = spark.createDataFrame([(1, "x")], "id: long, s: string")
+    b = spark.createDataFrame([("y", 2)], "s: string, id: long")  # reordered
+    out = stack_frames([a, b])
+    rows = {(r.id, r.s) for r in out.collect()}
+    assert rows == {(1, "x"), (2, "y")}  # positional unionAll would garble
+
+
+def test_stack_frames_missing_columns(spark):
+    import pytest
+    from frames_spark.operators.core import stack_frames
+
+    a = spark.createDataFrame([(1, "x")], "id: long, s: string")
+    c = spark.createDataFrame([(3,)], "id: long")
+    with pytest.raises(Exception):
+        stack_frames([a, c])  # strict by default
+    out = stack_frames([a, c], allow_missing=True)
+    rows = {(r.id, r.s) for r in out.collect()}
+    assert rows == {(1, "x"), (3, None)}
