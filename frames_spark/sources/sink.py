@@ -175,3 +175,32 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a small-files parquet directory into ~target-sized
+    files; returns the file count written. The streaming/incremental
+    sinks above (foreachBatch, rollup appends) accumulate one file
+    per batch — thousands of tiny files turn every downstream scan
+    into a listing + open storm. Sizing from the ACTUAL input bytes
+    (not row counts) keeps output files near the row-group sweet
+    spot regardless of schema width.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = _glob.glob(f"{path}/**/*.parquet", recursive=True)
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files

@@ -84,3 +84,18 @@ def test_clustered_write_tightens_file_ranges(spark, sf_dir, tmp_path):
     clus = _files_containing(clustered, "o_custkey", probe)
     assert base == 8          # unclustered: no file can be skipped
     assert clus < base        # clustered: most files prune on min/max
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from frames_spark.sources.sink import compact
+
+    ev = load_table(spark, sf_dir, "events")
+    fragmented = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(fragmented)  # 64 tiny files
+    import glob
+    assert len(glob.glob(f"{fragmented}/*.parquet")) == 64
+    out = str(tmp_path / "compacted")
+    n = compact(spark, fragmented, out, target_file_mb=128)
+    written = glob.glob(f"{out}/*.parquet")
+    assert len(written) == n == 1  # tiny table -> one file
+    assert spark.read.parquet(out).count() == ev.count()
