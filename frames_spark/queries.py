@@ -3148,3 +3148,101 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_value"),
         F.last("value").over(w).alias("last_value"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus mechanics: chunking, packing, decontamination
+# (pipelines/chunking.py, dedup/contamination.py).
+# ---------------------------------------------------------------------------
+
+from frames_spark.dedup.contamination import contaminated_docs  # noqa: E402
+from frames_spark.pipelines.chunking import chunk_text, pack_docs  # noqa: E402
+
+
+# Overlapping ~50-token chunks, stride 40 — pure array expressions
+# in the scan stage (tokenize once, sequence+slice; no token
+# explode). Chunk text compared by md5 to keep compare rows small.
+@register(
+    "q_chunk_docs",
+    f"""
+    WITH chunked AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len({_TOKENS_SQL}), 1) + 1, 40),
+               s -> {{'idx': CAST((s - 1) / 40 AS BIGINT),
+                      'toks': list_slice({_TOKENS_SQL}, s, s + 49)}}
+             )) AS c
+      FROM documents
+    )
+    SELECT doc_id, c.idx AS chunk_idx,
+           md5(array_to_string(c.toks, ' ')) AS chunk_fp,
+           len(c.toks) AS n_chunk_tokens
+    FROM chunked WHERE len(c.toks) > 0
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_text(docs, max_tokens=50, overlap=10)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+        "n_chunk_tokens",
+    )
+
+
+# Contiguous packing into 2048-token context windows per source
+# shard: bin = floor(exclusive prefix token count / capacity), one
+# window pass keyed by source — never a global cumsum.
+@register(
+    "q_pack_docs",
+    """
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(prefix / 2048) AS BIGINT) AS bin,
+           CAST(prefix % 2048 AS BIGINT) AS bin_offset
+    FROM (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM (
+        SELECT source, doc_id, len({tokens}) AS n_tokens FROM documents
+      )
+    )
+    """.replace("{tokens}", _TOKENS_SQL),
+)
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", "doc_id",
+        F.size(text_fns.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_docs(with_tokens, "source", "doc_id", "n_tokens", capacity=2048)
+
+
+# Decontamination: corpus docs sharing >= 3 distinct word trigrams
+# with a (pseudo) benchmark set — the benchmark shingle index
+# broadcasts, the corpus never shuffles. (Production would use
+# 8-13-grams; the synthetic corpus is too short for those to
+# collide at all.)
+@register(
+    "q_decontaminate",
+    f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20
+    ),
+    bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 20
+    ),
+    corp_sh AS ({_SHINGLES_SQL.format(tokens="list_slice(" + _TOKENS_SQL + ", 1, len(" + _TOKENS_SQL + "))", corpus="SELECT * FROM corp")}),
+    bench_sh AS ({_SHINGLES_SQL.format(tokens="list_slice(" + _TOKENS_SQL + ", 1, len(" + _TOKENS_SQL + "))", corpus="SELECT * FROM bench")})
+    SELECT c.doc AS doc, b.doc AS bench_doc, COUNT(*) AS n_shared
+    FROM corp_sh c JOIN bench_sh b ON c.shingle = b.shingle
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    return contaminated_docs(corpus, bench, n=3, min_shared=3)
