@@ -24,6 +24,8 @@ from frames_spark.operators.expectations import (
 from frames_spark.operators.funnel import funnel_counts, funnel_stages
 from frames_spark.operators.grouped import ewma_per_key
 from frames_spark.operators.scd import scd2_collapse
+from frames_spark.pipelines.chunking import chunk_text, pack_docs
+from frames_spark.dedup.contamination import contaminated_docs
 from frames_spark.operators.core import (
     chunked,
     stack_frames,
@@ -65,6 +67,7 @@ from frames_spark.sources.csv import infer_schema, read_csv, write_csv
 from frames_spark.sources.jsonl import read_jsonl, write_jsonl
 from frames_spark.sources.sink import (
     append_rollup_increment,
+    compact,
     read_rollup,
     write_bucketed,
     write_clustered,
@@ -105,6 +108,8 @@ __all__ = [
     "scd2_collapse", "ewma_per_key",
     # scale sinks / sources
     "read_binary_dir", "append_rollup_increment", "read_rollup",
-    "write_clustered",
+    "write_clustered", "compact",
+    # training-corpus mechanics
+    "chunk_text", "pack_docs", "contaminated_docs",
 ]
 __version__ = "0.2.0"
