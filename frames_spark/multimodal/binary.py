@@ -112,3 +112,60 @@ def frame_sample(
     the 'sample frames from videos' shape without a decoder."""
     bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
     return df.filter(bucket.cast("long") % every_n == 0)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx long, frame_payload binary, frame_meta string"
+)
+
+
+def expand_frames(
+    df: DataFrame,
+    every_n_frames: int = 10,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Video -> sampled frame rows (1 row in, <= max_frames out).
+
+    The row-EXPANDING mapInPandas shape: each Arrow batch of videos
+    yields a frame batch, so the expansion happens inside the
+    executor with no shuffle — the downstream repartition (if any)
+    moves only the kept frames. With a real decoder this is
+    `ffmpeg -vf select` per payload; here the decode is stubbed
+    (container has no codecs) with deterministic md5-derived frame
+    bytes, keeping schema/batching/expansion real and testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame extraction needs ffmpeg/PyAV — deploy with "
+            "decoder libs and swap the stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [],
+                "frame_payload": [], "frame_meta": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload or b""
+                # stub: frame count proportional to payload size
+                n_frames = min(max_frames, max(1, len(payload) // 16))
+                for k in range(n_frames):
+                    src_frame = k * every_n_frames
+                    fake_bytes = hashlib.md5(
+                        payload + src_frame.to_bytes(4, "big")
+                    ).digest()
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(src_frame)
+                    out["frame_payload"].append(fake_bytes)
+                    out["frame_meta"].append(
+                        json.dumps({"stub": True, "src_bytes": len(payload)})
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

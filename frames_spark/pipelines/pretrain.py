@@ -170,3 +170,31 @@ def clean_corpus_cc(
     )
     kept = unique.join(drop, id_col, "left_anti")
     return kept.select(F.col(id_col), F.col("n_tokens"))
+
+
+def clean_corpus_observed(
+    docs: DataFrame,
+    **kwargs,
+):
+    """`clean_corpus` instrumented with `DataFrame.observe`: gate
+    metrics (docs in, survivors, tokens kept) ride along with
+    whatever action the caller runs — NO extra pass over the data,
+    unlike a count() per stage, which would re-execute the gates.
+
+    Returns (result_df, observation); read `observation.get` AFTER
+    an action on result_df. The production shape for pipeline
+    accounting at 100 TB: metrics come from the same job that
+    produced the output.
+    """
+    from pyspark.sql import Observation
+
+    obs_in = Observation("corpus_in")
+    obs_out = Observation("corpus_out")
+    observed_in = docs.observe(obs_in, F.count(F.lit(1)).alias("n_docs_in"))
+    cleaned = clean_corpus(observed_in, **kwargs)
+    result = cleaned.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+    )
+    return result, {"in": obs_in, "out": obs_out}

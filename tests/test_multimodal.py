@@ -52,3 +52,28 @@ def test_frame_sample_is_deterministic_subset(media):
     s2 = {r.media_id for r in binary.frame_sample(media, 5).collect()}
     assert s1 == s2
     assert 0 < len(s1) < 50
+
+
+def test_expand_frames_row_expansion(spark, tmp_path):
+    """1 video row -> k frame rows inside the executor; deterministic
+    stub frames, metadata carried."""
+    import json
+
+    from frames_spark.multimodal.binary import expand_frames
+
+    rows = [(1, b"v" * 64), (2, b"w" * 16), (3, b"")]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    frames = expand_frames(df, every_n_frames=5, max_frames=3).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media[1]) == 3          # 64 bytes -> capped at max_frames
+    assert len(by_media[2]) == 1
+    assert len(by_media[3]) == 1          # empty payload -> 1 stub frame
+    assert [r.frame_idx for r in sorted(by_media[1], key=lambda r: r.frame_idx)] == [0, 5, 10]
+    meta = json.loads(by_media[1][0].frame_meta)
+    assert meta["src_bytes"] == 64
+    # deterministic: same payload -> same frame bytes
+    again = expand_frames(df, every_n_frames=5, max_frames=3).collect()
+    assert {(r.media_id, r.frame_idx, bytes(r.frame_payload)) for r in frames} == \
+           {(r.media_id, r.frame_idx, bytes(r.frame_payload)) for r in again}

@@ -54,3 +54,17 @@ def test_cc_dedup_drops_superset_of_greedy(spark, sf_dir):
     cc = {r.doc_id for r in clean_corpus_cc(docs).collect()}
     assert cc <= greedy
     assert len(cc) > 0
+
+
+def test_observed_pipeline_metrics_no_extra_pass(spark, sf_dir):
+    from frames_spark.pipelines.pretrain import clean_corpus, clean_corpus_observed
+
+    docs = load_table(spark, sf_dir, "documents")
+    result, obs = clean_corpus_observed(docs)
+    out_rows = result.collect()  # ONE action; metrics piggyback
+    assert obs["in"].get["n_docs_in"] == docs.count()
+    assert obs["out"].get["n_docs_kept"] == len(out_rows)
+    assert obs["out"].get["n_tokens_kept"] == sum(r.n_tokens for r in out_rows)
+    # equivalence with the uninstrumented pipeline
+    plain = {r.doc_id for r in clean_corpus(docs).collect()}
+    assert {r.doc_id for r in out_rows} == plain
