@@ -3246,3 +3246,46 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 20)
     bench = docs.filter(F.col("doc_id") < 20)
     return contaminated_docs(corpus, bench, n=3, min_shared=3)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface parity: the SAME ANSI string runs through spark.sql()
+# over registered views AND as the DuckDB oracle — no translation
+# layer. Proves the engine is usable as a SQL endpoint, not only via
+# the DataFrame API, and that the dialect subset used is genuinely
+# portable.
+# ---------------------------------------------------------------------------
+
+from frames_spark.sources.tables import register_views  # noqa: E402
+
+_ANSI_JOIN_SQL = """
+    SELECT c_name, o_orderkey, o_orderdate, sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 270
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+"""
+
+_ANSI_WINDOW_SQL = """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) latest WHERE rn = 1
+"""
+
+
+@register("q_sql_ansi_join", _ANSI_JOIN_SQL)
+def q_sql_ansi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_JOIN_SQL)
+
+
+@register("q_sql_ansi_window", _ANSI_WINDOW_SQL)
+def q_sql_ansi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_WINDOW_SQL)
