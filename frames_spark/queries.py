@@ -3289,3 +3289,117 @@ def q_sql_ansi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_ansi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_ANSI_WINDOW_SQL)
+
+
+# TPC-H Q5 shape: revenue from LOCAL supply chains (customer and
+# supplier in the same nation). The same-nation predicate is a join
+# condition between two broadcast dims — the facts never see it
+# until the final residual filter on the joined row.
+@register(
+    "q_local_volume",
+    f"""
+    SELECT n_name,
+           SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS revenue_micros
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_micros"))
+    )
+
+
+# TPC-H Q10 shape: top customers by revenue from RETURNED items —
+# returnflag filter prunes lineitem at the scan, then one shuffle
+# per fact join, top-k at the end.
+@register(
+    "q_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS revenue_micros
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue_micros DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("revenue_micros"))
+        .orderBy(F.desc("revenue_micros"), "c_custkey")
+        .limit(20)
+    )
+
+
+# Hopping (sliding) window rollup: 1-hour windows every 15 minutes —
+# each event lands in 4 overlapping windows. Spark's window() emits
+# the expansion natively; the oracle reproduces it by generating the
+# 4 candidate starts per event.
+@register(
+    "q_hopping_window",
+    """
+    WITH expanded AS (
+      SELECT e.*, CAST(to_timestamp(s) AS TIMESTAMP) AS w_start
+      FROM (
+        SELECT *, unnest(list_transform(range(0, 4),
+          i -> CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - i * 900)) AS s
+        FROM events
+      ) e
+      WHERE epoch(ts) >= s AND epoch(ts) < s + 3600
+    )
+    SELECT w_start, event_type, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS value_micros
+    FROM expanded GROUP BY w_start, event_type
+    """,
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_micros(F.col("value"))).alias("value_micros"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "value_micros")
+    )
