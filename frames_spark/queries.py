@@ -3403,3 +3403,73 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "value_micros")
     )
+
+
+# Point-in-time (PIT) join against the SCD2 dimension: each event
+# reads the customer's priority version valid AT THE EVENT TIME.
+# Because SCD2 versions partition time (valid_to = next valid_from),
+# the between-join the textbook writes is exactly an AS-OF join on
+# valid_from — one shuffle via the union-window asof operator, no
+# range join. Updates are deduped to one per (key, date) first so
+# versions have strictly increasing valid_from (no empty intervals,
+# no tie ambiguity).
+@register(
+    "q_scd2_pit",
+    """
+    WITH upd AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate FROM (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderpriority, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    flagged AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate) AS prev,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+      FROM upd
+    ),
+    vers AS (
+      SELECT o_custkey, o_orderpriority, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from) AS valid_to
+      FROM flagged WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    )
+    SELECT e.event_id, e.user_id, e.ts, v.o_orderpriority AS prio_at_event
+    FROM events e LEFT JOIN vers v
+      ON v.o_custkey = e.user_id
+     AND v.valid_from <= e.ts
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    """,
+)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+            "o_orderpriority", "o_orderkey"
+        )
+    )
+    upd = (
+        o.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderpriority", "o_orderdate")
+    )
+    vers = scd2_collapse(upd, "o_custkey", "o_orderdate", ["o_orderpriority"])
+    dim = vers.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("valid_from").alias("ts"),
+        F.col("o_orderpriority").alias("prio_at_event"),
+    )
+    # constant tiebreak: after the (key, date) dedup no two versions
+    # share a valid_from, so ordering needs no real tie column
+    dim = dim.withColumn("tb", F.lit(0))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return asof_join(
+        ev, dim, key="user_id", ts="ts",
+        value_cols=["prio_at_event"], right_tiebreak="tb",
+    ).select("event_id", "user_id", "ts", "prio_at_event")
