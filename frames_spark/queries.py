@@ -3473,3 +3473,70 @@ def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, dim, key="user_id", ts="ts",
         value_cols=["prio_at_event"], right_tiebreak="tb",
     ).select("event_id", "user_id", "ts", "prio_at_event")
+
+
+# Total covered time per user: merge overlapping activity intervals
+# (gaps-and-islands over [s, e) spans: island breaks where a span
+# starts after the running max of previous ends), then sum island
+# extents. All arithmetic in integer epoch-micros; every window
+# keyed by user. The "device online time" op — naive sum of span
+# lengths double-counts overlaps.
+@register(
+    "q_covered_time",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM runs
+    ),
+    merged AS (
+      SELECT user_id, island, MAX(e) - MIN(s) AS covered_us
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(SUM(covered_us) AS BIGINT) AS covered_us,
+           COUNT(*) AS n_islands
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 1800000000).alias("e"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    runs = iv.withColumn("prev_max_e", prev_max)
+    new_island = (
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+    ).cast("long")
+    islands = runs.withColumn(
+        "island",
+        F.sum(new_island).over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("covered_us"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("covered_us").alias("covered_us"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+    )
