@@ -3540,3 +3540,53 @@ def q_covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_islands"),
         )
     )
+
+
+# Stratified weighted sampling: k A-ES winners per market segment —
+# the per-stratum window form of q_weighted_sample.
+from frames_spark.operators.sampling import weighted_sample_stratified  # noqa: E402
+
+
+@register(
+    "q_weighted_stratified",
+    f"""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY {_race_key_sql("c_custkey", "c_acctbal", seed="wst")} DESC,
+                        c_custkey) AS rn
+      FROM customer WHERE c_acctbal > 0
+    ) WHERE rn <= 10
+    """,
+)
+def q_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    return weighted_sample_stratified(
+        c, "c_mktsegment", "c_custkey", "c_acctbal", k=10, seed="wst"
+    )
+
+
+# K-fold cross-validation assignment: fold = content hash % k —
+# layout-invariant like all sampling here, and every entity keeps
+# its fold across reruns and engines. Output is the fold size table
+# (the assignment itself is a scan expression).
+@register(
+    "q_kfold",
+    f"""
+    SELECT {hash60_sql("CAST(c_custkey AS VARCHAR)", seed="fold")} % 5 AS fold,
+           COUNT(*) AS n, SUM({_MICROS_SQL.format(expr='c_acctbal')}) AS bal_micros
+    FROM customer GROUP BY 1
+    """,
+)
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.hashing import hash60
+
+    c = load_table(spark, sf_dir, "customer")
+    fold = (hash60(F.col("c_custkey").cast("string"), seed="fold") % 5).alias("fold")
+    return c.groupBy(fold).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("c_acctbal"))).alias("bal_micros"),
+    )
