@@ -1076,10 +1076,59 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Scale path: hyperplane-LSH bucketed near-dup (rows-only check — the
-# bucketing is deterministic but the SQL twin would be impractical;
-# recall vs the exact path is asserted in tests/test_dedup.py).
-@register("q_dedup_embed_lsh")
+# Scale path: hyperplane-LSH bucketed near-dup. Full SQL oracle:
+# the planes are deterministic md5-derived ±1 constants
+# (embedding.plane_components), so the DuckDB twin reproduces the
+# sign buckets bit-for-bit from a generated VALUES literal (32
+# planes x 64 dims), bands via ordered string_agg, the same
+# max_bucket guard, and the same exact fixed-point cosine verify.
+_LSH_PLANES_VALUES = ",".join(
+    f"({p},{i + 1},{c})"
+    for p in range(32)
+    for i, c in enumerate(embed_ops.plane_components(p, 64))
+)
+
+_EMB_LSH_ORACLE = f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus=_EMB_CORPUS_SQL)}),
+    planes(p, i, c) AS (VALUES {_LSH_PLANES_VALUES}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    banded AS (
+      SELECT vec_id, p // 8 AS tbl,
+             string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id, p // 8
+    ),
+    ok_buckets AS (
+      SELECT tbl, bucket FROM banded
+      GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND 2000
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a
+      JOIN ok_buckets ob ON a.tbl = ob.tbl AND a.bucket = ob.bucket
+      JOIN banded b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                   AND a.vec_id < b.vec_id
+    ),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT id_a, id_b, SUM(a.e * b.e) AS dot
+      FROM cand
+      JOIN fixed a ON a.vec_id = id_a
+      JOIN fixed b ON b.vec_id = id_b AND b.i = a.i
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+"""
+
+
+@register("q_dedup_embed_lsh", _EMB_LSH_ORACLE)
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embed_ops.near_dup_pairs_lsh(
