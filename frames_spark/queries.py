@@ -1172,8 +1172,57 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bucketed ANN scale path (rows-only; recall asserted in tests).
-@register("q_ann_lsh")
+# Bucketed ANN scale path. Full SQL oracle (same deterministic-plane
+# reproduction as q_dedup_embed_lsh): queries probe only their own
+# sign bucket, exact fixed-point cosine ranks within it.
+_ANN_PLANES_VALUES = ",".join(
+    f"({p},{i + 1},{c})"
+    for p in range(4)
+    for i, c in enumerate(embed_ops.plane_components(p, 64))
+)
+
+_ANN_LSH_ORACLE = f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    planes(p, i, c) AS (VALUES {_ANN_PLANES_VALUES}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+    ),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT query_id, neighbor_id, SUM(a.e * b.e) AS dot
+      FROM pairs
+      JOIN fixed a ON a.vec_id = query_id
+      JOIN fixed b ON b.vec_id = neighbor_id AND b.i = a.i
+      GROUP BY query_id, neighbor_id
+    ),
+    cos AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM cos
+    ) ranked WHERE rn <= 5
+"""
+
+
+@register("q_ann_lsh", _ANN_LSH_ORACLE)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ops.lsh_topk(
