@@ -204,3 +204,38 @@ def compact(
         .parquet(out_path)
     )
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    staging_path: str | None = None,
+) -> None:
+    """MERGE INTO emulation for plain parquet: update-or-insert
+    ``updates`` into the table at ``target_path`` by ``keys``.
+
+    Updated rows replace matched target rows wholesale (the usual
+    "WHEN MATCHED THEN UPDATE SET *" / "WHEN NOT MATCHED THEN
+    INSERT *"). Without a transactional format the rewrite stages to
+    a sibling directory and swaps, so a failed job never leaves a
+    half-written target; on Delta/Iceberg this function is replaced
+    by the native MERGE which rewrites only touched files.
+
+    Scale shape: one left-anti join (surviving target rows) keyed by
+    the merge keys + one union — the target's unmatched partitions
+    stream through untouched.
+    """
+    import shutil
+    import tempfile
+
+    target = spark.read.parquet(target_path)
+    survivors = target.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    staging = staging_path or tempfile.mkdtemp(prefix="merge_stage_")
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(target_path)
+    shutil.move(staging, target_path)

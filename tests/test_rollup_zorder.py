@@ -99,3 +99,24 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     written = glob.glob(f"{out}/*.parquet")
     assert len(written) == n == 1  # tiny table -> one file
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_merge_upsert(spark, sf_dir, tmp_path):
+    from frames_spark.sources.sink import merge_upsert
+
+    target = str(tmp_path / "dim")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.parquet(target)
+    n0 = c.count()
+    updates = spark.createDataFrame(
+        [(1, "UPDATED", 0, 0.0, "SEG"), (10**9, "NEW", 0, 1.0, "SEG")],
+        schema=c.schema,
+    )
+    merge_upsert(spark, target, updates, keys=["c_custkey"])
+    after = spark.read.parquet(target)
+    assert after.count() == n0 + 1                     # 1 update + 1 insert
+    rows = {r.c_custkey: r.c_name for r in after.filter(
+        F.col("c_custkey").isin(1, 10**9)).collect()}
+    assert rows == {1: "UPDATED", 10**9: "NEW"}
+    # untouched rows survive byte-identical
+    assert after.filter(F.col("c_custkey") == 2).count() == 1
