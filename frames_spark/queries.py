@@ -3688,3 +3688,73 @@ def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(_micros(F.col("c_acctbal"))).alias("bal_micros"),
     )
+
+
+# Abandonment: clicks with NO purchase by the same user within the
+# following hour — the anti form of the range join (funnel breakage
+# detail view). Purchase keys prune to (user, ts) before the anti
+# join; the residual time bound rides on the join condition.
+@register(
+    "q_abandoned",
+    """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def q_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["p_ts"] >= clicks["click_ts"])
+        & (purchases["p_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(purchases, cond, "left_anti")
+
+
+# Share-of-total: each segment's revenue share — the percent is a
+# window over the ALREADY-AGGREGATED 5-row relation, never the fact
+# table; exact micros ratio.
+@register(
+    "q_share_of_total",
+    f"""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS rev_micros
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, rev_micros,
+           CAST(rev_micros AS DOUBLE) / CAST(SUM(rev_micros) OVER () AS DOUBLE) AS share
+    FROM seg
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    )
+    total = F.sum("rev_micros").over(Window.partitionBy())
+    return seg.select(
+        "c_mktsegment", "rev_micros",
+        (F.col("rev_micros").cast("double") / total.cast("double")).alias("share"),
+    )
