@@ -180,3 +180,31 @@ def ivf_topk(
     concern at scale — see build_ivf)."""
     assigned, centroids = build_ivf(corpus, id_col, vec_col, n_centroids, seed)
     return ivf_search(assigned, centroids, queries, id_col, vec_col, k, nprobe)
+
+
+def save_ivf(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist the index: corpus partitioned BY CELL (query-time
+    probes of nprobe cells touch only those directories — partition
+    pruning does the fan-out reduction on disk, mirroring what the
+    centroid_id equi-join does in memory), centroids as one tiny
+    file. Rebuilding the index is a full retrain; reloading is a
+    metadata read."""
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids) ready for ivf_search."""
+    return (
+        spark.read.parquet(f"{path}/corpus"),
+        spark.read.parquet(f"{path}/centroids"),
+    )

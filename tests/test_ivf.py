@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from frames_spark.similarity.ann import brute_force_topk
 from frames_spark.similarity.ivf import build_ivf, ivf_search, ivf_topk
+from frames_spark.sources.tables import load_table
 
 K = 10
 
@@ -55,3 +56,37 @@ def test_ivf_candidate_join_shape(emb, qs):
     # determinism: same seed -> same result
     again = ivf_search(assigned, centroids, qs, "vec_id", "embedding", k=K, nprobe=2)
     assert _hits(out) == _hits(again)
+
+
+def test_ivf_save_load_search_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted index answers identically to the in-memory one, and
+    the on-disk layout is cell-partitioned so probes prune."""
+    import glob
+
+    from frames_spark.similarity.ivf import build_ivf, ivf_search, load_ivf, save_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    assigned, centroids = build_ivf(emb, "vec_id", "embedding", n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    save_ivf(assigned, centroids, path)
+
+    la, lc = load_ivf(spark, path)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_search(assigned, centroids, queries, "vec_id", "embedding",
+                            k=5, nprobe=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_search(la, lc, queries, "vec_id", "embedding",
+                            k=5, nprobe=3).collect()
+    }
+    assert got == want and len(got) > 0
+    # cell-partitioned layout on disk
+    cells = glob.glob(f"{path}/corpus/centroid_id=*")
+    assert len(cells) >= 2
+    # a single-cell read prunes at the scan (PartitionFilters)
+    from frames_spark.plans.explain import formatted_plan
+    one_cell = spark.read.parquet(f"{path}/corpus").filter(F.col("centroid_id") == 0)
+    assert "PartitionFilters: [isnotnull(centroid_id" in formatted_plan(one_cell)
