@@ -208,3 +208,53 @@ def load_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/corpus"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment (euclidean argmin, ties to the
+    lowest centroid id — the same rule KMeans.transform applies) as
+    pure expressions against the broadcast centroid table. This is
+    how NEW vectors join an existing index without the model object.
+    """
+    xv = F.col(vec_col).cast("array<double>")
+    dist2 = F.aggregate(
+        F.zip_with(xv, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = spread(vectors).crossJoin(F.broadcast(centroids)).withColumn(
+        "_d2", dist2
+    )
+    w = Window.partitionBy(id_col).orderBy("_d2", "centroid_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_d2", "_r", "cvec")
+    )
+
+
+def append_to_ivf(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Incremental index maintenance: assign new vectors to the
+    EXISTING centroids and append into their cell partitions — no
+    retrain, no rewrite of other cells. Retrain (build_ivf +
+    save_ivf) when drift degrades recall; the cells to monitor are
+    the ones whose population grows fastest."""
+    _, centroids = load_ivf(spark, path)
+    assigned = assign_to_centroids(new_vectors, centroids, id_col, vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )

@@ -90,3 +90,40 @@ def test_ivf_save_load_search_roundtrip(spark, sf_dir, tmp_path):
     from frames_spark.plans.explain import formatted_plan
     one_cell = spark.read.parquet(f"{path}/corpus").filter(F.col("centroid_id") == 0)
     assert "PartitionFilters: [isnotnull(centroid_id" in formatted_plan(one_cell)
+
+
+def test_ivf_incremental_append(spark, sf_dir, tmp_path):
+    """New vectors join existing cells without retraining; search
+    finds them and old results are unchanged."""
+    from frames_spark.similarity.ivf import (
+        append_to_ivf,
+        assign_to_centroids,
+        build_ivf,
+        ivf_search,
+        load_ivf,
+        save_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    extra = emb.filter(F.col("vec_id") % 10 == 0)
+    assigned, centroids = build_ivf(base, "vec_id", "embedding", n_centroids=8)
+    path = str(tmp_path / "ivf_inc")
+    save_ivf(assigned, centroids, path)
+    append_to_ivf(spark, extra, path, "vec_id", "embedding")
+
+    la, lc = load_ivf(spark, path)
+    assert la.count() == emb.count()
+    # appended vectors land in the same cell the trained model's rule
+    # would give them (euclidean argmin against the same centroids)
+    manual = assign_to_centroids(extra, centroids, "vec_id", "embedding")
+    want = {(r.vec_id, r.centroid_id) for r in manual.collect()}
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in la.join(extra.select("vec_id"), "vec_id").collect()
+    }
+    assert got == want
+    # an appended vector is findable: query with itself via full probe
+    probe_q = extra.limit(1)
+    res = ivf_search(la, lc, probe_q, "vec_id", "embedding", k=3, nprobe=8)
+    assert res.count() > 0
