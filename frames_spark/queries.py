@@ -3758,3 +3758,49 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "rev_micros",
         (F.col("rev_micros").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+# PII redaction (functions/redact.py): plant synthetic emails/phones
+# on a deterministic subset (the corpus has no natural PII), scrub,
+# and account — counts + md5 of the scrubbed text, all one scan.
+from frames_spark.functions import redact as redact_fns  # noqa: E402
+
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1-555-0' || CAST(doc_id % 100 AS VARCHAR) || '99'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+@register(
+    "q_redact_pii",
+    f"""
+    SELECT doc_id, {", ".join(redact_fns.pii_counts_sql("text"))},
+           md5({redact_fns.redact_sql("text")}) AS redacted_fp
+    FROM ({_PII_CORPUS_SQL})
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-0"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("99"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        *redact_fns.pii_counts(F.col("text")),
+        F.md5(redact_fns.redact(F.col("text"))).alias("redacted_fp"),
+    )
