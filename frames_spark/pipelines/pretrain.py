@@ -49,8 +49,11 @@ def clean_corpus(
     bands: int = 4,
     rows_per_band: int = 2,
     persist: bool = True,
+    redact_pii: bool = False,
+    keep_text: bool = False,
 ) -> DataFrame:
-    """The cleaned corpus: (id, n_tokens) for every surviving doc.
+    """The cleaned corpus: (id, n_tokens) for every surviving doc —
+    plus the (post-redaction) text when ``keep_text``.
 
     The DAG is a diamond: the deduped corpus feeds BOTH the near-dup
     candidate branch and the final anti-join. Lazily that subplan
@@ -73,10 +76,14 @@ def clean_corpus(
     unique, pairs = _gated_unique_pairs(
         docs, id_col, text_col, min_tokens, max_punct, lang,
         shingle_n, num_hashes, bands, rows_per_band, persist,
+        redact_pii=redact_pii,
     )
     near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = unique.join(near_dups, id_col, "left_anti")
-    return kept.select(F.col(id_col), F.col("n_tokens"))
+    cols = [F.col(id_col), F.col("n_tokens")]
+    if keep_text:
+        cols.append(F.col(text_col))
+    return kept.select(*cols)
 
 
 def _gated_unique_pairs(
@@ -91,12 +98,20 @@ def _gated_unique_pairs(
     bands: int,
     rows_per_band: int,
     persist: bool,
+    redact_pii: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-4 shared by both dedup policies: (unique corpus,
-    near-dup candidate pairs)."""
+    near-dup candidate pairs). With ``redact_pii`` the text is
+    scrubbed (functions/redact.py) BEFORE fingerprinting/dedup, so
+    two docs differing only in their PII dedup together — the order
+    production pipelines use."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
+    if redact_pii:
+        from frames_spark.functions.redact import redact
+
+        docs = docs.withColumn(text_col, redact(F.col(text_col)))
     text = F.col(text_col)
     gated = (
         spread(docs)

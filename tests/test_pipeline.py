@@ -68,3 +68,27 @@ def test_observed_pipeline_metrics_no_extra_pass(spark, sf_dir):
     # equivalence with the uninstrumented pipeline
     plain = {r.doc_id for r in clean_corpus(docs).collect()}
     assert {r.doc_id for r in out_rows} == plain
+
+
+def test_cleaner_redacts_before_dedup(spark, sf_dir):
+    """redact_pii scrubs before fingerprinting: kept text carries no
+    raw PII, and PII-only-differing docs share a fingerprint."""
+    from frames_spark.functions.text import fingerprint
+    from frames_spark.pipelines.pretrain import clean_corpus
+
+    base = load_table(spark, sf_dir, "documents").limit(20)
+    planted = base.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" reach me: a@b.io")).alias("text"),
+    )
+    out = clean_corpus(planted, redact_pii=True, keep_text=True)
+    texts = [r.text for r in out.collect()]
+    assert texts and all("@" not in t for t in texts)
+    assert any("<EMAIL>" in t for t in texts)
+    # PII-only variants fingerprint identically after redaction
+    a = planted.select(F.col("text"))
+    b = base.select(F.concat(F.col("text"), F.lit(" reach me: x@y.io")).alias("text"))
+    from frames_spark.functions.redact import redact
+    fa = {r[0] for r in a.select(fingerprint(redact(F.col("text")))).collect()}
+    fb = {r[0] for r in b.select(fingerprint(redact(F.col("text")))).collect()}
+    assert fa == fb
