@@ -3804,3 +3804,59 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         *redact_fns.pii_counts(F.col("text")),
         F.md5(redact_fns.redact(F.col("text"))).alias("redacted_fp"),
     )
+
+
+# Table diff (operators/diff.py): one full-outer join on the keys
+# with per-side scan-time row hashes. Diffed here: orders vs a
+# modified snapshot (urgent orders re-priced, some dropped, some
+# added) — the CI shape for pipeline-output regression testing.
+from frames_spark.operators.diff import table_diff  # noqa: E402
+
+_DIFF_B_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@register(
+    "q_table_diff",
+    f"""
+    WITH b AS ({_DIFF_B_SQL})
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice <> b.o_totalprice
+                  OR a.o_custkey <> b.o_custkey
+                  OR a.o_orderstatus <> b.o_orderstatus
+                  OR a.o_orderdate <> b.o_orderdate
+                  OR a.o_orderpriority <> b.o_orderpriority THEN 'changed'
+           END AS change
+    FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_custkey <> b.o_custkey
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_orderdate <> b.o_orderdate
+       OR a.o_orderpriority <> b.o_orderpriority
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    modified = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    b = modified.unionByName(added)
+    return table_diff(o, b, ["o_orderkey"])
