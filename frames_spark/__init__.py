@@ -21,9 +21,11 @@ from frames_spark.operators.expectations import (
     out_of_range,
     profile,
 )
+from frames_spark.operators.diff import schema_diff, table_diff
 from frames_spark.operators.funnel import funnel_counts, funnel_stages
 from frames_spark.operators.grouped import ewma_per_key
 from frames_spark.operators.scd import scd2_collapse
+from frames_spark.functions.redact import redact
 from frames_spark.pipelines.chunking import chunk_text, pack_docs
 from frames_spark.dedup.contamination import contaminated_docs
 from frames_spark.operators.core import (
@@ -110,6 +112,8 @@ __all__ = [
     "read_binary_dir", "append_rollup_increment", "read_rollup",
     "write_clustered", "compact",
     # training-corpus mechanics
-    "chunk_text", "pack_docs", "contaminated_docs",
+    "chunk_text", "pack_docs", "contaminated_docs", "redact",
+    # dataset regression testing
+    "table_diff", "schema_diff",
 ]
 __version__ = "0.2.0"
