@@ -239,3 +239,39 @@ def merge_upsert(
     merged.write.mode("overwrite").parquet(staging)
     shutil.rmtree(target_path)
     shutil.move(staging, target_path)
+
+
+def footer_stats(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> dict[str, dict[str, object]]:
+    """min/max/count per column answered from parquet FOOTERS — a
+    metadata-only scan (PushedAggregation), no row groups read.
+    Requires the v2 parquet reader + aggregate pushdown; both are
+    enabled for this query and restored after. The 100 TB use:
+    freshness/completeness checks over a whole table for the cost of
+    a file listing.
+
+    Pushdown only engages for un-filtered global aggregates; any
+    predicate falls back to a normal scan (correct, just not free).
+    """
+    conf = spark.conf
+    prev_push = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        row = df.agg(*aggs).first()
+        return {
+            c: {"min": row[f"__min_{c}"], "max": row[f"__max_{c}"], "count": row["__n"]}
+            for c in cols
+        }
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_v1 is None:
+            conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            conf.set("spark.sql.sources.useV1SourceList", prev_v1)

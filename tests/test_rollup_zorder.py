@@ -120,3 +120,32 @@ def test_merge_upsert(spark, sf_dir, tmp_path):
     assert rows == {1: "UPDATED", 10**9: "NEW"}
     # untouched rows survive byte-identical
     assert after.filter(F.col("c_custkey") == 2).count() == 1
+
+
+def test_footer_stats_metadata_only(spark, sf_dir):
+    from frames_spark.sources.sink import footer_stats
+
+    path = f"{sf_dir}/orders.parquet"
+    stats = footer_stats(spark, path, ["o_totalprice", "o_orderkey"])
+    o = spark.read.parquet(path)
+    row = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1)),
+    ).first()
+    assert stats["o_totalprice"] == {"min": row[0], "max": row[1], "count": row[4]}
+    assert stats["o_orderkey"] == {"min": row[2], "max": row[3], "count": row[4]}
+    # the plan really pushed the aggregate into the scan
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        plan = (
+            spark.read.parquet(path)
+            .agg(F.min("o_orderkey"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation: [MIN(o_orderkey)]" in plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
