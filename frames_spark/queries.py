@@ -42,18 +42,23 @@ def register(name: str, oracle: str | None = None):
 # Frames ref: benchmarks/InsuranceBench.hs (fused folds per group).
 # ---------------------------------------------------------------------------
 
+# Exact DECIMAL sums; the handoff to DOUBLE goes through BIGINT
+# micros (sum*1e6 is integral — inputs have <= 6 decimals), because
+# engines round a >16-digit DECIMAL -> DOUBLE cast differently
+# (caught at sf0.1: identical decimal sums, last-ulp double drift).
+# int64 -> double is IEEE round-to-nearest everywhere.
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
                 * (1 - CAST(l_discount AS DECIMAL(8,6)))
-                * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                * (1 + CAST(l_tax AS DECIMAL(8,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 / COUNT(*) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 / COUNT(*) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,17 +74,24 @@ def q_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(8,6)")
     tax = F.col("l_tax").cast("decimal(8,6)")
     n = F.count(F.lit(1))
+
+    def dbl(dec_sum: F.Column) -> F.Column:
+        # exact decimal -> integral micros (inputs have <= 6 decimals)
+        # -> int64 -> double: deterministic across engines, unlike a
+        # direct >16-digit decimal->double cast
+        return (dec_sum * 1000000).cast("long").cast("double") / F.lit(1000000.0)
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(price).cast("double") / n).alias("avg_price"),
-            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            dbl(F.sum(qty)).alias("sum_qty"),
+            dbl(F.sum(price)).alias("sum_base_price"),
+            dbl(F.sum(price * (1 - disc))).alias("sum_disc_price"),
+            dbl(F.sum(price * (1 - disc) * (1 + tax))).alias("sum_charge"),
+            (dbl(F.sum(qty)) / n).alias("avg_qty"),
+            (dbl(F.sum(price)) / n).alias("avg_price"),
+            (dbl(F.sum(disc)) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
