@@ -45,19 +45,23 @@ def range_join(
         # w=0 would divide by zero inside the bucket expr, which SQL
         # nulls out and the equi-join then silently drops every row
         raise ValueError(f"window_seconds must be positive, got {window_seconds}")
-    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
-    rt = F.unix_timestamp(F.col(right_ts))
+    # all time math in exact integer MICROS: unix_timestamp()
+    # truncates to whole seconds, so the residual bound would admit
+    # pairs up to a second past the window when the fractions line up
+    w_us = w * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / w_us)
+    rt = F.unix_micros(F.col(right_ts))
     lhs = left.withColumn("_rb", lb.cast("long"))
     rhs = right.withColumn(
-        "_rb", F.explode(F.array(F.floor(rt / w) - 1, F.floor(rt / w)))
+        "_rb", F.explode(F.array(F.floor(rt / w_us) - 1, F.floor(rt / w_us)))
     )
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col("l._rb") == F.col("r._rb"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (
-            F.unix_timestamp(F.col(f"r.{right_ts}"))
-            <= F.unix_timestamp(F.col(f"l.{left_ts}")) + w
+            F.unix_micros(F.col(f"r.{right_ts}"))
+            <= F.unix_micros(F.col(f"l.{left_ts}")) + w_us
         )
     )
     out = lhs.alias("l").join(rhs.alias("r"), cond, "inner")

@@ -1588,8 +1588,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_id, user_id,
            CAST(SUM({_MICROS_SQL.format(expr='value')}) OVER (
-             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) / 1000000 AS rolling_value
     FROM events
     """,
@@ -1598,10 +1598,14 @@ def q_running_sum_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # order the RANGE frame by integer MICROSECONDS on both engines:
+    # unix_timestamp() truncates to whole seconds while DuckDB's
+    # epoch() keeps fractions, so boundary events ~3600s apart joined
+    # the frame on one engine only (caught at sf0.1 density)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, Window.currentRow)
     )
     return ev.select(
         "event_id",
@@ -3488,13 +3492,18 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hopping_window",
     """
     WITH expanded AS (
-      SELECT e.*, CAST(to_timestamp(s) AS TIMESTAMP) AS w_start
+      -- integer-micros bucket math: epoch() is a DOUBLE whose 16th
+      -- significant digit rounds the microseconds, which can flip
+      -- membership exactly at a window edge; epoch_us is exact
+      SELECT e.*, CAST(to_timestamp(s // 1000000) AS TIMESTAMP) AS w_start
       FROM (
         SELECT *, unnest(list_transform(range(0, 4),
-          i -> CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - i * 900)) AS s
+          i -> (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+               - i * 900000000)) AS s
         FROM events
       ) e
-      WHERE epoch(ts) >= s AND epoch(ts) < s + 3600
+      WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= s
+        AND epoch_us(CAST(ts AS TIMESTAMP)) < s + 3600000000
     )
     SELECT w_start, event_type, COUNT(*) AS n,
            SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS value_micros
