@@ -3881,3 +3881,42 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = modified.unionByName(added)
     return table_diff(o, b, ["o_orderkey"])
+
+
+# Shannon entropy of the event-type mix per user — distribution
+# skew/diversity metric from exact counts. p*log2(p) terms are the
+# same float expression over exact ints on both engines, quantized
+# to micros before the final sum (partition-order-proof, the
+# chi-square lesson).
+@register(
+    "q_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, n, SUM(n) OVER (PARTITION BY user_id) AS total
+      FROM c
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(
+             -(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+              * log2(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000 + 0.5
+           ) AS BIGINT)) AS DOUBLE) / 1000000 AS entropy,
+           COUNT(*) AS n_types
+    FROM t GROUP BY user_id
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn("total", F.sum("n").over(Window.partitionBy("user_id")))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    term_q = F.floor(-p * F.log2(p) * 1000000 + 0.5).cast("long")
+    return t.groupBy("user_id").agg(
+        (F.sum(term_q).cast("double") / 1000000).alias("entropy"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
