@@ -70,9 +70,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
         srows = [tuple(r) for r in sdf.collect()]
@@ -109,7 +111,9 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {name:24s} {dt:6.1f}s  {'; '.join(status)}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    # count what actually RAN: the old `registered - failures` form
+    # reported "114/114 passed" on a subset run with one failure
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 
