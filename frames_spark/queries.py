@@ -3920,3 +3920,69 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(term_q).cast("double") / 1000000).alias("entropy"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+# Association rules over user "baskets" (event types performed):
+# support / confidence / lift from exact counts. Baskets gather with
+# one groupBy + sorted collect_set; the i<j pair expansion happens
+# IN-ARRAY (the minhash/LSH idiom) so there is no self-join of the
+# distinct-pairs relation; all ratios are one float expression over
+# exact longs.
+@register(
+    "q_assoc_rules",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
+    item AS (SELECT event_type, COUNT(*) AS n_item FROM ut GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS n_pair
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ante, cons, n_pair,
+           CAST(n_pair AS DOUBLE) / nu AS support,
+           CAST(n_pair AS DOUBLE) / ia.n_item AS confidence,
+           CAST(n_pair AS DOUBLE) / ia.n_item / ic.n_item * nu AS lift
+    FROM pair
+    JOIN item ia ON ante = ia.event_type
+    JOIN item ic ON cons = ic.event_type
+    CROSS JOIN n_users
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    baskets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("items")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS ante, y AS cons))))"
+    )
+    pair = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.ante").alias("ante"), F.col("p.cons").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    item = ut.groupBy(F.col("event_type").alias("ante")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    nu = ut.select("user_id").distinct().count()
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    out = (
+        pair.join(F.broadcast(item), "ante")
+        .join(
+            F.broadcast(item.select(F.col("ante").alias("cons"),
+                                    F.col("n_item").alias("n_cons"))),
+            "cons",
+        )
+        .select(
+            "ante", "cons", "n_pair",
+            (d("n_pair") / F.lit(float(nu))).alias("support"),
+            (d("n_pair") / d("n_item")).alias("confidence"),
+            (d("n_pair") / d("n_item") / d("n_cons") * F.lit(float(nu))).alias("lift"),
+        )
+    )
+    return out
