@@ -3986,3 +3986,38 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# Time-to-convert distribution: percentiles of (purchase - first
+# view) over converted users — funnel stages composed with the
+# bit-stable micros percentile. One extra tiny aggregate over the
+# per-user stage table.
+@register(
+    "q_conversion_time",
+    _FUNNEL_STAGES_SQL
+    + """
+    SELECT COUNT(*) AS n_converted,
+           CAST(FLOOR(quantile_cont(dt_us, 0.5)) AS BIGINT) AS p50_us,
+           CAST(FLOOR(quantile_cont(dt_us, 0.9)) AS BIGINT) AS p90_us
+    FROM (
+      SELECT epoch_us(CAST(step_2_ts AS TIMESTAMP))
+             - epoch_us(CAST(step_0_ts AS TIMESTAMP)) AS dt_us
+      FROM stages WHERE step_2_ts IS NOT NULL
+    )
+    """,
+)
+def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stages = funnel_ops.funnel_stages(ev, ["view", "click", "purchase"])
+    dt = (
+        F.unix_micros(F.col("step_2_ts")) - F.unix_micros(F.col("step_0_ts"))
+    ).alias("dt_us")
+    return (
+        stages.filter(F.col("step_2_ts").isNotNull())
+        .select(dt)
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.floor(F.percentile(F.col("dt_us"), F.lit(0.5))).cast("long").alias("p50_us"),
+            F.floor(F.percentile(F.col("dt_us"), F.lit(0.9))).cast("long").alias("p90_us"),
+        )
+    )
