@@ -772,7 +772,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the real operator; swap bigger lists / a Pandas-UDF model at will.
 def _lang_case(lang: str) -> str:
     toks = ", ".join(f"'{t}'" for t in text_fns.LANG_STOPWORDS[lang])
-    return f"SUM(CASE WHEN tok IN ({toks}) THEN 1 ELSE 0 END) AS score_{lang}"
+    # CAST: DuckDB SUM(int) yields HUGEINT; Spark emits BIGINT and the
+    # driver's value hash is type-sensitive, so pin the oracle to BIGINT.
+    return f"CAST(SUM(CASE WHEN tok IN ({toks}) THEN 1 ELSE 0 END) AS BIGINT) AS score_{lang}"
 
 
 @register(
@@ -1016,7 +1018,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc, b.bit, SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
       FROM hashed, range(0, 60) b(bit) GROUP BY doc, b.bit
     )
-    SELECT doc, SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    SELECT doc, CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc
     """,
 )

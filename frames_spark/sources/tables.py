@@ -32,6 +32,12 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver hands us an externally built SparkSession; events.parquet
+    # is TIMESTAMP(NANOS), which Spark refuses to read unless this legacy
+    # conf is on. It's a runtime-settable SQL conf, so set it here rather
+    # than relying on session-build time (frames_spark/session.py) — the
+    # conversion below then normalizes the resulting epoch-nanos long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): arrives as epoch-nanos long
     # (spark.sql.legacy.parquet.nanosAsLong); truncate to the engine's

@@ -49,6 +49,57 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 
 STRICT = os.environ.get("STRICT", "1") == "1"  # exact == hash-stable
 
+# DuckDB type -> Spark simpleString equivalent. The driver's value hash is
+# type-sensitive (r1: DuckDB HUGEINT vs Spark BIGINT hash-mismatched with
+# identical values), so values_close alone cannot prove driver-green —
+# compare declared column types too. Timestamp LTZ/NTZ collapse to one
+# class: both engines render identical UTC micros and r1 driver rows with
+# timestamps passed across that divide.
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "hugeint",  # never matches a Spark type -> always FAIL
+    "UHUGEINT": "uhugeint",
+    "UBIGINT": "ubigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+}
+
+
+def _canon_type(t: str) -> str:
+    t = t.strip().lower()
+    if t == "timestamp_ntz":
+        return "timestamp"
+    return t
+
+
+def type_mismatches(
+    duck_types: list, duck_cols: list[str], spark_dtypes: list[tuple[str, str]]
+) -> list[str]:
+    """Column-name-matched declared-type comparison; returns problem strings."""
+    spark_by_col = {c: _canon_type(t) for c, t in spark_dtypes}
+    out = []
+    for col, dt in zip(duck_cols, duck_types):
+        ds = str(dt).upper()
+        mapped = _DUCK_TO_SPARK.get(ds)
+        if mapped is None:
+            # DECIMAL(p,s), LIST, STRUCT... compare lowercased spelling;
+            # duckdb DECIMAL(10,2) vs spark decimal(10,2) line up.
+            mapped = ds.lower().replace("[]", "")
+        mapped = _canon_type(mapped)
+        st = spark_by_col.get(col)
+        if st is not None and st != mapped:
+            out.append(f"TYPE {col}: duck={ds} spark={st}")
+    return out
+
 
 def values_close(a, b) -> bool:
     if isinstance(a, float) or isinstance(b, float):
@@ -85,12 +136,17 @@ def main() -> int:
             ok = len(srows) >= 0
         else:
             rel = con.sql(oracles[name])
+            dtypes = list(rel.types)
             drows = [tuple(r) for r in rel.fetchall()]
             dcols = list(rel.columns)
             ok = True
             if sorted(scols) != sorted(dcols):
                 ok = False
                 status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
+            tmis = type_mismatches(dtypes, dcols, sdf.dtypes)
+            if tmis:
+                ok = False
+                status.extend(tmis)
             if len(srows) != len(drows):
                 ok = False
                 status.append(f"ROWS spark={len(srows)} duck={len(drows)}")
