@@ -77,28 +77,37 @@ def main() -> None:
     # best-of-3 by default: this box shows 3-9x co-tenant swings on
     # identical plans; two reps still leaves occasional double-hits
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    times: dict[str, float] = {}
+    times: dict[str, float | None] = {}
     for name, fn in BENCH_QUERIES.items():
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        # Per-query isolation: one broken query must cost one null entry,
+        # not the whole artifact (round 2 lost every number to a single
+        # AnalysisException raised before any timing was printed).
+        try:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                materialize(fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCH ERROR {name}: {type(exc).__name__}", file=sys.stderr)
+            times[name] = None
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    ok_times = [t for t in times.values() if t is not None]
     print(
         json.dumps(
             {
                 "metric": "total_bench_seconds",
-                "value": round(sum(times.values()), 3),
+                "value": round(sum(ok_times), 3),
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                "failed": sorted(n for n, t in times.items() if t is None),
             }
         )
     )

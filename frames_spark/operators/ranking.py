@@ -1,0 +1,97 @@
+"""Two-phase distributed ranking over a strict total order.
+
+The naive form — ``row_number() OVER (PARTITION BY g ORDER BY k)`` —
+parallelizes by ``g``'s cardinality: with a 5-value grouping column,
+5 tasks each sort 1/5 of the fact table, which is a scale killer at
+100 TB no matter how many executors exist. These helpers rebuild the
+same exact ranks with parallelism ``num_partitions × |g|``:
+
+1. ``repartitionByRange`` on (group ⧺ order) so every task holds a
+   contiguous slice of each group's total order. The explicit
+   partition count keeps AQE from re-coalescing the exchange, so the
+   partition ids seen by both consumer branches are identical.
+2. A tiny per-(partition, group) histogram — at most
+   ``num_partitions × |groups|`` rows — turned into exclusive prefix
+   offsets with a window over the *histogram*, never the fact table.
+3. A local ``row_number`` within each (partition, group) slice plus
+   the broadcast offset = the exact global rank.
+
+Requires the order key to be a strict total order within each group
+(e.g. tie-broken by a unique key); with ties broken, ``rank``,
+``dense_rank`` and ``row_number`` coincide and ``cume_dist`` /
+``percent_rank`` / ``ntile`` are pure arithmetic on (rank, count).
+
+Frames ref: analogous to the ordered fold idioms over whole frames
+(reference: src/Frames/Folds.hs) — Frames runs them single-node where
+total order is free; on Spark order must be re-established per slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["grouped_rank", "ntile_from_rank"]
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    rank_col: str = "rn",
+    count_col: str = "group_cnt",
+) -> DataFrame:
+    """df + [rank_col, count_col]: exact 1-based row_number within each
+    group under ORDER BY order_cols, and the group's total row count.
+
+    order_cols must form a strict total order inside each group.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    keys = [*group_cols, *order_cols]
+    part = df.repartitionByRange(n, *[F.col(c) for c in keys]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid", *group_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    ranked = part.withColumn("_lrn", F.row_number().over(wloc))
+
+    # Histogram branch: one row per (partition, group) — bounded by
+    # n × |groups|, so the prefix-sum window below is over a tiny
+    # relation and the join back is broadcast.
+    cnts = part.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    offs = cnts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_n").over(wtot).alias(count_col),
+    )
+    return (
+        ranked.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, cnt: Column, buckets: int) -> Column:
+    """SQL NTILE(buckets) as arithmetic on an exact strict-order rank:
+    the first ``cnt % buckets`` buckets get ``cnt div buckets + 1``
+    rows, the rest ``cnt div buckets``."""
+    base = (cnt / buckets).cast("long")  # floor div for non-negative cnt
+    rem = cnt % buckets
+    big = base + 1  # size of the first `rem` buckets
+    r0 = rank - 1
+    in_big = r0 < rem * big
+    return (
+        F.when(in_big, (r0 / big).cast("long") + 1)
+        .otherwise(rem + ((r0 - rem * big) / F.nullif(base, F.lit(0))).cast("long") + 1)
+        .cast("long")
+    )

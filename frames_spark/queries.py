@@ -21,6 +21,7 @@ from frames_spark.operators import joins as join_ops
 from frames_spark.operators import melt as melt_ops
 from frames_spark.operators import missing as missing_ops
 from frames_spark.operators import window as win_ops
+from frames_spark.operators.ranking import grouped_rank, ntile_from_rank
 from frames_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -757,7 +758,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = text_fns.n_tokens(text)
     return docs.select(
         "doc_id",
-        F.length(text).alias("n_chars_raw"),
+        F.length(text).cast("long").alias("n_chars_raw"),
         ntok.cast("long").alias("n_tokens"),
         text_fns.punct_ratio(text).alias("punct_ratio"),
         (
@@ -1569,7 +1570,7 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CAST(props->>'k' AS BIGINT)) AS n_k
     FROM events GROUP BY event_type
     """,
@@ -1697,11 +1698,22 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Two-phase ranking (operators/ranking.py): a direct
+    # `ntile() OVER (PARTITION BY o_orderpriority ...)` caps
+    # parallelism at the 5 distinct priorities — each task would sort
+    # 1/5 of the fact table at any cluster size. The strict
+    # (o_totalprice, o_orderkey) order makes NTILE pure arithmetic on
+    # an exact distributed rank.
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))
+    ranked = grouped_rank(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+    )
+    return ranked.select(
+        "o_orderkey",
+        ntile_from_rank(F.col("rn"), F.col("group_cnt"), 10).alias("decile"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1734,7 +1746,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CASE WHEN {sample_ops.hash_sample_sql("doc_id", 0.1, seed="split")}
                 THEN 'test' ELSE 'train' END AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,
@@ -2002,8 +2014,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.size(F.array_distinct(toks))
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
-        nd.alias("n_distinct"),
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
         (1 - nd.cast("double") / F.nullif(n, F.lit(0))).alias("repetition"),
     )
 
@@ -2121,14 +2133,23 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Same two-phase ranking rationale as q_ntile: under the strict
+    # (o_totalprice, o_orderkey) order, cume_dist = rn/cnt and
+    # percent_rank = (rn-1)/(cnt-1) exactly.
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked = grouped_rank(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+    )
+    cnt = F.col("group_cnt")
+    rn = F.col("rn")
+    return ranked.select(
         "o_orderkey",
-        F.cume_dist().over(w).alias("cd"),
-        F.percent_rank().over(w).alias("pr"),
+        (rn.cast("double") / cnt.cast("double")).alias("cd"),
+        F.when(cnt == 1, F.lit(0.0))
+        .otherwise((rn - 1).cast("double") / (cnt - 1).cast("double"))
+        .alias("pr"),
     )
 
 
@@ -2145,17 +2166,17 @@ from frames_spark.operators import expectations as exp_ops  # noqa: E402
     "q_profile",
     """
     SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT o_custkey) AS n_distinct
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*),
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_totalprice)
     FROM orders
     """,
@@ -2283,7 +2304,7 @@ def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH rev AS (
       SELECT l_suppkey,
-             SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS rev_micros
+             CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS rev_micros
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2328,7 +2349,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT p_brand,
-           SUM({_MICROS_SQL.format(expr='l_extendedprice')}) AS rev_micros,
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice')}) AS BIGINT) AS rev_micros,
            COUNT(*) AS n_small
     FROM lineitem
     JOIN pa   ON pa_partkey = l_partkey
@@ -2371,7 +2392,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name, o_orderkey, o_orderdate, sum_qty
     FROM (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS BIGINT)) > 270
     ) big
@@ -2782,9 +2803,9 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m GROUP BY o_orderpriority
     )
     SELECT m.o_orderpriority,
-           SUM(LEAST(GREATEST(xm, lo), hi)) AS wsum_micros,
-           SUM(CASE WHEN xm < lo THEN 1 ELSE 0 END) AS n_clip_lo,
-           SUM(CASE WHEN xm > hi THEN 1 ELSE 0 END) AS n_clip_hi,
+           CAST(SUM(LEAST(GREATEST(xm, lo), hi)) AS BIGINT) AS wsum_micros,
+           CAST(SUM(CASE WHEN xm < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN xm > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
            CAST(SUM(LEAST(GREATEST(xm, lo), hi)) AS DOUBLE) / 1000000 / COUNT(*) AS wmean
     FROM m JOIN b ON m.o_orderpriority = b.o_orderpriority
     GROUP BY m.o_orderpriority
@@ -2981,7 +3002,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-             SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS rev_micros
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT) AS rev_micros
       FROM orders GROUP BY 1
     )
     SELECT day, rev_micros,
@@ -3061,7 +3082,7 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
-           SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS volume_micros
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS volume_micros
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -3214,8 +3235,8 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
            CAST(date_diff('microsecond', MIN(CAST(ts AS TIMESTAMP)), MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS duration_us,
-           SUM({_MICROS_SQL.format(expr='value')}) AS value_micros,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+           CAST(SUM({_MICROS_SQL.format(expr='value')}) AS BIGINT) AS value_micros,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
     FROM sess GROUP BY user_id, session_id
     """,
 )
@@ -3377,7 +3398,7 @@ from frames_spark.sources.tables import register_views  # noqa: E402
 _ANSI_JOIN_SQL = """
     SELECT c_name, o_orderkey, o_orderdate, sum_qty
     FROM (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS BIGINT)) > 270
     ) big
@@ -3415,7 +3436,7 @@ def q_sql_ansi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_local_volume",
     f"""
     SELECT n_name,
-           SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS revenue_micros
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_micros
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -3459,7 +3480,7 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_revenue",
     f"""
     SELECT c_custkey, c_name,
-           SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS revenue_micros
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_micros
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -3508,7 +3529,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND epoch_us(CAST(ts AS TIMESTAMP)) < s + 3600000000
     )
     SELECT w_start, event_type, COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS value_micros
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_micros
     FROM expanded GROUP BY w_start, event_type
     """,
 )
@@ -3698,7 +3719,7 @@ def q_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kfold",
     f"""
     SELECT {hash60_sql("CAST(c_custkey AS VARCHAR)", seed="fold")} % 5 AS fold,
-           COUNT(*) AS n, SUM({_MICROS_SQL.format(expr='c_acctbal')}) AS bal_micros
+           COUNT(*) AS n, CAST(SUM({_MICROS_SQL.format(expr='c_acctbal')}) AS BIGINT) AS bal_micros
     FROM customer GROUP BY 1
     """,
 )
@@ -3757,7 +3778,7 @@ def q_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH seg AS (
       SELECT c_mktsegment,
-             SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS rev_micros
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT) AS rev_micros
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
     )

@@ -34,7 +34,7 @@ def component_means(
     mean = (F.col("__s").cast("double") / F.lit(1000000.0)) / F.col("__n").cast(
         "double"
     )
-    return agg.select(group, "pos", mean.alias("mean"))
+    return agg.select(group, F.col("pos").cast("long").alias("pos"), mean.alias("mean"))
 
 
 def centroids(df: DataFrame, group: str, vec_col: str = "embedding") -> DataFrame:

@@ -32,21 +32,32 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver hands us an externally built SparkSession; events.parquet
-    # is TIMESTAMP(NANOS), which Spark refuses to read unless this legacy
-    # conf is on. It's a runtime-settable SQL conf, so set it here rather
-    # than relying on session-build time (frames_spark/session.py) — the
-    # conversion below then normalizes the resulting epoch-nanos long.
+    # The driver hands us an externally built SparkSession. Two session
+    # confs must hold regardless of who built it: a pinned UTC timezone
+    # (NTZ<->LTZ conversion and the DuckDB oracle comparison are only
+    # exact under UTC) and nanos-as-long (in case the parquet writer
+    # emits TIMESTAMP(NANOS), which Spark otherwise refuses to read).
+    # Both are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): arrives as epoch-nanos long
-    # (spark.sql.legacy.parquet.nanosAsLong); truncate to the engine's
-    # native microsecond timestamps. `div` keeps the arithmetic integer-
-    # exact; DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates the same
-    # way, so oracle SQL uses CAST(ts AS TIMESTAMP).
+    # Normalize `ts` to the engine's native TIMESTAMP (LTZ micros),
+    # whatever physical shape the writer chose:
+    #   * TIMESTAMP(NANOS) -> epoch-nanos bigint (via nanosAsLong);
+    #     integer-exact `div 1000` truncation matches DuckDB's
+    #     TIMESTAMP_NS -> TIMESTAMP cast.
+    #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ;
+    #     cast to TIMESTAMP is exact under the pinned UTC session zone
+    #     and matches DuckDB's naive TIMESTAMP bit-for-bit.
+    # Keeping both branches makes the loader robust to the test data
+    # being regenerated in either shape.
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name == "ts":
+            kind = field.dataType.simpleString()
+            if kind == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif kind == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -12,14 +12,19 @@ transformation graph.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Logical event schema after ts normalization; the PHYSICAL schema is
+# probed from the parquet footer at read time (the writer has shipped
+# both TIMESTAMP(NANOS)->bigint and TIMESTAMP(MICROS,ntz) shapes).
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos (see tables.py)
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -28,20 +33,43 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def probe_event_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Physical schema of an events parquet file/dir via a zero-cost
+    batch read (footer only, no scan). File-stream sources require a
+    declared schema; probing beats hard-coding the writer's current
+    timestamp encoding, which has already shipped in two shapes."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
+def normalize_ts(df: DataFrame, physical: T.StructType) -> DataFrame:
+    """Same ts normalization as sources/tables.load_table: epoch-nanos
+    bigint -> truncate to micros; TIMESTAMP_NTZ -> exact cast under the
+    pinned UTC session zone. Works on batch and streaming frames."""
+    ts_kind = {f.name: f.dataType.simpleString() for f in physical.fields}.get("ts")
+    if ts_kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_kind == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_event_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """Parquet-directory stream of the events table (one file = one
     micro-batch locally; kafka source in production)."""
+    physical = probe_event_schema(spark, os.path.join(sf_dir, glob))
     # the file-stream source only accepts directories; glob-filter the
     # events file(s) out of the table directory
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(physical)
         .format("parquet")
         .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw, physical)
 
 
 def windowed_rollup(

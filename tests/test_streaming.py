@@ -149,13 +149,14 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src / "events_redelivered.parquet")
 
+    physical = sev.probe_event_schema(spark, str(src / "events.parquet"))
     raw = (
-        spark.readStream.schema(sev.EVENT_SCHEMA)
+        spark.readStream.schema(physical)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = sev.normalize_ts(raw, physical)
     result = sev.run_to_memory(
         sev.dedup_stream(stream, ["event_id"]), "dedup_stream", output_mode="append"
     )
@@ -248,14 +249,16 @@ def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
     # the newest unmatched clicks buffered forever. Distinct user ids
     # keep the two sentinels from matching each other.
     t = pq.read_table(f"{sf_dir}/events.parquet")
-    ns = t.column("ts").cast(pa.int64()).to_pylist()
-    future_ns = max(ns) + 10 * 365 * 24 * 3600 * 10**9
+    # write the sentinel in the source's own timestamp unit/tz so the
+    # stream's probed schema covers both files
+    ts_type = t.column("ts").type
+    per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    raw_ts = t.column("ts").cast(pa.int64()).to_pylist()
+    future = max(raw_ts) + 10 * 365 * 24 * 3600 * per_s
     sentinel = pa.table(
         {
             "event_id": pa.array([-1, -2], pa.int64()),
-            "ts": pa.array([future_ns, future_ns], pa.int64()).cast(
-                pa.timestamp("ns")
-            ),
+            "ts": pa.array([future, future], pa.int64()).cast(ts_type),
             "user_id": pa.array([-999, -998], pa.int64()),
             "event_type": pa.array(["click", "purchase"]),
             "value": pa.array([0.0, 0.0]),

@@ -31,14 +31,15 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     time.sleep(1.1)  # distinct mtimes: oldest-first batch order
     pq.write_table(late, src / "events_b.parquet")
 
+    physical = sev.probe_event_schema(spark, str(src / "events_a.parquet"))
     raw = (
-        spark.readStream.schema(sev.EVENT_SCHEMA)
+        spark.readStream.schema(physical)
         .format("parquet")
         .option("pathGlobFilter", "events_*.parquet")
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = sev.normalize_ts(raw, physical)
     got = {
         r.user_id: (r.step_0_us, r.step_1_us, r.step_2_us)
         for r in sev.run_to_memory(

@@ -90,10 +90,14 @@ def type_mismatches(
     for col, dt in zip(duck_cols, duck_types):
         ds = str(dt).upper()
         mapped = _DUCK_TO_SPARK.get(ds)
+        if mapped is None and ds.endswith("[]"):
+            # DuckDB list spelling T[] vs Spark array<t>
+            inner = ds[:-2].strip()
+            mapped = f"array<{_DUCK_TO_SPARK.get(inner, inner.lower())}>"
         if mapped is None:
-            # DECIMAL(p,s), LIST, STRUCT... compare lowercased spelling;
+            # DECIMAL(p,s), STRUCT... compare lowercased spelling;
             # duckdb DECIMAL(10,2) vs spark decimal(10,2) line up.
-            mapped = ds.lower().replace("[]", "")
+            mapped = ds.lower()
         mapped = _canon_type(mapped)
         st = spark_by_col.get(col)
         if st is not None and st != mapped:
@@ -127,18 +131,32 @@ def main() -> int:
             continue
         n_run += 1
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = list(sdf.columns)
         status = []
+        # One broken query records one FAIL line and the sweep continues;
+        # an uncaught AnalysisException here once masked 89 later queries.
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).splitlines()[0][:160] if str(exc) else type(exc).__name__
+            print(f"FAIL {name:24s} {time.time() - t0:6.1f}s  ERR {msg}")
+            failures.append(name)
+            continue
+        scols = list(sdf.columns)
         if name not in oracles:
             status.append(f"rows-only ({len(srows)} rows)")
             ok = len(srows) >= 0
         else:
-            rel = con.sql(oracles[name])
-            dtypes = list(rel.types)
-            drows = [tuple(r) for r in rel.fetchall()]
-            dcols = list(rel.columns)
+            try:
+                rel = con.sql(oracles[name])
+                dtypes = list(rel.types)
+                drows = [tuple(r) for r in rel.fetchall()]
+                dcols = list(rel.columns)
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc).splitlines()[0][:160] if str(exc) else type(exc).__name__
+                print(f"FAIL {name:24s} {time.time() - t0:6.1f}s  ORACLE-ERR {msg}")
+                failures.append(name)
+                continue
             ok = True
             if sorted(scols) != sorted(dcols):
                 ok = False
