@@ -20,6 +20,17 @@ from frames_spark import queries as Q
 from frames_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BASELINE_MD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+
+
+def load_baseline() -> dict | None:
+    """Pinned per-query numbers from BASELINE.md's ```json baseline``` block."""
+    try:
+        text = open(BASELINE_MD).read()
+        block = text.split("```json baseline", 1)[1].split("```", 1)[0]
+        return json.loads(block)
+    except (OSError, IndexError, ValueError):
+        return None
 
 # Representative, scale-relevant set: the flagship fold (production
 # double-typed variant), scan+filter, joins, window analytics, event
@@ -99,18 +110,30 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     ok_times = [t for t in times.values() if t is not None]
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": round(sum(ok_times), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-                "failed": sorted(n for n, t in times.items() if t is None),
-            }
-        )
-    )
+    out = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(ok_times), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "failed": sorted(n for n, t in times.items() if t is None),
+    }
+
+    # Per-query delta vs the pinned BASELINE.md numbers (the 2x gate's
+    # in-repo anchor). Ratios only make sense at the baseline's SF.
+    base = load_baseline()
+    if base and base.get("sf") == sf_val:
+        common = [
+            n for n, t in times.items() if t is not None and n in base["queries"]
+        ]
+        for n in common:
+            r = times[n] / base["queries"][n]
+            flag = "  <-- >2x" if r > 2.0 else ""
+            print(f"VS-BASELINE {n:20s} {times[n]:7.3f}s / {base['queries'][n]:7.3f}s = {r:5.2f}x{flag}", file=sys.stderr)
+        tot_now = sum(times[n] for n in common)
+        tot_base = sum(base["queries"][n] for n in common)
+        out["vs_baseline"] = round(tot_now / tot_base, 3) if tot_base else None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

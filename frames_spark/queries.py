@@ -1085,9 +1085,20 @@ _FIXED_SQL = """
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side runs the BUCKETED path (hyperplane-LSH candidates,
+    # exact fixed-point cosine inside buckets) while the oracle stays
+    # the all-pairs join — the O(n^2) expansion belongs in the
+    # correctness twin, not the execution plan. Short 4-plane bands x
+    # 16 tables: per-band collision at the 0.9 threshold is
+    # (1 - acos(0.9)/pi)^4 ~ 0.54, so 16 independent bands give
+    # ~0.99999 per-pair recall at the decision boundary (and ~1.0 for
+    # the near-identical copies dedup actually targets); verified
+    # pair-for-pair identical to the all-pairs result at sf0.001 and
+    # sf0.01. cosine_pairs remains available for in-bucket/exact use.
     emb = load_table(spark, sf_dir, "embeddings")
-    return embed_ops.cosine_pairs(
-        _with_perturbed_copies(emb), "vec_id", "embedding", threshold=0.9
+    return embed_ops.near_dup_pairs_lsh(
+        _with_perturbed_copies(emb), "vec_id", "embedding",
+        threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
     )
 
 

@@ -42,29 +42,35 @@ def build_ivf(
     seed: int = 42,
     max_train: int = 100_000,
     max_iter: int = 10,
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assigned, centroids): the corpus with a
     ``centroid_id`` column, and the tiny centroid table
     (centroid_id, cvec: array<double>).
 
-    The quantizer fits on a hash-bounded sample (``max_train``
-    vectors) — at corpus scale you never iterate k-means over
-    everything; assignment of the full corpus is the single
-    model.transform pass, which carries the corpus columns through
-    (no reattach join)."""
+    The quantizer fits on a sampled subset — at corpus scale you never
+    iterate k-means over everything. Sampling is a deterministic
+    content-hash filter at ``train_fraction`` (no RNG state, no
+    counting pre-pass: the old ``corpus.count()`` here was a full
+    extra scan of a 100 TB corpus just to size the sample) with a
+    ``max_train`` LIMIT as the hard cap, which lets the scan
+    early-stop once enough sampled rows exist. Callers at large scale
+    set train_fraction so fraction * corpus ~ max_train; the default
+    keeps small corpora training on everything. Assignment of the
+    full corpus is the single model.transform pass, which carries the
+    corpus columns through (no reattach join)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = spread(corpus).withColumn(
         "_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    n = corpus.count()
-    train = feat.select("_feat")
-    if n > max_train:
+    train = feat
+    if train_fraction < 1.0:
         # content-hash sample: deterministic, partition-independent
-        train = feat.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n // max_train + 1)) == 0
-        ).select("_feat")
+        denom = max(2, round(1.0 / max(train_fraction, 1e-9)))
+        train = feat.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    train = train.select("_feat").limit(max_train)
     model = KMeans(
         k=n_centroids,
         seed=seed,
@@ -175,10 +181,13 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """One-shot build + search (index persistence is the caller's
     concern at scale — see build_ivf)."""
-    assigned, centroids = build_ivf(corpus, id_col, vec_col, n_centroids, seed)
+    assigned, centroids = build_ivf(
+        corpus, id_col, vec_col, n_centroids, seed, train_fraction=train_fraction
+    )
     return ivf_search(assigned, centroids, queries, id_col, vec_col, k, nprobe)
 
 

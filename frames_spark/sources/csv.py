@@ -153,12 +153,21 @@ def read_csv(
     permissive: bool = True,
     encoding: str = "UTF-8",
     sample_rows: int = 1000,
+    multi_line: bool = False,
 ) -> DataFrame:
     """Typed distributed CSV read with prefix-inferred schema.
 
     ``columns`` projects a subset (readTableOpt); ``permissive=True``
     yields Maybe-column NULLs for bad cells (readTableMaybe),
     ``False`` drops malformed rows (readTable's skip).
+
+    ``multi_line=True`` parses RFC-4180 quoted fields with embedded
+    newlines (reference: test/Spec.hs:217 on test/data/multiline.csv
+    — the reference's line-oriented tokenizer rejects these; a full
+    CSV engine must accept them). The cost at scale: a multiLine file
+    cannot be split at arbitrary byte offsets (a newline may sit
+    inside quotes), so Spark parses each FILE whole — keep multiline
+    corpora in many moderate files, not one giant one.
     """
     if schema is None:
         schema = infer_schema(
@@ -171,6 +180,7 @@ def read_csv(
         .option("encoding", encoding)
         .option("quote", '"')
         .option("escape", '"')  # RFC-4180 doubled-quote escaping
+        .option("multiLine", str(multi_line).lower())
         .option("mode", "PERMISSIVE" if permissive else "DROPMALFORMED")
     )
     df = reader.csv(path)

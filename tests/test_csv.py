@@ -108,3 +108,30 @@ def test_column_subset_projection(spark, csv_dir):
 def test_sanitize_names(spark):
     assert fcsv.sanitize_name("Total Price ($)") == "Total_Price"
     assert fcsv.sanitize_name("2024 rev") == "c2024_rev"
+
+
+def test_multiline_quoted_records(spark, csv_dir):
+    """RFC-4180 embedded newlines inside quoted fields (reference:
+    test/Spec.hs:217 rejects test/data/multiline.csv — we parse it)
+    plus a write->read round trip preserving the newlines."""
+    p = str(csv_dir / "multiline.csv")
+    with open(p, "w") as f:
+        f.write(
+            "RowNum,Description,X,Y\n"
+            '1,"simple",10,10\n'
+            '2,"""quoted""",20,20\n'
+            '3,"multi\nline\ntext\nfield",30,30\n'
+            '4,"simple again",40,40\n'
+        )
+    df = fcsv.read_csv(spark, p, multi_line=True)
+    rows = {r.RowNum: r.Description for r in df.collect()}
+    assert rows == {
+        1: "simple",
+        2: '"quoted"',
+        3: "multi\nline\ntext\nfield",
+        4: "simple again",
+    }
+    out = str(csv_dir / "multiline_out")
+    fcsv.write_csv(df, out)
+    back = fcsv.read_csv(spark, out, multi_line=True)
+    assert {r.RowNum: r.Description for r in back.collect()} == rows
