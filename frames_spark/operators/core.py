@@ -62,22 +62,30 @@ def drop_rows(df: DataFrame, n: int, order: Sequence[Column | str]) -> DataFrame
 def zip_frames(
     left: DataFrame,
     right: DataFrame,
-    left_order: Sequence[Column | str],
-    right_order: Sequence[Column | str],
+    left_order: Sequence[str],
+    right_order: Sequence[str],
 ) -> DataFrame:
     """zipFrames — positional horizontal concat.
 
     Frames zips two in-core frames row-by-row (Frame.hs:68). In a
     distributed setting "row i" only exists under an explicit total
     order, so callers must provide one per side; rows are aligned by
-    row_number and inner-joined on it. Scale note: a single global
-    row_number is a serial bottleneck; at 100 TB prefer a real join
-    key. Provided for parity, used for small/medium frames.
+    a global row index and inner-joined on it. The index comes from
+    the two-phase distributed rank (operators/ranking.py: range
+    partition + tiny offset histogram), NOT a single global
+    row_number window — each side's sort parallelizes across
+    ``shuffle.partitions`` tasks instead of collapsing onto one.
+    The alignment join itself still shuffles both sides on the
+    index; at 100 TB prefer a real join key over positional zip.
     """
-    wl = Window.orderBy(*left_order)
-    wr = Window.orderBy(*right_order)
-    lhs = left.withColumn("_zip_idx", F.row_number().over(wl))
-    rhs = right.withColumn("_zip_idx", F.row_number().over(wr))
+    from frames_spark.operators.ranking import grouped_rank
+
+    lhs = grouped_rank(left, [], list(left_order), rank_col="_zip_idx").drop(
+        "group_cnt"
+    )
+    rhs = grouped_rank(right, [], list(right_order), rank_col="_zip_idx").drop(
+        "group_cnt"
+    )
     return lhs.join(rhs, "_zip_idx", "inner").drop("_zip_idx")
 
 

@@ -37,7 +37,7 @@ __all__ = ["grouped_rank", "ntile_from_rank"]
 def grouped_rank(
     df: DataFrame,
     group_cols: list[str],
-    order_cols: list[str],
+    order_cols: list,
     num_partitions: int | None = None,
     rank_col: str = "rn",
     count_col: str = "group_cnt",
@@ -45,17 +45,21 @@ def grouped_rank(
     """df + [rank_col, count_col]: exact 1-based row_number within each
     group under ORDER BY order_cols, and the group's total row count.
 
-    order_cols must form a strict total order inside each group.
+    group_cols are column NAMES (they key joins/aggregations);
+    order_cols may be names or Column expressions and must form a
+    strict total order inside each group. Empty group_cols ranks the
+    whole frame — still distributed, since only the per-partition
+    histogram (not the data) passes through a global window.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    keys = [*group_cols, *order_cols]
-    part = df.repartitionByRange(n, *[F.col(c) for c in keys]).withColumn(
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    order_exprs = [as_col(c) for c in order_cols]
+    keys = [*[as_col(c) for c in group_cols], *order_exprs]
+    part = df.repartitionByRange(n, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
-    wloc = Window.partitionBy("_pid", *group_cols).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
+    wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
     ranked = part.withColumn("_lrn", F.row_number().over(wloc))
 
     # Histogram branch: one row per (partition, group) — bounded by

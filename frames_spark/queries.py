@@ -4055,3 +4055,336 @@ def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.percentile(F.col("dt_us"), F.lit(0.9))).cast("long").alias("p90_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-shape extensions (Q8/Q12/Q14/Q16/Q19/Q20/Q21 adapted to
+# the columns this star schema carries — no partsupp, no shipmode, no
+# commit/receipt dates). Each exercises a distinct physical shape:
+# conditional aggregation over a star join, delay bucketing, distinct
+# counting with an exclusion anti-join, OR-of-ANDs pushdown, and
+# fact-side pre-aggregation feeding a tiny dimension join.
+# ---------------------------------------------------------------------------
+
+
+# TPC-H Q8 shape: market share of one supplier nation per year within
+# a consumer region. All five dims broadcast; the fact table shuffles
+# once for the aggregate. Share = double division of two exact
+# integer-micros sums (bit-stable across engines).
+@register(
+    "q_market_share",
+    f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                         THEN {_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}
+                         ELSE 0 END) AS BIGINT) AS nation_micros,
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS total_micros,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                         THEN {_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'EUROPE'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load_table(spark, sf_dir, "supplier")
+    # customer-side nation chain prunes to one region BEFORE broadcast
+    cn = (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+    )
+    is_n1 = F.col("supp_nation") == "NATION_1"
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.when(is_n1, vol).otherwise(F.lit(0)).alias("nv"),
+            vol.alias("tv"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("nv").alias("nation_micros"),
+            F.sum("tv").alias("total_micros"),
+            (
+                F.sum("nv").cast("double") / F.sum("tv").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+# TPC-H Q12 shape: order-priority mix by shipping-delay bucket.
+# One fact-fact join keyed on the order key, then a conditional
+# aggregate over a handful of buckets — partial agg map-side.
+@register(
+    "q_ship_delay",
+    """
+    SELECT LEAST(date_diff('day', CAST(o_orderdate AS TIMESTAMP),
+                           CAST(l_shipdate AS TIMESTAMP)) // 30, 6) AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY 1
+    """,
+)
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.least(
+        F.floor(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 30),
+        F.lit(6),
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            bucket.alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("h"),
+            F.when(high, 0).otherwise(1).alias("l"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("h").cast("long").alias("n_high"),
+            F.sum("l").cast("long").alias("n_low"),
+        )
+    )
+
+
+# TPC-H Q14 shape: promo revenue share per month — conditional
+# aggregate over one broadcast dim join; share from exact ints.
+@register(
+    "q_promo_share",
+    f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN {_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}
+                         ELSE 0 END) AS BIGINT) AS promo_micros,
+           CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS total_micros
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    vol = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+            F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)).alias("pv"),
+            vol.alias("tv"),
+        )
+        .groupBy("month")
+        .agg(
+            F.sum("pv").alias("promo_micros"),
+            F.sum("tv").alias("total_micros"),
+        )
+    )
+
+
+# TPC-H Q16 shape: supplier variety per (brand, size) with an
+# exclusion list — the exclusion is a tiny broadcast anti-join BEFORE
+# the distinct count, so excluded suppliers never enter the shuffle.
+@register(
+    "q_supplier_variety",
+    """
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2' AND p_size <= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & (F.col("p_size") <= 25)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+# TPC-H Q19 shape: disjunctive brand/size/quantity predicates. The
+# OR-of-ANDs sits in ONE join condition over a broadcast part dim —
+# a single scan of the fact table, no union of three subqueries.
+@register(
+    "q_special_revenue",
+    f"""
+    SELECT CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_micros,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 11 AND 25
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 26 AND 50
+           AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#11") & size.between(1, 10) & qty.between(1, 15))
+        | ((brand == "Brand#22") & size.between(11, 25) & qty.between(10, 25))
+        | ((brand == "Brand#15") & size.between(26, 50) & qty.between(20, 35))
+    )
+    vol = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(vol).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# TPC-H Q20 shape (no partsupp): outsized suppliers — those who
+# shipped more than TWICE a part's fair share (qty * n_suppliers >
+# 2 * part total, exact integers; parts here spread over ~27
+# suppliers, so absolute majority never occurs). Two fact-side
+# pre-aggregates reusing the same (part, supplier) grouping;
+# supplier dim joins LAST, against the already-tiny dominated set.
+@register(
+    "q_dominant_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ps
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT partkey, CAST(SUM(qty_ps) AS BIGINT) AS qty_p,
+             COUNT(*) AS n_supp
+      FROM ps GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_dominated
+    FROM ps JOIN pt USING (partkey)
+    JOIN supplier ON s_suppkey = suppkey
+    WHERE n_supp >= 2 AND qty_ps * n_supp > 2 * qty_p
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_ps"))
+    )
+    pt = ps.groupBy("partkey").agg(
+        F.sum("qty_ps").alias("qty_p"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dominated = (
+        ps.join(pt, "partkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("qty_ps") * F.col("n_supp") > 2 * F.col("qty_p"))
+        )
+    )
+    return (
+        dominated.join(F.broadcast(supp), dominated["suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+    )
+
+
+# TPC-H Q21 shape: the sole offender — multi-supplier orders where
+# exactly ONE supplier shipped late (> 60 days after the order).
+# The whole EXISTS / NOT-EXISTS pair collapses into one per-order
+# aggregate (distinct suppliers vs distinct late suppliers), so the
+# fact table shuffles once on the order key; the supplier dim joins
+# against the per-supplier counts at the end.
+@register(
+    "q_sole_delayed",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS n_late,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_sole_late
+    FROM per_order JOIN supplier ON s_suppkey = late_supp
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_sole_delayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(supp), per_order["late_supp"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_late"))
+    )

@@ -227,8 +227,10 @@ def merge_upsert(
     the merge keys + one union — the target's unmatched partitions
     stream through untouched.
     """
+    import os
     import shutil
     import tempfile
+    import uuid
 
     target = spark.read.parquet(target_path)
     survivors = target.join(
@@ -237,8 +239,21 @@ def merge_upsert(
     merged = survivors.unionByName(updates)
     staging = staging_path or tempfile.mkdtemp(prefix="merge_stage_")
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(target_path)
-    shutil.move(staging, target_path)
+    # Swap via retire-then-promote renames: the old table is moved
+    # aside (cheap metadata op) before the staged result takes its
+    # place, so no failure point leaves zero copies on disk — a crash
+    # between the renames leaves the retired directory recoverable by
+    # hand. True atomicity needs a transactional table format; this is
+    # the best plain-parquet-on-a-filesystem can do, and on an object
+    # store (no atomic dir rename) use Delta/Iceberg MERGE instead.
+    retired = f"{target_path}.retired-{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, retired)
+    try:
+        shutil.move(staging, target_path)
+    except BaseException:
+        os.rename(retired, target_path)  # roll back: old table intact
+        raise
+    shutil.rmtree(retired)
 
 
 def footer_stats(
