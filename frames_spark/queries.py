@@ -4388,3 +4388,227 @@ def q_sole_delayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_sole_late"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics operators for training-data curation: mixture
+# accounting, corpus-LM quality scoring, boilerplate span detection,
+# and cross-source duplication — each one or two scan-side aggregates,
+# no driver loops, no floats before micros quantization.
+# ---------------------------------------------------------------------------
+
+
+# Training-mixture accounting: per (source, lang) doc/char/token
+# volumes + each cell's share of corpus tokens. The share window runs
+# over the aggregated (source x lang) relation — tiny — never the
+# corpus.
+@register(
+    "q_corpus_mixture",
+    f"""
+    WITH cell AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(len(list_filter({_TOKENS_SQL}, t -> t <> ''))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share
+    FROM cell
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(_tokens_col(), lambda t: t != "")).cast("long")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+    return cell.withColumn(
+        "token_share",
+        F.col("total_tokens").cast("double")
+        / F.sum("total_tokens").over(Window.partitionBy()).cast("double"),
+    )
+
+
+# Corpus-unigram-LM quality score: mean token log-probability per doc
+# under the corpus's own unigram distribution (fluency-independent
+# outlier signal — docs of rare tokens score low). Two aggregates:
+# global token counts (vocabulary-sized), then an equi-join back on
+# token — the vocab side is orders of magnitude smaller than the
+# corpus and AQE broadcasts it when it fits; per-token ln() is
+# micros-quantized BEFORE the per-doc sum (same cross-engine-libm
+# guard as q_entropy).
+@register(
+    "q_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ), tokf AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), vocab AS (
+      SELECT token, COUNT(*) AS n FROM tokf GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS logprob_micros,
+           CAST(SUM(CAST(FLOOR(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_logprob
+    FROM tokf JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").cast("long").alias("total"))
+    lp_micros = F.floor(
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")) * 1000000
+        + 0.5
+    ).cast("long")
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lp_micros).alias("logprob_micros"),
+            (
+                F.sum(lp_micros).cast("double") / 1000000 / F.count(F.lit(1))
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# Boilerplate span detection (CCNet-style, on token 8-grams): spans
+# recurring across >= min_docs distinct docs are boilerplate; report
+# each doc's boilerplate fraction. Inverted index on the span hash —
+# explode distinct spans per doc, two-phase count, join back. The
+# corpus shuffles its span lists once; no doc-x-doc comparison.
+@register(
+    "q_boilerplate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(ts) - 7, 0) + 1),
+               i -> array_to_string(list_slice(ts, i, i + 7), ' ')))) AS span
+      FROM toks
+    ), common AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN common.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN common.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS boiler_frac
+    FROM spans LEFT JOIN common USING (span)
+    GROUP BY doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(_tokens_col(), lambda t: t != "")
+    # sequence() is INCLUSIVE of its stop (and descends when stop <
+    # start) where DuckDB's range() is exclusive — guard both the
+    # off-by-one and the <8-token case explicitly
+    idx = F.when(
+        F.size(ts) >= 8, F.sequence(F.lit(1), F.size(ts) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    spans_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, 8)))
+    )
+    spans = docs.select("doc_id", F.explode(spans_arr).alias("span"))
+    common = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("span", F.lit(1).alias("_hit"))
+    )
+    return (
+        spans.join(common, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_boiler"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+# Source duplication matrix: how many EXACT-duplicate pairs each
+# (source, source) combination contributes — the dedup-policy view
+# of which sources re-host content (diagonal = within-source dups).
+# Same one-groupBy + in-bucket i<j expansion as the minhash path —
+# the corpus never self-joins; pair sources ordered canonically.
+@register(
+    "q_cross_source_dups",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+             source || '_mirror' AS source, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    h AS (
+      SELECT doc_id, source, md5(text) AS hh FROM corpus
+    )
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic mirror of a third of the corpus under a renamed
+    # source, so the cross-source diagonal is non-trivial at any SF
+    mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("source"), F.lit("_mirror")).alias("source"),
+        "text",
+    )
+    corpus = docs.select("doc_id", "source", "text").unionAll(mirrored)
+    h = corpus.select(
+        F.struct("doc_id", "source").alias("v"), F.md5("text").alias("hh")
+    )
+    buckets = (
+        h.groupBy("hh")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.least(F.col("p.a.source"), F.col("p.b.source")).alias("source_a"),
+            F.greatest(F.col("p.a.source"), F.col("p.b.source")).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
