@@ -1,0 +1,71 @@
+"""Two-phase distributed ranking == the naive global-window form."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from frames_spark.operators.ranking import grouped_rank, ntile_from_rank
+from frames_spark.sources.tables import load_table
+
+
+def test_grouped_rank_matches_window(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    got = {
+        (r.o_orderkey, r.rn, r.group_cnt)
+        for r in grouped_rank(
+            o, ["o_orderpriority"], ["o_totalprice", "o_orderkey"]
+        ).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    want = {
+        (r.o_orderkey, r.rn, r.group_cnt)
+        for r in o.select(
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("group_cnt"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_global(spark, sf_dir):
+    """Empty group list ranks the whole frame."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").limit(0)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = grouped_rank(c, [], ["c_acctbal", "c_custkey"])
+    rows = ranked.orderBy("rn").collect()
+    n = c.count()
+    assert [r.rn for r in rows] == list(range(1, n + 1))
+    assert all(r.group_cnt == n for r in rows)
+    # and the order is really (acctbal, custkey)
+    keys = [(r.c_acctbal, r.c_custkey) for r in rows]
+    assert keys == sorted(keys)
+    assert o.count() == 0  # quiet the unused-limit lint usage
+
+
+def test_ntile_arithmetic_matches_sql(spark):
+    """ntile_from_rank == NTILE() for cnt above, equal to, and below
+    the bucket count (including the base == 0 edge)."""
+    for cnt in (23, 10, 7, 3, 1):
+        df = spark.range(1, cnt + 1).select(
+            F.col("id").alias("rn"), F.lit(cnt).cast("long").alias("cnt")
+        )
+        got = [
+            r.b
+            for r in df.select(
+                ntile_from_rank(F.col("rn"), F.col("cnt"), 10).alias("b")
+            )
+            .orderBy("rn")
+            .collect()
+        ]
+        want = [
+            r.b
+            for r in spark.range(1, cnt + 1)
+            .select(F.ntile(10).over(Window.orderBy("id")).alias("b"))
+            .collect()
+        ]
+        assert got == want, f"cnt={cnt}: {got} != {want}"
