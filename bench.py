@@ -71,6 +71,11 @@ BENCH_QUERIES = {
     "winsorize": Q.q_winsorize,
     "mad_outliers": Q.q_mad_outliers,
     "nation_volume": Q.q_nation_volume,
+    "ntile": Q.q_ntile,
+    "market_share": Q.q_market_share,
+    "sole_delayed": Q.q_sole_delayed,
+    "boilerplate": Q.q_boilerplate,
+    "unigram_logprob": Q.q_unigram_logprob,
 }
 
 

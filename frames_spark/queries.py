@@ -4612,3 +4612,90 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_asof direction parity (operators/asof.py): forward and
+# nearest variants of q_asof_join on the same click/purchase shape.
+# Both stay the one-shuffle union-window formulation — nearest runs
+# BOTH direction frames over the same union (no second shuffle, no
+# join of two asof outputs). Oracles are correlated subqueries with
+# the exact pandas tie rules (backward ties -> highest id, forward
+# ties -> lowest id, nearest equal-distance -> backward).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_forward",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM r
+            WHERE r.user_id = l.user_id AND r.ts >= l.ts
+            ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS next_purchase_value
+    FROM l
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_event_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"), "user_id", "ts",
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        value_cols=["next_purchase_value"], right_tiebreak="r_event_id",
+        direction="forward",
+    )
+    return out.select(
+        F.col("l_event_id").alias("event_id"), "user_id", "next_purchase_value"
+    )
+
+
+@register(
+    "q_asof_nearest",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM r
+            WHERE r.user_id = l.user_id
+            ORDER BY ABS(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                     CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC,
+                     CASE WHEN r.ts <= l.ts THEN -r.event_id
+                          ELSE r.event_id END ASC
+            LIMIT 1) AS nearest_purchase_value
+    FROM l
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_event_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"), "user_id", "ts",
+        F.col("value").alias("nearest_purchase_value"),
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        value_cols=["nearest_purchase_value"], right_tiebreak="r_event_id",
+        direction="nearest",
+    )
+    return out.select(
+        F.col("l_event_id").alias("event_id"), "user_id", "nearest_purchase_value"
+    )

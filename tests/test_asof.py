@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from frames_spark.operators.asof import asof_join
@@ -72,3 +73,61 @@ def test_asof_single_shuffle_plan(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _pd_frames():
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05", "2024-01-01 00:00:10",
+                 "2024-01-01 00:00:20", "2024-01-01 00:00:07",
+                 "2024-01-01 00:00:30", "2024-01-01 00:00:01"]
+            ),
+            "lv": [10, 11, 12, 20, 21, 30],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:04", "2024-01-01 00:00:10",
+                 "2024-01-01 00:00:18", "2024-01-01 00:00:09",
+                 "2024-01-01 00:00:29", "2024-01-01 00:00:00"]
+            ),
+            "rid": [100, 101, 102, 200, 201, 900],
+            "price": [1.0, 2.0, 3.0, 4.0, 5.0, 9.0],
+        }
+    )
+    return left.sort_values("ts"), right.sort_values("ts")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tol_s", [None, 3])
+def test_asof_directions_match_pandas(spark, direction, tol_s):
+    """All three merge_asof directions, with and without tolerance,
+    against pandas itself on data with exact-tie and no-match rows."""
+    import pandas as pd
+
+    pl, pr = _pd_frames()
+    sl = spark.createDataFrame(pl)
+    sr = spark.createDataFrame(pr)
+    got = {
+        (r.k, r.lv): r.price
+        for r in asof_join(
+            sl, sr, key="k", ts="ts", value_cols=["price"],
+            right_tiebreak="rid", direction=direction,
+            tolerance_micros=None if tol_s is None else tol_s * 1_000_000,
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        pl, pr, on="ts", by="k", direction=direction,
+        tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+    )
+    want = {
+        (r.k, r.lv): (None if pd.isna(r.price) else r.price)
+        for r in want_df.itertuples()
+    }
+    assert got == want
