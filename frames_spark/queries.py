@@ -4699,3 +4699,18 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_event_id").alias("event_id"), "user_id", "nearest_purchase_value"
     )
+
+
+# Mergeable HLL distinct sketches (operators/sketches.py): daily
+# user sketches + re-grouped estimates, the store-parts/merge-at-read
+# pattern. Sketch bytes are engine-specific -> rows-only; accuracy
+# and mergeability are pinned by tests/test_sketches.py.
+@register("q_sketch_users", None)
+def q_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import merge_sketches, sketch_parts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    parts = sketch_parts(ev, ["day"], "user_id")
+    return merge_sketches(parts, ["day"]).orderBy("day")

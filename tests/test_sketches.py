@@ -1,0 +1,53 @@
+"""HLL sketch parts: accuracy, mergeability, and parquet round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.operators.sketches import merge_sketches, sketch_parts
+from frames_spark.sources.tables import load_table
+
+
+def _daily_parts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return ev, sketch_parts(ev, ["day"], "user_id")
+
+
+def test_merged_estimate_within_bounds(spark, sf_dir):
+    ev, parts = _daily_parts(spark, sf_dir)
+    est = merge_sketches(parts).collect()[0].n_distinct_est
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05  # lgk=12 ~ 1.6% rse
+
+
+def test_merge_equals_direct_sketch(spark, sf_dir):
+    """Union of daily sketches == one sketch over everything — the
+    mergeability contract that makes stored parts trustworthy."""
+    ev, parts = _daily_parts(spark, sf_dir)
+    merged = merge_sketches(parts).collect()[0].n_distinct_est
+    direct = (
+        ev.agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))).alias("e"))
+        .collect()[0].e
+    )
+    assert merged == direct
+
+
+def test_parts_roundtrip_parquet(spark, sf_dir, tmp_path):
+    """Sketches survive storage: write the parts table, read it back,
+    merge — same estimate. This is the incremental-rollup read path."""
+    _, parts = _daily_parts(spark, sf_dir)
+    p = str(tmp_path / "sketch_parts")
+    parts.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    a = merge_sketches(parts).collect()[0].n_distinct_est
+    b = merge_sketches(reloaded).collect()[0].n_distinct_est
+    assert a == b
+    # and a coarser regroup (weekly) still answers from stored parts
+    weekly = merge_sketches(
+        reloaded.withColumn("week", F.date_trunc("week", F.col("day"))),
+        ["week"],
+    )
+    assert weekly.count() >= 1
