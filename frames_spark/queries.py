@@ -4534,23 +4534,24 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans_arr = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, 8)))
     )
+    from pyspark.sql import Window
+
+    # Spans are DISTINCT per doc, so count(*) per span == docs
+    # containing the span — a window over the span partition delivers
+    # it in the SAME shuffle that a groupBy would cost, with no join
+    # back and (critically) ONE evaluation of the tokenize+8-gram
+    # subtree instead of two (the join formulation re-ran the regex
+    # scan per branch and was ~2x slower at sf0.1).
     spans = docs.select("doc_id", F.explode(spans_arr).alias("span"))
-    common = (
-        spans.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 3)
-        .select("span", F.lit(1).alias("_hit"))
-    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    hit = F.when(nd >= 3, 1).otherwise(0)
     return (
-        spans.join(common, "span", "left")
+        spans.select("doc_id", hit.alias("_hit"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_boiler"),
-            (
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1))
-            ).alias("boiler_frac"),
+            F.sum("_hit").cast("long").alias("n_boiler"),
+            (F.sum("_hit").cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
         )
     )
 
@@ -4714,3 +4715,129 @@ def q_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = sketch_parts(ev, ["day"], "user_id")
     return merge_sketches(parts, ["day"]).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# The remaining TPC-H shapes (Q6/Q9/Q11 adapted — no partsupp):
+# completing the Q1-Q22 sweep. Q6 is the canonical pushdown probe;
+# Q9 a profit decomposition over the full star; Q11 a share-of-total
+# gate against a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+
+# TPC-H Q6 shape: one-scan conditional revenue — every predicate
+# reaches the parquet scan (no join at all); the classic pushdown
+# benchmark probe.
+@register(
+    "q_forecast_revenue",
+    f"""
+    SELECT CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice * l_discount')}) AS BIGINT)
+             AS revenue_micros,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_micros(F.col("l_extendedprice") * F.col("l_discount")))
+            .alias("revenue_micros"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# TPC-H Q9 shape: profit by supplier nation and year. Cost side
+# adapted to p_retailprice (no partsupp supplycost); the part filter
+# prunes the broadcast dim BEFORE the fact join, profit stays in
+# exact integer micros end-to-end.
+@register(
+    "q_profit_by_nation",
+    f"""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM({_MICROS_SQL.format(
+               expr='(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1)'
+           )}) AS BIGINT) AS profit_micros
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = _micros(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("pm"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("pm").alias("profit_micros"))
+    )
+
+
+# TPC-H Q11 shape: parts whose shipped value exceeds a multiple of
+# the MEAN part share (scale-free — a fixed fraction-of-total gate
+# goes vacuous as the part count grows with SF). The grand total +
+# part count is a 1-row broadcast joined into the HAVING-style
+# filter; the share gate compares exact integers
+# (value * n_parts > 2 * total ⇔ share > 2x mean).
+@register(
+    "q_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice')}) AS BIGINT)
+               AS value_micros
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_micros) AS BIGINT) AS total_micros,
+             COUNT(*) AS n_parts
+      FROM pv
+    )
+    SELECT partkey, value_micros
+    FROM pv CROSS JOIN tot
+    WHERE value_micros * n_parts > 2 * total_micros
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_micros(F.col("l_extendedprice"))).alias("value_micros")
+    )
+    tot = pv.agg(
+        F.sum("value_micros").alias("total_micros"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_micros") * F.col("n_parts") > 2 * F.col("total_micros"))
+        .select("partkey", "value_micros")
+    )
