@@ -36,3 +36,28 @@ def test_two_phase_ranking(spark, sf_dir, name):
     assert "spark_partition_id" in low, f"{name} lost the two-phase rank"
     for fn in ("ntile(", "cume_dist(", "percent_rank("):
         assert fn not in low, f"{name} fell back to a fact-wide {fn} window"
+
+
+# Pushdown + broadcast proofs for the new TPC-H shapes: a Q6 whose
+# predicates don't reach the scan, or a star join that shuffles its
+# dims, is wrong at 100 TB even when the rows match.
+def test_q6_pushdown(spark, sf_dir):
+    from frames_spark.plans.explain import formatted_plan, has_pushed_filters
+
+    df = QUERIES["q_forecast_revenue"](spark, sf_dir)
+    assert has_pushed_filters(df)
+    plan = formatted_plan(df)
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+@pytest.mark.parametrize(
+    "name", ["q_market_share", "q_profit_by_nation", "q_promo_share",
+             "q_supplier_variety", "q_special_revenue"]
+)
+def test_star_joins_broadcast_dims(spark, sf_dir, name):
+    from frames_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES[name](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"{name} lost its dim broadcasts"
+    # the fact table must never sort-merge against a dimension
+    assert plan.count("SortMergeJoin") <= 1, f"{name} shuffles its dims"
