@@ -4841,3 +4841,32 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_micros") * F.col("n_parts") > 2 * F.col("total_micros"))
         .select("partkey", "value_micros")
     )
+
+
+# Semi-structured VARIANT path (Spark 4): parse_json once into a
+# VariantType column, typed extraction via variant_get — the
+# shredding-friendly engine path for JSON at scale (one binary parse
+# per row instead of a schema-bound from_json per referenced field
+# set; at rest, variant shredding lets the reader prune to the
+# referenced subfields the way column pruning does for structs).
+# Same oracle shape as q_json_extract — semantics identical, the
+# difference is the execution path.
+@register(
+    "q_variant_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(CAST(props->>'k' AS BIGINT)) AS n_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+        F.max(k).alias("max_k"),
+    )
