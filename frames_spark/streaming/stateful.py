@@ -79,3 +79,61 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4): the successor API to
+# applyInPandasWithState — named state variables managed by the
+# processor handle, explicit lifecycle (init/handleInputRows/close),
+# and (in richer processors) typed timers and multiple state vars.
+# Same operator semantics as running_user_stats above, so tests can
+# hold both APIs to the same batch oracle.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface depends on PySpark build
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserStatsProcessor(StatefulProcessor):
+        """One ValueState record per user: (n, total, last_ts_us)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, total, last_us = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+                ts_us = (pdf["ts"].astype("int64") // 1000).max()
+                last_us = max(last_us, int(ts_us))
+            self._agg.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(events: DataFrame) -> DataFrame:
+        """``running_user_stats`` on the transformWithState API."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningUserStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover
+    running_user_stats_tws = None  # type: ignore[assignment]

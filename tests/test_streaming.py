@@ -296,3 +296,52 @@ def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert any(p is None for _, p in got)  # unmatched clicks present
+
+
+def test_stateful_running_user_stats_tws(spark, sf_dir):
+    """transformWithState (Spark 4 API) twin of running_user_stats:
+    same batch oracle, modern named-state processor."""
+    import pytest as _pytest
+
+    from frames_spark.streaming.stateful import running_user_stats_tws
+
+    if running_user_stats_tws is None:
+        _pytest.skip("transformWithState API not available")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip(
+            "transformWithState's state server speaks protobuf; "
+            "google.protobuf is absent in this environment"
+        )
+    stream = sev.read_event_stream(spark, sf_dir)
+    result = running_user_stats_tws(stream)
+    query = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats_tws")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM user_stats_tws) WHERE rn = 1
+        """
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"),
+        )
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
+    assert got == want
