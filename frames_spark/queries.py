@@ -4373,13 +4373,22 @@ def q_sole_delayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    # Two-level aggregate instead of two COUNT(DISTINCT)s in one agg:
+    # distinct (order, supplier) pairs first, then plain counts — no
+    # Expand operator doubling the shuffle input.
+    pairs = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("any_late"))
+    )
+    per_order = (
+        pairs.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("any_late").alias("n_late"),
+            F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )

@@ -69,3 +69,13 @@ def test_ntile_arithmetic_matches_sql(spark):
             .collect()
         ]
         assert got == want, f"cnt={cnt}: {got} != {want}"
+
+
+def test_grouped_rank_more_partitions_than_rows(spark):
+    """Empty range partitions must not disturb offsets or counts."""
+    df = spark.createDataFrame(
+        [(1, "a"), (3, "a"), (2, "b")], "v long, g string"
+    )
+    rows = grouped_rank(df, ["g"], ["v"], num_partitions=32).collect()
+    got = {(r.g, r.v): (r.rn, r.group_cnt) for r in rows}
+    assert got == {("a", 1): (1, 2), ("a", 3): (2, 2), ("b", 2): (1, 1)}
