@@ -4879,3 +4879,83 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k).alias("n_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-label quality eval: nearest-centroid classifier purity.
+# How separable are the labels in embedding space? Assign every
+# vector to its nearest label centroid (euclidean, exact fixed-point
+# integers end-to-end) and report per-label purity. The centroid
+# table is vocabulary-sized (labels x dims) and broadcasts; the
+# corpus sees one explode + one broadcast join + one per-vector
+# window — no pairwise vector comparison anywhere. Centroid
+# components quantize via an IEEE double division of exact ints
+# (bit-identical both engines) so the argmin is comparison-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_purity",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS xq
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+      FROM ex GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT vec_id, label, c_label, SUM((xq - mu) * (xq - mu)) AS d2
+      FROM ex JOIN cent USING (pos)
+      GROUP BY 1, 2, 3
+    ),
+    a AS (
+      SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+      FROM d
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS purity
+    FROM a WHERE rk = 1 GROUP BY label
+    """,
+)
+def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * 1048576 + 0.5).cast("long").alias("xq"),
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("cn"))
+        .select(
+            "c_label",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("cn")).cast("long").alias("mu"),
+        )
+    )
+    diff = F.col("xq") - F.col("mu")
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    correct = F.when(F.col("c_label") == F.col("label"), 1).otherwise(0)
+    return assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("purity"),
+    )
