@@ -4959,3 +4959,52 @@ def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).cast("long").alias("n_correct"),
         (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("purity"),
     )
+
+
+# Temperature-reweighted source mixture (the LLM-training recipe:
+# sample sources proportional to size^alpha to up-weight small
+# high-quality sources). alpha = 0.5 deliberately: IEEE-754 sqrt is
+# CORRECTLY ROUNDED on both engines (a libm pow(x, 0.7) is not), and
+# each sqrt term is micros-quantized before the normalizing sum —
+# a float SUM OVER () rounds differently per partition order. The
+# share window runs over the tiny per-source aggregate.
+@register(
+    "q_mixture_weights",
+    f"""
+    WITH cell AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter({_TOKENS_SQL}, t -> t <> ''))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+             AS sample_weight,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+             AS natural_share
+    FROM cell
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(_tokens_col(), lambda t: t != "")).cast("long")
+    cell = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(ntok).alias("n_tokens")
+    )
+    # quantize each sqrt term to integer micros BEFORE the sum — a
+    # float SUM OVER () is partition-order-dependent in its rounding
+    wq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000 + 0.5).cast("long")
+    win = Window.partitionBy()
+    return cell.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (wq.cast("double") / F.sum(wq).over(win).cast("double")).alias("sample_weight"),
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(win).cast("double")
+        ).alias("natural_share"),
+    )
