@@ -5008,3 +5008,59 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").over(win).cast("double")
         ).alias("natural_share"),
     )
+
+
+# Near-duplication rate per source: which sources contribute dup
+# pressure (the curation signal that drives source-level filtering
+# decisions). Reuses the MinHash candidate pairs verbatim — pair
+# docs map back to their original's source (copies carry
+# original_id + offset) with ONE broadcast join of the tiny
+# (doc_id, source) projection against the distinct pair members.
+@register(
+    "q_dup_rate_by_source",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    pair_docs AS (
+      SELECT DISTINCT CASE WHEN d >= {_DUP_OFFSET} THEN d - {_DUP_OFFSET} ELSE d END
+               AS doc_id
+      FROM (SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN pd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM documents LEFT JOIN pair_docs pd USING (doc_id)
+    GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = mh_ops.minhash_signatures(
+        _with_near_copies(docs), "doc_id", "text", n=3, num_hashes=_MH_K
+    )
+    pairs = mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+    members = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b")))
+        .select(
+            F.when(F.col("d") >= _DUP_OFFSET, F.col("d") - _DUP_OFFSET)
+            .otherwise(F.col("d"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(members), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup_docs"),
+            (
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
