@@ -5064,3 +5064,57 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# Exact quantiles WITHOUT per-group value buffering: Spark's exact
+# percentile() aggregate collects every group value into one
+# reducer's memory — fatal when a group holds billions of rows. The
+# two-phase distributed rank (operators/ranking.py) turns an exact
+# nearest-rank quantile into `rank == ceil(p * n)`: a filter over
+# ranks, nothing buffered anywhere. Nearest-rank (not interpolated)
+# semantics spelled out identically in the oracle via ROW_NUMBER so
+# neither engine's quantile-definition quirks are in play.
+@register(
+    "q_quantiles_scalable",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * cnt) AS BIGINT)
+                         THEN CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS p50_micros,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * cnt) AS BIGINT)
+                         THEN CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS p90_micros,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * cnt) AS BIGINT)
+                         THEN CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS p99_micros
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def q_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ranked = grouped_rank(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+    )
+    price_micros = _micros(F.col("o_totalprice"))
+    cnt = F.col("group_cnt")
+    rn = F.col("rn")
+
+    def at(p: float) -> F.Column:
+        return F.max(
+            F.when(rn == F.ceil(F.lit(p) * cnt).cast("long"), price_micros)
+        ).cast("long")
+
+    return ranked.groupBy("o_orderpriority").agg(
+        at(0.5).alias("p50_micros"),
+        at(0.9).alias("p90_micros"),
+        at(0.99).alias("p99_micros"),
+    )
