@@ -41,3 +41,56 @@ def ewma_per_key(
         return pdf
 
     return df.groupBy(key).applyInPandas(fn, schema)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
+) -> DataFrame:
+    """pandas.merge_asof per key via cogrouped applyInPandas — the
+    documented fallback path of operators/asof.asof_join for
+    semantics the union-window form can't express (and the proof
+    harness for the ones it can: tests hold both implementations to
+    each other).
+
+    Scale posture: both sides shuffle once on the key and each key's
+    rows stream through pandas in one Arrow batch — fine when no
+    single key's history exceeds executor memory; the union-window
+    form has no such limit and stays the default.
+    """
+    import pandas as pd
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema]
+    out_fields += [
+        f"{right.schema[c].name} {right.schema[c].dataType.simpleString()}"
+        for c in value_cols
+    ]
+    schema = ", ".join(out_fields)
+    tol = (
+        pd.Timedelta(microseconds=tolerance_micros)
+        if tolerance_micros is not None
+        else None
+    )
+    lcols = [f.name for f in left.schema]
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[*lcols, *value_cols])
+        lpdf = lpdf.sort_values(ts, kind="mergesort")
+        rpdf = rpdf.sort_values(ts, kind="mergesort")[[ts, *value_cols]]
+        merged = pd.merge_asof(
+            lpdf, rpdf, on=ts, direction=direction, tolerance=tol,
+            allow_exact_matches=True,
+        )
+        return merged[[*lcols, *value_cols]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(fn, schema)
+    )

@@ -131,3 +131,33 @@ def test_asof_directions_match_pandas(spark, direction, tol_s):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_cogroup_fallback_matches_union_window(spark, direction):
+    """The cogrouped pandas merge_asof fallback and the one-shuffle
+    union-window implementation must agree on every direction.
+    (pandas breaks ties among equal-ts right rows by position, so the
+    fixture keeps right timestamps unique per key — the tiebreak rule
+    is the one place the two paths legitimately differ.)"""
+    from frames_spark.operators.grouped import asof_join_cogroup
+
+    pl, pr = _pd_frames()
+    pr = pr.drop_duplicates(subset=["k", "ts"])
+    sl = spark.createDataFrame(pl)
+    sr = spark.createDataFrame(pr)
+    a = {
+        (r.k, r.lv): r.price
+        for r in asof_join(
+            sl, sr, key="k", ts="ts", value_cols=["price"],
+            right_tiebreak="rid", direction=direction,
+        ).collect()
+    }
+    b = {
+        (r.k, r.lv): r.price
+        for r in asof_join_cogroup(
+            sl, sr, key="k", ts="ts", value_cols=["price"],
+            direction=direction,
+        ).collect()
+    }
+    assert a == b
