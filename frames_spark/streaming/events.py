@@ -76,13 +76,18 @@ def windowed_rollup(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window counts/sums per event type with a watermark
     bounding state for late data — the streaming twin of
-    queries.q_events_window."""
+    queries.q_events_window. With ``slide`` the windows hop
+    (streaming twin of q_hopping_window): each event lands in
+    window/slide overlapping windows, state stays
+    O(open windows x types)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value")
     )

@@ -345,3 +345,24 @@ def test_stateful_running_user_stats_tws(spark, sf_dir):
     )
     want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_hopping_rollup_matches_batch(spark, sf_dir):
+    """Sliding-window streaming rollup == the batch hopping-window
+    query (every event in 4 overlapping 1h/15min windows)."""
+    stream = sev.read_event_stream(spark, sf_dir)
+    result = sev.run_to_memory(
+        sev.windowed_rollup(stream, window="1 hour", slide="15 minutes"),
+        "hop_rollup",
+    )
+    got = {
+        (r.bucket, r.event_type): r.n_events
+        for r in result.select("bucket", "event_type", "n_events").collect()
+    }
+    from frames_spark import queries as Q
+
+    want = {
+        (r.w_start, r.event_type): r.n
+        for r in Q.q_hopping_window(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
