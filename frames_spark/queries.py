@@ -5118,3 +5118,96 @@ def q_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.9).alias("p90_micros"),
         at(0.99).alias("p99_micros"),
     )
+
+
+# k-NN label accuracy: does a vector's neighborhood agree with its
+# label? (The eval that catches broken embeddings before a model
+# trains on them.) Exact 10-NN cosine for a fixed query subset
+# (vec_id < 100 — keeps the O(|Q| x n x d) oracle tractable at every
+# SF; the Spark side broadcasts the same subset), majority neighbor
+# label with ties to the smaller label, accuracy per true label.
+@register(
+    "q_knn_label_acc",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e * c.e) AS dot
+      FROM fixed q JOIN fixed c ON q.i = c.i AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 100
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                          neighbor_id) AS rank
+        FROM dots JOIN norms nq ON query_id = nq.vec_id
+                  JOIN norms nc ON neighbor_id = nc.vec_id
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT query_id, e2.label AS n_label, COUNT(*) AS votes
+      FROM knn JOIN embeddings e2 ON e2.vec_id = neighbor_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, n_label AS pred_label FROM (
+        SELECT query_id, n_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, n_label) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT e.label, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS knn_acc
+    FROM pred JOIN embeddings e ON e.vec_id = query_id
+    GROUP BY e.label
+    """,
+)
+def q_knn_label_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = ann_ops.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 100), "vec_id", "embedding", k=10
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        knn.join(
+            F.broadcast(labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            )),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), "n_label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.join(
+            F.broadcast(labels.select(
+                F.col("vec_id").alias("query_id"), "label"
+            )),
+            "query_id",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("knn_acc"),
+        )
+    )
