@@ -5211,3 +5211,53 @@ def q_knn_label_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("knn_acc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted paths, registered (operators/skew.py was test-only):
+# the oracle is the PLAIN formulation — exactness of the salted
+# rewrite is the whole point, so the driver now witnesses it.
+# ---------------------------------------------------------------------------
+
+from frames_spark.operators import skew as skew_ops  # noqa: E402
+
+
+@register(
+    "q_salted_agg",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM({_MICROS_SQL.format(expr='l_quantity')}) AS BIGINT)
+             AS sum_qty_micros,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _micros(F.col("l_quantity")).alias("qty_micros")
+    )
+    out = skew_ops.salted_sum_count(li, ["l_returnflag"], ["qty_micros"])
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_micros").cast("long").alias("sum_qty_micros"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew_ops.salted_join(ev, dim, "user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
