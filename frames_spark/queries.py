@@ -2746,7 +2746,31 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/grouped.py). Rows-only check: the recursion is not
 # expressible in portable SQL; exactness vs pandas is pinned in
 # tests/test_grouped_scd.py.
-@register("q_ewma")
+# Full oracle (upgraded from rows-only): pandas ewm(adjust=False)
+# computes EXACTLY (1-a)*prev + a*x in IEEE doubles (verified
+# bit-for-bit against the literal recurrence), and a recursive CTE
+# replays the same operation sequence per key — order is total
+# because (user_id, ts) has no ties in this data. If the driver's
+# hash ever disagrees here, suspect FMA contraction differences
+# first.
+@register(
+    "q_ewma",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, ts, value, rn, value AS ewma FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.value, b.rn,
+             (1 - 0.3) * r.ewma + 0.3 * b.value
+      FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, ts, value, ewma FROM rec
+    """,
+)
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3)
