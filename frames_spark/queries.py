@@ -1167,9 +1167,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2b Similarity search (frames_spark/similarity/ann.py)
 # ---------------------------------------------------------------------------
 
-@register(
-    "q_ann_bruteforce",
-    f"""
+_ANN_BF_ORACLE = f"""
     WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
     norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
     dots AS (
@@ -1189,8 +1187,10 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+"""
+
+
+@register("q_ann_bruteforce", _ANN_BF_ORACLE)
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ops.brute_force_topk(
@@ -1455,6 +1455,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
         k=5, n_centroids=8, nprobe=3,
+    )
+
+
+# IVF at FULL probe: with nprobe == n_centroids every cell is
+# searched, so the result is the exact top-k regardless of how the
+# (iterative, seeded) quantizer trained — which is exactly why THIS
+# variant can carry the brute-force SQL oracle while the nprobe<K
+# row above stays rows-only. The driver now witnesses the whole IVF
+# code path (train -> assign -> probe -> score) end-to-end.
+@register("q_ann_ivf_fullprobe", _ANN_BF_ORACLE)
+def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=8,
     )
 
 
