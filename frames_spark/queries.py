@@ -945,8 +945,9 @@ _MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
 
 # Candidate-pair SQL (doc_a, doc_b), reused as the edge list of the
 # clustering oracle below. Nested WITH so it stays one self-contained
-# subquery.
-_MINHASH_PAIRS_SQL = f"""
+# subquery. The CTE prefix is shared with the accuracy eval, which
+# additionally needs `sigs` and `shingled` in scope.
+_MH_CTES = f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
     hashed AS (
@@ -961,10 +962,15 @@ _MINHASH_PAIRS_SQL = f"""
     banded AS (
       {" UNION ALL ".join(f"SELECT doc, {band} AS band, " + " || ',' || ".join(f"CAST(sig_{band * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)) + " AS band_key FROM sigs" for band in range(_MH_BANDS))}
     )
+"""
+
+_MH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
 """
+
+_MINHASH_PAIRS_SQL = _MH_CTES + _MH_PAIRS_SELECT
 
 
 @register("q_dedup_minhash", _MINHASH_PAIRS_SQL)
@@ -5301,4 +5307,92 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = skew_ops.salted_join(ev, dim, "user_id", salt=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# MinHash estimator accuracy: per candidate pair, the signature-
+# agreement estimate (matching components / k — the unbiased Jaccard
+# estimator LSH thresholds act on) against the exact shingle Jaccard.
+# The eval a dedup pipeline runs before trusting its bands: both
+# numbers are ratios of exact integers, so the row hash is exact.
+# Exact-side work is restricted to the candidate pairs (inverted-
+# index join semi-filtered by pair membership), never all pairs.
+@register(
+    "q_minhash_accuracy",
+    _MH_CTES
+    + f"""
+    , pairs AS ({_MH_PAIRS_SELECT}),
+    est AS (
+      SELECT doc_a, doc_b,
+             ({" + ".join(f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(_MH_K))})
+               / {_MH_K}.0 AS est_jaccard
+      FROM pairs JOIN sigs sa ON sa.doc = doc_a
+                 JOIN sigs sb ON sb.doc = doc_b
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM shingled GROUP BY doc),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN shingled s1 ON s1.doc = p.doc_a
+      JOIN shingled s2 ON s2.doc = p.doc_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, est_jaccard,
+           CAST(COALESCE(n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(n_common, 0)) AS exact_jaccard,
+           ABS(est_jaccard - CAST(COALESCE(n_common, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(n_common, 0))) AS abs_err
+    FROM est e
+    JOIN sizes sa ON sa.doc = e.doc_a
+    JOIN sizes sb ON sb.doc = e.doc_b
+    LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    """,
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sigs = mh_ops.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=_MH_K)
+    pairs = mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(_MH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(_MH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (agree / float(_MH_K)).alias("est_jaccard"))
+    )
+    sh = jac_ops.shingle_index(docs, "doc_id", "text", 3)
+    member = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(pairs.select("doc_b"))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(member), "doc", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc.cast("double") / (F.col("na") + F.col("nb") - nc)
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
     )
