@@ -110,3 +110,103 @@ def test_salted_aggregate_equivalence(spark, data, salt):
         .collect()
     }
     assert got == want
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0, max_size=12, unique_by=lambda t: (t[0], t[1]),
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**SETTINGS)
+def test_asof_matches_pandas_prop(spark, lrows, rrows, direction):
+    """asof_join == pandas.merge_asof on arbitrary key/ts layouts —
+    empty right sides, single-key groups, left rows before/after all
+    right rows. Right (key, ts) kept unique: among equal-ts ties the
+    two systems use different (both documented) tiebreaks."""
+    import pandas as pd
+
+    from frames_spark.operators.asof import asof_join
+
+    lpdf = pd.DataFrame(
+        {
+            "k": [r[0] for r in lrows],
+            "ts": pd.to_datetime([r[1] for r in lrows], unit="s"),
+            "lv": [r[2] for r in lrows],
+        }
+    ).sort_values("ts")
+    rpdf = (
+        pd.DataFrame(
+            {
+                "k": [r[0] for r in rrows],
+                "ts": pd.to_datetime([r[1] for r in rrows], unit="s"),
+                "rid": list(range(len(rrows))),
+                "price": [float(r[2]) for r in rrows],
+            }
+        )
+        # an EMPTY frame infers float64 keys, which pandas merge_asof
+        # rejects against the left's int64 — pin dtypes explicitly
+        .astype({"k": "int64", "rid": "int64", "price": "float64"})
+        .sort_values("ts")
+    )
+    sl = spark.createDataFrame(lpdf)
+    sr = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "k bigint, ts timestamp, rid bigint, price double")
+    )
+    got = {
+        (r.k, r.lv): r.price
+        for r in asof_join(
+            sl, sr, key="k", ts="ts", value_cols=["price"],
+            right_tiebreak="rid", direction=direction,
+        ).collect()
+    }
+    want_df = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction=direction)
+    want = {
+        (r.k, r.lv): (None if pd.isna(r.price) else r.price)
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1, max_size=30,
+    ),
+    nparts=st.sampled_from([2, 7, 32]),
+)
+@settings(**SETTINGS)
+def test_grouped_rank_matches_window_prop(spark, rows, nparts):
+    """Two-phase distributed rank == the naive window on arbitrary
+    group layouts and partition counts (incl. partitions >> rows).
+    Values may repeat; a synthetic unique id breaks ties."""
+    from pyspark.sql import Window
+
+    from frames_spark.operators.ranking import grouped_rank
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, v long, uid long")
+    got = {
+        r.uid: (r.rn, r.group_cnt)
+        for r in grouped_rank(
+            df, ["g"], ["v", "uid"], num_partitions=nparts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    wc = Window.partitionBy("g")
+    want = {
+        r.uid: (r.rn, r.cnt)
+        for r in df.select(
+            "uid",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        ).collect()
+    }
+    assert got == want
