@@ -5396,3 +5396,58 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
     )
+
+
+# DAU / WAU: daily active users + exact 7-day rolling distinct users.
+# Exact rolling distinct cannot ride a window frame (COUNT(DISTINCT)
+# isn't windowable); the scale shape is: reduce events to distinct
+# (user, day) pairs FIRST (the big cardinality drop), then explode
+# each pair into the <=7 week-windows it belongs to and count
+# distinct per window end — shuffle volume is pairs x 7, never
+# events x 7, and no per-day state accumulates anywhere.
+@register(
+    "q_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    expanded AS (
+      SELECT d.day AS win_end, ud.user_id
+      FROM ud JOIN days d
+        ON ud.day <= d.day AND ud.day > d.day - INTERVAL 7 DAY
+    )
+    SELECT e.win_end AS day,
+           (SELECT COUNT(DISTINCT user_id) FROM ud WHERE ud.day = e.win_end) AS dau,
+           COUNT(DISTINCT e.user_id) AS wau
+    FROM expanded e
+    GROUP BY e.win_end
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    # each (user, day) pair contributes to the 7 window-ends
+    # [day, day+6]; generate them as an explode of a literal range —
+    # the join-to-days form in the oracle is the same cardinality but
+    # the sequence explode avoids materializing a days dimension
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    expanded = ud.select("user_id", "day", offsets).select(
+        "user_id",
+        (F.col("day") + F.make_dt_interval(F.col("off"))).alias("win_end"),
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # windows whose end is beyond the observed range would be partial;
+    # restrict to days that actually occur (matches the oracle's join)
+    wau = (
+        expanded.join(F.broadcast(dau.select(F.col("day").alias("win_end"))), "win_end")
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["win_end"])
+        .select("day", "dau", "wau")
+    )
