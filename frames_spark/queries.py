@@ -5451,3 +5451,38 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(wau, dau["day"] == wau["win_end"])
         .select("day", "dau", "wau")
     )
+
+
+# The sketch twin of q_active_users: WAU from stored daily HLL parts.
+# The x7 window expansion here touches the PARTS table (one row per
+# day) instead of the (user, day) pairs — at 100 TB that's the whole
+# difference: exact WAU shuffles pairs x 7, sketch WAU unions ~7
+# kilobyte sketches per window from an already-materialized rollup.
+# Rows-only (sketch bytes are engine-specific); the estimate-vs-
+# exact bound is pinned by tests/test_sketches.py.
+@register("q_active_users_sketch")
+def q_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import sketch_parts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    parts = sketch_parts(ev, ["day"], "user_id")
+    expanded = parts.select(
+        "sketch",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        "sketch", (F.col("day") + F.make_dt_interval(F.col("off"))).alias("win_end")
+    )
+    observed = parts.select(F.col("day").alias("win_end"))
+    return (
+        expanded.join(F.broadcast(observed), "win_end")
+        .groupBy("win_end")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            F.col("win_end").alias("day"),
+            F.hll_sketch_estimate("merged").alias("wau_est"),
+        )
+        .orderBy("day")
+    )

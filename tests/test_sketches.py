@@ -51,3 +51,18 @@ def test_parts_roundtrip_parquet(spark, sf_dir, tmp_path):
         ["week"],
     )
     assert weekly.count() >= 1
+
+
+def test_sketch_wau_close_to_exact(spark, sf_dir):
+    """The sketch WAU path stays within HLL error of the exact
+    pairs-x-7 computation for every window."""
+    from frames_spark import queries as Q
+
+    exact = {r.day: r.wau for r in Q.q_active_users(spark, sf_dir).collect()}
+    est = {
+        r.day: r.wau_est
+        for r in Q.q_active_users_sketch(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for day, wau in exact.items():
+        assert abs(est[day] - wau) / wau < 0.05, (day, est[day], wau)
