@@ -5486,3 +5486,77 @@ def q_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Bigram-LM quality score: mean log P(w_t | w_{t-1}) per doc under
+# the corpus's own bigram model — the next quality signal after
+# q_unigram_logprob (catches plausible-words-in-implausible-order
+# docs that unigram scoring cannot). Conditional probability =
+# bigram count / predecessor unigram count, both exact integers from
+# two vocabulary-sized aggregates; the corpus-side work is one
+# positional self-alignment in the SCAN stage (tokens shifted via
+# array ops — no posexplode self-join), then an equi-join against
+# the bigram table. Per-pair ln() micros-quantized before the doc
+# sum (the standing cross-engine libm guard).
+@register(
+    "q_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS ts
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks
+    ),
+    bcnt AS (SELECT bigram, COUNT(*) AS nb FROM big GROUP BY bigram),
+    ucnt AS (
+      SELECT w1, CAST(SUM(nb) AS BIGINT) AS nu FROM (
+        SELECT string_split(bigram, ' ')[1] AS w1, nb FROM bcnt
+      ) GROUP BY w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(ln(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS logprob_micros,
+           CAST(SUM(CAST(FLOOR(ln(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_logprob
+    FROM big
+    JOIN bcnt USING (bigram)
+    JOIN ucnt ON string_split(bigram, ' ')[1] = w1
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(_tokens_col(), lambda t: t != "")
+    bigrams_arr = F.transform(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        lambda _x, i: F.concat_ws(" ", F.element_at(ts, i + 1), F.element_at(ts, i + 2)),
+    )
+    big = docs.select("doc_id", F.explode(bigrams_arr).alias("bigram"))
+    bcnt = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    ucnt = (
+        bcnt.select(F.split(F.col("bigram"), " ").getItem(0).alias("w1"), "nb")
+        .groupBy("w1")
+        .agg(F.sum("nb").alias("nu"))
+    )
+    lp = F.floor(
+        F.log(F.col("nb").cast("double") / F.col("nu").cast("double")) * 1000000
+        + 0.5
+    ).cast("long")
+    return (
+        big.join(bcnt, "bigram")
+        .join(ucnt, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(lp).alias("logprob_micros"),
+            (F.sum(lp).cast("double") / 1000000 / F.count(F.lit(1))).alias(
+                "mean_logprob"
+            ),
+        )
+    )
