@@ -5560,3 +5560,107 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Kaplan-Meier time-to-convert: the survival curve over days from a
+# user's first view to first purchase, right-censored at the end of
+# observation. Every heavy step is a per-user aggregate; the curve
+# itself lives on a tiny per-day relation, where the risk-set sizes
+# are reverse cumulative sums and the curve is a cumulative sum of
+# micros-quantized ln(1 - d/n) terms — emitted AS the exact integer
+# log-survival (exp() is libm and engine-drifty; callers exponentiate
+# at the edge if they want probabilities).
+@register(
+    "q_survival",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS tmax FROM events),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN t1 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END AS converted,
+             CASE WHEN t1 IS NOT NULL AND t1 >= t0
+                  THEN date_diff('day', t0, t1)
+                  ELSE date_diff('day', t0, tmax) END AS t_days
+      FROM stage CROSS JOIN horizon
+      WHERE t0 IS NOT NULL
+    ),
+    byday AS (
+      SELECT t_days,
+             CAST(SUM(converted) AS BIGINT) AS d,
+             COUNT(*) AS ending
+      FROM obs GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, d,
+             CAST(SUM(ending) OVER (ORDER BY t_days DESC) AS BIGINT) AS n_at_risk
+      FROM byday
+    )
+    SELECT t_days, d, n_at_risk,
+           CAST(SUM(CASE WHEN d > 0 AND d < n_at_risk
+                         THEN CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE)
+                                              / CAST(n_at_risk AS DOUBLE))
+                                         * 1000000 + 0.5) AS BIGINT)
+                         WHEN d >= n_at_risk THEN NULL
+                         ELSE 0 END)
+                OVER (ORDER BY t_days) AS BIGINT) AS log_surv_micros
+    FROM risk
+    """,
+)
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t1"),
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    converted = (F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))).cast("int")
+    tdays = F.when(
+        F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0")),
+        F.datediff(F.col("t1"), F.col("t0")),
+    ).otherwise(F.datediff(F.col("tmax"), F.col("t0")))
+    obs = (
+        stage.crossJoin(F.broadcast(horizon))
+        .filter(F.col("t0").isNotNull())
+        .select(converted.alias("converted"), tdays.alias("t_days"))
+    )
+    byday = (
+        obs.withColumn("t_days", F.col("t_days").cast("long"))
+        .groupBy("t_days")
+        .agg(F.sum("converted").alias("d"), F.count(F.lit(1)).alias("ending"))
+    )
+    wdesc = (
+        Window.orderBy(F.desc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byday.select(
+        "t_days",
+        F.col("d").cast("long").alias("d"),
+        F.sum("ending").over(wdesc).alias("n_at_risk"),
+    )
+    d, n = F.col("d"), F.col("n_at_risk")
+    term = (
+        F.when(
+            (d > 0) & (d < n),
+            F.floor(
+                F.log(F.lit(1.0) - d.cast("double") / n.cast("double")) * 1000000
+                + 0.5
+            ).cast("long"),
+        )
+        .when(d >= n, F.lit(None))
+        .otherwise(F.lit(0))
+    )
+    wasc = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return risk.select(
+        "t_days", "d", "n_at_risk",
+        F.sum(term).over(wasc).cast("long").alias("log_surv_micros"),
+    )
