@@ -5664,3 +5664,100 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_days", "d", "n_at_risk",
         F.sum(term).over(wasc).cast("long").alias("log_surv_micros"),
     )
+
+
+# Event-type transition matrix: P(next | current) per user journey —
+# one lag window keyed by user (the sessionize shuffle shape), then
+# exact count ratios on the tiny type-x-type relation.
+@register(
+    "q_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+    FROM cnt
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("cur")
+    return cnt.select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    )
+
+
+# Revenue concentration (Gini) over customers — the inequality
+# summary a mixture/pricing analysis starts from. Exact formulation:
+# G = 2*sum(rank_i * x_i) / (n * sum(x)) - (n + 1)/n over ascending
+# per-customer totals; the global rank comes from the two-phase
+# distributed rank (operators/ranking.py), never a single-partition
+# window, and both sums are exact integer micros.
+@register(
+    "q_gini_revenue",
+    """
+    WITH cust AS (
+      -- whole currency units (exact integer division of the micros
+      -- sum): rank * micros overflows int64 by sf0.1; units keep the
+      -- weighted sum exact and in-range through sf1+
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               // 1000000 AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM cust
+    )
+    SELECT CAST(SUM(rn * spend) AS BIGINT) AS weighted_units,
+           CAST(SUM(spend) AS BIGINT) AS total_units,
+           MAX(n) AS n_customers,
+           2.0 * CAST(SUM(rn * spend) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(spend) AS DOUBLE))
+             - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # integral `div`, not float `/`: a double quotient can round
+    # across an integer boundary where the oracle's BIGINT floor
+    # division cannot
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_micros(F.col("o_totalprice"))).alias("_sm"))
+        .select("o_custkey", F.expr("_sm div 1000000").alias("spend"))
+    )
+    ranked = grouped_rank(cust, [], ["spend", "o_custkey"], rank_col="rn",
+                          count_col="n")
+    ws = F.sum(F.col("rn") * F.col("spend"))
+    tot = F.sum("spend")
+    n = F.max("n")
+    return ranked.agg(
+        ws.cast("long").alias("weighted_units"),
+        tot.cast("long").alias("total_units"),
+        n.alias("n_customers"),
+        (
+            2.0 * ws.cast("double") / (n * tot.cast("double"))
+            - (n + 1).cast("double") / n
+        ).alias("gini"),
+    )
