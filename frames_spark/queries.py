@@ -5761,3 +5761,70 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + 1).cast("double") / n
         ).alias("gini"),
     )
+
+
+# Lag-1 autocorrelation of daily revenue — the is-there-momentum
+# summary of a time series. Fact work is one day-grain aggregate;
+# the (x_t, x_{t-1}) pairing is a lag window over the tiny daily
+# relation, and the Pearson formula runs on exact integer micros
+# moments (the q_corr technique), so no engine's corr() builtin — or
+# its partition-order float drift — is involved.
+@register(
+    "q_autocorr",
+    f"""
+    WITH daily AS (
+      -- whole currency units: squared daily micros overflow int64
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               // 1000000 AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT rev AS x, LAG(rev) OVER (ORDER BY day) AS y FROM daily
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0)
+             AS autocorr_lag1
+    FROM m
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum(_micros(F.col("o_totalprice"))).alias("_rm"))
+        .select("day", F.expr("_rm div 1000000").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("rev").alias("x"), F.lag("rev").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return m.select(
+        "n",
+        ((d("n") * d("sxy") - d("sx") * d("sy")) / F.nullif(denom, F.lit(0.0))).alias(
+            "autocorr_lag1"
+        ),
+    )
