@@ -5828,3 +5828,38 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "autocorr_lag1"
         ),
     )
+
+
+# Day-of-week seasonality profile: order volume and exact revenue
+# share per weekday — one conditional-free scan aggregate over 7
+# groups, share window over the 7-row relation. Engine quirk pinned
+# here: Spark dayofweek() is 1-7 Sunday=1, DuckDB's is 0-6 Sunday=0.
+@register(
+    "q_weekday_profile",
+    f"""
+    WITH wk AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow,
+             COUNT(*) AS n_orders,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders GROUP BY 1
+    )
+    SELECT dow, n_orders, rev_micros,
+           CAST(rev_micros AS DOUBLE)
+             / CAST(SUM(rev_micros) OVER () AS DOUBLE) AS rev_share
+    FROM wk
+    """,
+)
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wk = o.groupBy(F.dayofweek("o_orderdate").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"),
+    )
+    return wk.withColumn(
+        "rev_share",
+        F.col("rev_micros").cast("double")
+        / F.sum("rev_micros").over(Window.partitionBy()).cast("double"),
+    )
