@@ -4050,7 +4050,10 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = ut.groupBy(F.col("event_type").alias("ante")).agg(
         F.count(F.lit(1)).alias("n_item")
     )
-    nu = ut.select("user_id").distinct().count()
+    # n_users as a 1-row aggregate broadcast into the plan (the same
+    # CROSS JOIN n_users the oracle uses) — no driver-side .count()
+    # job, no synchronization barrier, one lazy plan end-to-end.
+    nu_df = ut.agg(F.count_distinct("user_id").alias("_nu"))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     out = (
         pair.join(F.broadcast(item), "ante")
@@ -4059,11 +4062,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.col("n_item").alias("n_cons"))),
             "cons",
         )
+        .crossJoin(F.broadcast(nu_df))
         .select(
             "ante", "cons", "n_pair",
-            (d("n_pair") / F.lit(float(nu))).alias("support"),
+            (d("n_pair") / d("_nu")).alias("support"),
             (d("n_pair") / d("n_item")).alias("confidence"),
-            (d("n_pair") / d("n_item") / d("n_cons") * F.lit(float(nu))).alias("lift"),
+            (d("n_pair") / d("n_item") / d("n_cons") * d("_nu")).alias("lift"),
         )
     )
     return out
@@ -4590,24 +4594,34 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans_arr = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, 8)))
     )
-    from pyspark.sql import Window
-
     # Spans are DISTINCT per doc, so count(*) per span == docs
-    # containing the span — a window over the span partition delivers
-    # it in the SAME shuffle that a groupBy would cost, with no join
-    # back and (critically) ONE evaluation of the tokenize+8-gram
-    # subtree instead of two (the join formulation re-ran the regex
-    # scan per branch and was ~2x slower at sf0.1).
-    spans = docs.select("doc_id", F.explode(spans_arr).alias("span"))
-    nd = F.count(F.lit(1)).over(Window.partitionBy("span"))
-    hit = F.when(nd >= 3, 1).otherwise(0)
+    # containing the span. A groupBy combines MAP-SIDE, so a hot span
+    # (a crawl-wide footer sitting in 1e8 docs) costs O(distinct spans
+    # per mapper), where a `count() over (partition by span)` window
+    # would funnel every replica of the hot span onto one reducer.
+    # The spans relation is persisted so the tokenize+8-gram subtree
+    # still evaluates ONCE across both consumers (the unstaged join
+    # formulation re-ran the regex scan per branch, ~2x slower at
+    # sf0.1); the survivor set is small by construction (only spans
+    # shared by >=3 docs) and joins back un-hinted so AQE broadcasts
+    # it when it fits and degrades to a shuffle join when it doesn't.
+    spans = docs.select("doc_id", F.explode(spans_arr).alias("span")).persist()
+    common = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 3)
+        .select("span", F.lit(1).alias("_hit"))
+    )
     return (
-        spans.select("doc_id", hit.alias("_hit"))
+        spans.join(common, "span", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum("_hit").cast("long").alias("n_boiler"),
-            (F.sum("_hit").cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_boiler"),
+            (
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("boiler_frac"),
         )
     )
 

@@ -50,6 +50,17 @@ def test_q6_pushdown(spark, sf_dir):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
 
 
+# q_boilerplate must count span frequency with a map-side-combining
+# groupBy, never a `count() over (partition by span)` window — a hot
+# span (crawl-wide footer in 1e8 docs) lands entirely on one reducer
+# under the window form.
+def test_boilerplate_no_span_window(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q_boilerplate"](spark, sf_dir))
+    low = plan.lower()
+    assert "window" not in low, "q_boilerplate regressed to a span window"
+    assert "hashaggregate" in low
+
+
 @pytest.mark.parametrize(
     "name", ["q_market_share", "q_profit_by_nation", "q_promo_share",
              "q_supplier_variety", "q_special_revenue"]
