@@ -101,6 +101,10 @@ def main() -> None:
         try:
             best = float("inf")
             for _ in range(reps):
+                # queries that persist() an intermediate (q_boilerplate's
+                # staged spans) must not carry that cache into the next
+                # rep — every rep pays the full cold plan
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 materialize(fn(spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)
