@@ -41,6 +41,7 @@ def grouped_rank(
     num_partitions: int | None = None,
     rank_col: str = "rn",
     count_col: str = "group_cnt",
+    stage: bool = False,
 ) -> DataFrame:
     """df + [rank_col, count_col]: exact 1-based row_number within each
     group under ORDER BY order_cols, and the group's total row count.
@@ -50,6 +51,16 @@ def grouped_rank(
     strict total order inside each group. Empty group_cols ranks the
     whole frame — still distributed, since only the per-partition
     histogram (not the data) passes through a global window.
+
+    DETERMINISM REQUIREMENT: the ranked branch and the histogram
+    branch both read the same repartitionByRange exchange; for
+    deterministic inputs ReuseExchange (plus RangePartitioner's fixed
+    sampling seed) guarantees both branches observe identical
+    partition ids. A NONdeterministic upstream (sample(), rand()
+    columns, non-deterministic UDFs) can be re-evaluated differently
+    per branch and silently corrupt ranks — such callers must pass
+    ``stage=True``, which localCheckpoints the partitioned relation so
+    it is computed exactly once.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -59,6 +70,8 @@ def grouped_rank(
     part = df.repartitionByRange(n, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if stage:
+        part = part.localCheckpoint(eager=False)
     wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
     ranked = part.withColumn("_lrn", F.row_number().over(wloc))
 

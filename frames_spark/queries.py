@@ -1035,16 +1035,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Embedding-cosine near-dup pairs, fixed-point exact (dedup/embedding.py).
-_EMB_CORPUS_SQL = f"""
-    SELECT vec_id, embedding FROM embeddings
+def _emb_corpus_sql(where: str = "") -> str:
+    return f"""
+    SELECT vec_id, embedding FROM embeddings {where}
     UNION ALL
     SELECT vec_id + {_DUP_OFFSET} AS vec_id,
            list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
                           x -> CASE WHEN x[2] = 1
                                     THEN CAST(x[1] AS FLOAT) + CAST(0.125 AS FLOAT)
                                     ELSE CAST(x[1] AS FLOAT) END) AS embedding
-    FROM embeddings
+    FROM embeddings {where}
 """
+
+
+_EMB_CORPUS_SQL = _emb_corpus_sql()
 
 
 def _with_perturbed_copies(emb: DataFrame) -> DataFrame:
@@ -1072,10 +1076,11 @@ _FIXED_SQL = """
 """
 
 
-@register(
-    "q_dedup_embed",
-    f"""
-    WITH fixed AS ({_FIXED_SQL.format(corpus=_EMB_CORPUS_SQL)}),
+def _emb_exact_oracle(corpus_sql: str) -> str:
+    """All-pairs exact threshold-cosine SQL over ``corpus_sql`` —
+    the reference semantics LSH approximates."""
+    return f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus=corpus_sql)}),
     norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
     dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.e * b.e) AS dot
@@ -1088,41 +1093,34 @@ _FIXED_SQL = """
       FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
     )
     SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.9
-    """,
-)
-def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark side runs the BUCKETED path (hyperplane-LSH candidates,
-    # exact fixed-point cosine inside buckets) while the oracle stays
-    # the all-pairs join — the O(n^2) expansion belongs in the
-    # correctness twin, not the execution plan. Short 4-plane bands x
-    # 16 tables: per-band collision at the 0.9 threshold is
-    # (1 - acos(0.9)/pi)^4 ~ 0.54, so 16 independent bands give
-    # ~0.99999 per-pair recall at the decision boundary (and ~1.0 for
-    # the near-identical copies dedup actually targets); verified
-    # pair-for-pair identical to the all-pairs result at sf0.001 and
-    # sf0.01. cosine_pairs remains available for in-bucket/exact use.
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embed_ops.near_dup_pairs_lsh(
-        _with_perturbed_copies(emb), "vec_id", "embedding",
-        threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+    """
+
+
+# Faithful LSH oracle: the planes are deterministic md5-derived ±1
+# constants (embedding.plane_components), so the DuckDB twin
+# reproduces the sign buckets bit-for-bit from a generated VALUES
+# literal (planes x 64 dims), bands via ordered string_agg, the same
+# max_bucket guard, and the same exact fixed-point cosine verify.
+# Because the oracle models the EXACT candidate generation the Spark
+# side runs — including band misses and max_bucket drops — the gate
+# is deterministic under data regeneration, where an all-pairs
+# oracle against a probabilistic plan has a ~4e-6/pair flake budget
+# (ADVICE r3). Exactness vs the all-pairs semantics is witnessed
+# quantitatively by q_embed_lsh_recall instead.
+def _lsh_planes_values(total_planes: int) -> str:
+    return ",".join(
+        f"({p},{i + 1},{c})"
+        for p in range(total_planes)
+        for i, c in enumerate(embed_ops.plane_components(p, 64))
     )
 
 
-# Scale path: hyperplane-LSH bucketed near-dup. Full SQL oracle:
-# the planes are deterministic md5-derived ±1 constants
-# (embedding.plane_components), so the DuckDB twin reproduces the
-# sign buckets bit-for-bit from a generated VALUES literal (32
-# planes x 64 dims), bands via ordered string_agg, the same
-# max_bucket guard, and the same exact fixed-point cosine verify.
-_LSH_PLANES_VALUES = ",".join(
-    f"({p},{i + 1},{c})"
-    for p in range(32)
-    for i, c in enumerate(embed_ops.plane_components(p, 64))
-)
-
-_EMB_LSH_ORACLE = f"""
-    WITH fixed AS ({_FIXED_SQL.format(corpus=_EMB_CORPUS_SQL)}),
-    planes(p, i, c) AS (VALUES {_LSH_PLANES_VALUES}),
+def _emb_lsh_oracle(
+    num_planes: int, num_tables: int, max_bucket: int, corpus_sql: str
+) -> str:
+    return f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus=corpus_sql)}),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(num_planes * num_tables)}),
     signs AS (
       SELECT vec_id, p,
              CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
@@ -1130,13 +1128,13 @@ _EMB_LSH_ORACLE = f"""
       GROUP BY vec_id, p
     ),
     banded AS (
-      SELECT vec_id, p // 8 AS tbl,
+      SELECT vec_id, p // {num_planes} AS tbl,
              string_agg(sign, '' ORDER BY p) AS bucket
-      FROM signs GROUP BY vec_id, p // 8
+      FROM signs GROUP BY vec_id, p // {num_planes}
     ),
     ok_buckets AS (
       SELECT tbl, bucket FROM banded
-      GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND 2000
+      GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1160,12 +1158,75 @@ _EMB_LSH_ORACLE = f"""
 """
 
 
-@register("q_dedup_embed_lsh", _EMB_LSH_ORACLE)
+@register("q_dedup_embed", _emb_lsh_oracle(4, 16, 4000, _EMB_CORPUS_SQL))
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BUCKETED path: hyperplane-LSH candidates, exact fixed-point
+    # cosine inside buckets; the O(n^2) all-pairs form never appears
+    # in an execution plan. Short 4-plane bands x 16 tables: per-band
+    # collision at the 0.9 threshold is (1 - acos(0.9)/pi)^4 ~ 0.54,
+    # so 16 independent bands give ~0.99999 per-pair recall at the
+    # decision boundary (and ~1.0 for the near-identical copies dedup
+    # actually targets). The oracle models THIS candidate generation
+    # bit-for-bit (see _emb_lsh_oracle), so the gate cannot flake on
+    # a boundary miss after a data regeneration; recall vs the exact
+    # all-pairs semantics is measured by q_embed_lsh_recall.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embed_ops.near_dup_pairs_lsh(
+        _with_perturbed_copies(emb), "vec_id", "embedding",
+        threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+    )
+
+
+@register("q_dedup_embed_lsh", _emb_lsh_oracle(8, 4, 2000, _EMB_CORPUS_SQL))
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embed_ops.near_dup_pairs_lsh(
         _with_perturbed_copies(emb), "vec_id", "embedding",
         threshold=0.9, num_planes=8, num_tables=4, max_bucket=2000,
+    )
+
+
+# Quantitative recall witness for the LSH dedup path: on a fixed
+# deterministic subset (vec_id < 200 plus their perturbed copies),
+# compare the LSH pair set against the EXACT all-pairs threshold
+# cosine and report recall. Both sides are modeled in the oracle —
+# the exact side as the all-pairs join, the LSH side bit-for-bit —
+# so the metric itself is deterministic and driver-checkable. The
+# subset all-pairs join is a broadcast nested-loop over ~400 rows by
+# construction: this is the witness query, not the scale path.
+_EMB_SUBSET_SQL = _emb_corpus_sql("WHERE vec_id < 200")
+
+
+@register(
+    "q_embed_lsh_recall",
+    f"""
+    WITH exact AS ({_emb_exact_oracle(_EMB_SUBSET_SQL)}),
+    lsh AS (
+      SELECT id_a, id_b FROM ({_emb_lsh_oracle(4, 16, 4000, _EMB_SUBSET_SQL)})
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM exact JOIN lsh USING (id_a, id_b)) AS n_found,
+           CAST((SELECT COUNT(*) FROM exact JOIN lsh USING (id_a, id_b)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact) AS recall
+    """,
+)
+def q_embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    subset = _with_perturbed_copies(emb)
+    exact = embed_ops.cosine_pairs(subset, "vec_id", "embedding", 0.9)
+    lsh = embed_ops.near_dup_pairs_lsh(
+        subset, "vec_id", "embedding",
+        threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+    )
+    found = exact.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_exact.crossJoin(F.broadcast(n_found)).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_found").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
     )
 
 
@@ -5780,17 +5841,23 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lag-1 autocorrelation of daily revenue — the is-there-momentum
 # summary of a time series. Fact work is one day-grain aggregate;
 # the (x_t, x_{t-1}) pairing is a lag window over the tiny daily
-# relation, and the Pearson formula runs on exact integer micros
-# moments (the q_corr technique), so no engine's corr() builtin — or
-# its partition-order float drift — is involved.
+# relation, and the Pearson formula runs on exact integer moments
+# over floored-thousands revenue (the q_corr technique), so no
+# engine's corr() builtin — or its partition-order float drift — is
+# involved, and the squared sums keep int64 headroom to ~sf100.
 @register(
     "q_autocorr",
     f"""
     WITH daily AS (
-      -- whole currency units: squared daily micros overflow int64
+      -- THOUSANDS of currency units: at ~sf1 daily revenue is ~1e8
+      -- whole units, so SUM(x*x) over ~2400 days would crowd 2^63
+      -- (Spark's long sum wraps silently where DuckDB promotes to
+      -- HUGEINT). Floored thousands keep the moments exact AND give
+      -- ~5 orders of magnitude of headroom; both engines floor the
+      -- same way so the statistic stays bit-identical.
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
-               // 1000000 AS rev
+               // 1000000000 AS rev
       FROM orders GROUP BY 1
     ),
     pairs AS (
@@ -5819,7 +5886,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
         .agg(F.sum(_micros(F.col("o_totalprice"))).alias("_rm"))
-        .select("day", F.expr("_rm div 1000000").alias("rev"))
+        .select("day", F.expr("_rm div 1000000000").alias("rev"))
     )
     w = Window.orderBy("day")
     pairs = daily.select(

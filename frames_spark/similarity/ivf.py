@@ -56,9 +56,14 @@ def build_ivf(
     ``max_train`` LIMIT as the hard cap, which lets the scan
     early-stop once enough sampled rows exist. Callers at large scale
     set train_fraction so fraction * corpus ~ max_train; the default
-    keeps small corpora training on everything. Assignment of the
-    full corpus is the single model.transform pass, which carries the
-    corpus columns through (no reattach join)."""
+    keeps small corpora training on everything. The max_train cap is
+    taken in content-hash order (TakeOrderedAndProject: per-partition
+    top-K then one merge, never a full sort), NOT an unordered
+    limit() — an unordered limit is a plan/partition-dependent prefix
+    that would give different centroids across runs despite the fixed
+    seed. Assignment of the full corpus is the single model.transform
+    pass, which carries the corpus columns through (no reattach
+    join)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -70,7 +75,15 @@ def build_ivf(
         # content-hash sample: deterministic, partition-independent
         denom = max(2, round(1.0 / max(train_fraction, 1e-9)))
         train = feat.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
-    train = train.select("_feat").limit(max_train)
+    # deterministic cap: smallest max_train rows by (content hash, id)
+    # — layout-invariant, so centroids (and nprobe<K recall) are
+    # reproducible even when the corpus exceeds max_train
+    train = (
+        train.select(F.xxhash64(F.col(id_col)).alias("_h"), id_col, "_feat")
+        .orderBy("_h", id_col)
+        .limit(max_train)
+        .select("_feat")
+    )
     model = KMeans(
         k=n_centroids,
         seed=seed,

@@ -227,16 +227,30 @@ def merge_upsert(
     the merge keys + one union — the target's unmatched partitions
     stream through untouched.
     """
-    import tempfile
-
     target = spark.read.parquet(target_path)
     survivors = target.join(
         updates.select(*keys).distinct(), keys, "left_anti"
     )
     merged = survivors.unionByName(updates)
-    staging = staging_path or tempfile.mkdtemp(prefix="merge_stage_")
+    staging = staging_path or _sibling_staging(target_path, "merge_stage")
     merged.write.mode("overwrite").parquet(staging)
     _swap_in(staging, target_path)
+
+
+def _sibling_staging(target_path: str, prefix: str) -> str:
+    """Staging directory NEXT TO the target (same filesystem), so the
+    promote step in _swap_in is a true atomic os.rename. Staging on
+    /tmp (the old tempfile.mkdtemp default) often crosses filesystems,
+    where shutil.move degrades to copy+delete — a mid-copy crash then
+    leaves a PARTIAL target directory and a rollback that can't
+    rename over it."""
+    import os
+    import uuid
+
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    path = os.path.join(parent, f"{prefix}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def _swap_in(staging: str, target_path: str) -> None:
@@ -256,6 +270,12 @@ def _swap_in(staging: str, target_path: str) -> None:
     try:
         shutil.move(staging, target_path)
     except BaseException:
+        # If the move crossed filesystems (caller-supplied staging on
+        # another device), it may have died mid-copy leaving a PARTIAL
+        # target — clear it or the rollback rename raises ENOTEMPTY
+        # and the good copy stays stranded in the retired dir.
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path, ignore_errors=True)
         os.rename(retired, target_path)  # roll back: old table intact
         raise
     shutil.rmtree(retired)
@@ -280,15 +300,13 @@ def delete_rows(
     affected partitions (partial rewrite) — that variant belongs to a
     transactional format's DELETE. At 100 TB run this as the same
     periodic compaction pass that merge_upsert rides."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     target = spark.read.parquet(target_path)
     dk = delete_keys.select(*keys).distinct()
     survivors = target.join(F.broadcast(dk), keys, "left_anti")
     n_before = target.count()
-    staging = staging_path or tempfile.mkdtemp(prefix="delete_stage_")
+    staging = staging_path or _sibling_staging(target_path, "delete_stage")
     survivors.write.mode("overwrite").parquet(staging)
     n_after = spark.read.parquet(staging).count()
     _swap_in(staging, target_path)
