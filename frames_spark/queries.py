@@ -1542,6 +1542,55 @@ def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quantitative witness for the nprobe<K probing path (the row the
+# fullprobe twin can't cover): recall@5 vs the exact brute-force
+# top-5 over the fixed query subset, PROFILED across nprobe — one
+# row per nprobe in {1,3,5,8}, each a ratio of exact integer counts.
+# Rows-only by design (centroids come from iterative seeded k-means,
+# not SQL-expressible), but the VALUES are deterministic (seeded fit
+# over a hash-ordered training cap) and tests/test_ivf.py pins the
+# profile: monotone non-decreasing in nprobe, exactly 1.0 at full
+# probe. Note the synthetic near-uniform embeddings are IVF's worst
+# case — neighbors scatter across cells, so partial-probe recall
+# (~0.73 at 3/8) is structurally lower than on real clustered
+# embedding corpora; the profile shape, not one point, is the pin.
+@register("q_ann_ivf_recall")
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.ivf import build_ivf, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = (
+        ann_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .persist()  # tiny (|queries| x 5); reused by every nprobe branch
+    )
+    assigned, centroids = build_ivf(emb, "vec_id", "embedding", n_centroids=8)
+    assigned = assigned.persist()  # one quantizer pass feeds all probes
+    parts = []
+    for nprobe in (1, 3, 5, 8):
+        ivf = ivf_search(
+            assigned, centroids, queries, "vec_id", "embedding", k=5, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        found = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+        parts.append(
+            n_exact.crossJoin(F.broadcast(n_found)).select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "n_exact",
+                "n_found",
+                (
+                    F.col("n_found").cast("double") / F.col("n_exact").cast("double")
+                ).alias("recall_at_5"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Training-corpus cleaning pipeline (pipelines/pretrain.py): quality
 # gate -> language gate -> exact dedup -> minhash near-dup drop, as

@@ -46,6 +46,24 @@ def test_ivf_recall(emb, qs):
     assert len(approx) <= len(exact)
 
 
+def test_ivf_recall_profile_query(spark, sf_dir):
+    """The registered q_ann_ivf_recall profile: recall@5 is monotone
+    non-decreasing in nprobe, EXACTLY 1.0 at full probe (nprobe ==
+    n_centroids makes IVF brute force regardless of training), and
+    the partial-probe floor holds. On real clustered corpora the
+    mid-profile would sit near 1.0; the synthetic uniform vectors
+    here are IVF's worst case, so the floor is deliberately loose."""
+    from frames_spark.queries import q_ann_ivf_recall
+
+    rows = sorted(q_ann_ivf_recall(spark, sf_dir).collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 3, 5, 8]
+    recalls = [r.recall_at_5 for r in rows]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe not exact: {recalls}"
+    assert recalls[1] >= 0.5, f"nprobe=3 recall floor broken: {recalls}"
+    assert all(r.n_exact == rows[0].n_exact for r in rows)
+
+
 def test_ivf_candidate_join_shape(emb, qs):
     assigned, centroids = build_ivf(emb, "vec_id", "embedding", n_centroids=8)
     out = ivf_search(assigned, centroids, qs, "vec_id", "embedding", k=K, nprobe=2)
