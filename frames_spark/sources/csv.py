@@ -17,8 +17,12 @@ analog keeps both properties that matter at 100 TB:
 Also covered: custom separators (``readTableOpt``/``writeDSV``
 CSV.hs:364,518), headerless files with caller-provided names +
 per-identifier prefix (``rowGen``), Latin-1 (CSV.hs:267
-``readFileLatin1Ln``), RFC-4180 quoting (CSV.hs:115), and CSV/DSV
-output (CSV.hs:505 ``writeCSV``).
+``readFileLatin1Ln``), RFC-4180 quoting (CSV.hs:115), CSV/DSV
+output (CSV.hs:505 ``writeCSV``), and USER-EXTENSIBLE column types
+(``ColumnType``) — the runtime analog of Frames' ``declareColumn`` +
+``Parseable`` instances (src/Frames/TH.hs:91, demo/TutorialUsers.hs),
+which let callers teach the inferencer new column types that the
+typed read then applies.
 """
 
 from __future__ import annotations
@@ -26,8 +30,11 @@ from __future__ import annotations
 import csv as _csv
 import io
 import re
+from dataclasses import dataclass, field
+from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Frames' lattice: Bool < Int < Double < Text (ColumnUniverse.hs).
@@ -81,6 +88,53 @@ _SPARK_TYPES = {
 }
 
 
+@dataclass(frozen=True)
+class ColumnType:
+    """A user-declared column type the inferencer can recognize —
+    runtime ``declareColumn`` + ``Parseable`` (reference:
+    src/Frames/TH.hs:91, demo/TutorialUsers.hs, where a custom enum
+    column is taught to ``tableTypes``).
+
+    ``predicate`` decides whether a sample cell belongs to the type;
+    a column infers to this type iff EVERY non-missing sample cell
+    passes (one failing cell falls back through the builtin lattice
+    to string, like Frames falling back to Text). Custom types are
+    tried before the builtin lattice, most-specific-first in the
+    order given, so an enum of digit strings can still beat Int.
+
+    ``parse`` (optional) is a JVM-side Column expression mapping the
+    raw string cell to ``spark_type`` — NEVER a per-row Python UDF.
+    Cells it maps to NULL behave like Maybe-column misses. Without
+    ``parse``, the column is handed to Spark's reader typed as
+    ``spark_type`` directly (for types Spark's CSV parser already
+    understands, e.g. dates)."""
+
+    name: str
+    predicate: Callable[[str], bool]
+    spark_type: T.DataType = field(default_factory=T.StringType)
+    parse: Callable[[Column], Column] | None = None
+
+
+_CUSTOM_META = "frames_custom"
+
+# Offset-bearing ISO-8601 timestamp, e.g. 2003-03-30T01:10:00+02:00 /
+# "... -0500" / "...Z" (reference demo/TimeZones/: parsing
+# timezone-aware time columns from CSV). Parsed JVM-side by
+# to_timestamp, which normalizes the instant to UTC under the pinned
+# UTC session zone — probe-don't-assume on the INGEST side too.
+_ZONED_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?\s*"
+    r"(Z|z|[+-]\d{2}:?\d{2})"
+)
+
+ZONED_TIMESTAMP = ColumnType(
+    name="zoned_timestamp",
+    predicate=lambda s: _ZONED_RE.fullmatch(s.strip()) is not None,
+    spark_type=T.TimestampType(),
+    parse=lambda c: F.to_timestamp(c),
+)
+
+
 def sanitize_name(name: str) -> str:
     """Column-name sanitization (Frames.Utils.sanitizeTypeName): make
     a header cell a usable identifier."""
@@ -92,6 +146,16 @@ def sanitize_name(name: str) -> str:
     return cleaned
 
 
+def _cell_type_ex(cell: str, customs: list[ColumnType]) -> str:
+    s = cell.strip()
+    if s == "":
+        return "missing"
+    for c in customs:
+        if c.predicate(s):
+            return f"@{c.name}"
+    return _cell_type(cell)
+
+
 def infer_schema(
     spark: SparkSession,
     path: str,
@@ -101,11 +165,18 @@ def infer_schema(
     prefix: str = "",
     sample_rows: int = 1000,
     encoding: str = "UTF-8",
+    custom_types: list[ColumnType] | None = None,
 ) -> T.StructType:
     """Infer a StructType from the first ``sample_rows`` data rows.
 
     The sample is a driver-side limit() on a line-oriented read — the
     distributed scan below never pays inference cost.
+
+    ``custom_types`` extends the lattice (see ColumnType): a column
+    whose every non-missing sample cell passes a custom predicate
+    infers to that type; the returned StructField carries the final
+    Spark type plus metadata naming the ColumnType so read_csv can
+    apply its parse expression.
     """
     lines = [
         r[0]
@@ -129,16 +200,22 @@ def infer_schema(
         data = rows
     if prefix:
         names = [f"{prefix}{n}" for n in names]
+    customs = list(custom_types or [])
     col_types = ["missing"] * len(names)
     for row in data[:sample_rows]:
         for i, cell in enumerate(row[: len(names)]):
-            col_types[i] = _join_types(col_types[i], _cell_type(cell))
-    return T.StructType(
-        [
-            T.StructField(n, _SPARK_TYPES[t], True)
-            for n, t in zip(names, col_types)
-        ]
-    )
+            col_types[i] = _join_types(col_types[i], _cell_type_ex(cell, customs))
+    by_name = {c.name: c for c in customs}
+    fields = []
+    for n, t in zip(names, col_types):
+        if t.startswith("@"):
+            ct = by_name[t[1:]]
+            fields.append(
+                T.StructField(n, ct.spark_type, True, metadata={_CUSTOM_META: ct.name})
+            )
+        else:
+            fields.append(T.StructField(n, _SPARK_TYPES[t], True))
+    return T.StructType(fields)
 
 
 def read_csv(
@@ -154,12 +231,19 @@ def read_csv(
     encoding: str = "UTF-8",
     sample_rows: int = 1000,
     multi_line: bool = False,
+    custom_types: list[ColumnType] | None = None,
 ) -> DataFrame:
     """Typed distributed CSV read with prefix-inferred schema.
 
     ``columns`` projects a subset (readTableOpt); ``permissive=True``
     yields Maybe-column NULLs for bad cells (readTableMaybe),
     ``False`` drops malformed rows (readTable's skip).
+
+    ``custom_types`` teaches inference user-declared column types
+    (ColumnType — runtime declareColumn/Parseable); columns inferred
+    to a type with a ``parse`` expression are read as strings and
+    converted JVM-side in the same projection, so the distributed
+    scan stays single-pass with no Python in the row path.
 
     ``multi_line=True`` parses RFC-4180 quoted fields with embedded
     newlines (reference: test/Spec.hs:217 on test/data/multiline.csv
@@ -169,12 +253,27 @@ def read_csv(
     inside quotes), so Spark parses each FILE whole — keep multiline
     corpora in many moderate files, not one giant one.
     """
+    registry = {c.name: c for c in custom_types or []}
+    registry.setdefault(ZONED_TIMESTAMP.name, ZONED_TIMESTAMP)
     if schema is None:
         schema = infer_schema(
-            spark, path, sep, header, column_names, prefix, sample_rows, encoding
+            spark, path, sep, header, column_names, prefix, sample_rows,
+            encoding, custom_types,
         )
+    # Columns bound to a ColumnType with a parse expression are read
+    # as raw strings, then converted in one post-scan projection.
+    reader_fields: list[T.StructField] = []
+    post: dict[str, ColumnType] = {}
+    for f in schema.fields:
+        cname = f.metadata.get(_CUSTOM_META) if f.metadata else None
+        ct = registry.get(cname) if cname else None
+        if ct is not None and ct.parse is not None:
+            reader_fields.append(T.StructField(f.name, T.StringType(), True))
+            post[f.name] = ct
+        else:
+            reader_fields.append(f)
     reader = (
-        spark.read.schema(schema)
+        spark.read.schema(T.StructType(reader_fields))
         .option("header", str(header).lower())
         .option("sep", sep)
         .option("encoding", encoding)
@@ -184,6 +283,15 @@ def read_csv(
         .option("mode", "PERMISSIVE" if permissive else "DROPMALFORMED")
     )
     df = reader.csv(path)
+    if post:
+        df = df.select(
+            *[
+                post[c].parse(F.col(c)).cast(post[c].spark_type).alias(c)
+                if c in post
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     if columns:
         df = df.select(*columns)
     return df

@@ -28,16 +28,28 @@ def infer_jsonl_schema(
     spark: SparkSession,
     path: str,
     sample_rows: int = 1000,
+    zoned_timestamps: bool = False,
 ) -> T.StructType:
     """Schema from the first ``sample_rows`` lines — one tiny
     driver-side read; the sample is parsed by Spark's own JSON
     inferencer so the result matches exactly what a full-scan
-    inference would produce on those rows."""
+    inference would produce on those rows.
+
+    ``zoned_timestamps=True`` turns on timestamp inference
+    (``inferTimestamp``): offset-bearing ISO-8601 strings
+    (2003-03-30T01:10:00+02:00, ...Z) infer as TimestampType and the
+    typed read normalizes each instant to UTC under the pinned UTC
+    session zone (reference demo/TimeZones/ — zoned time columns).
+    Off by default: Spark disables it for inference cost, and here it
+    also keeps ingest behavior explicit."""
     lines = [r[0] for r in spark.read.text(path).limit(sample_rows).collect()]
     if not lines:
         raise ValueError(f"empty JSONL: {path}")
     sample = spark.createDataFrame([(ln,) for ln in lines], "value string")
-    return spark.read.json(sample.rdd.map(lambda r: r[0])).schema
+    reader = spark.read
+    if zoned_timestamps:
+        reader = reader.option("inferTimestamp", "true")
+    return reader.json(sample.rdd.map(lambda r: r[0])).schema
 
 
 def read_jsonl(
@@ -47,6 +59,7 @@ def read_jsonl(
     columns: list[str] | None = None,
     permissive: bool = True,
     sample_rows: int = 1000,
+    zoned_timestamps: bool = False,
 ) -> DataFrame:
     """Typed distributed JSONL read.
 
@@ -54,9 +67,11 @@ def read_jsonl(
     ``_corrupt_record`` and NULLs elsewhere; ``False`` drops them.
     ``columns`` prunes top-level fields (column pruning pushes into
     the scan — unread fields are never parsed).
+    ``zoned_timestamps=True`` infers offset-bearing ISO-8601 string
+    fields as TimestampType (UTC-normalized instants).
     """
     if schema is None:
-        schema = infer_jsonl_schema(spark, path, sample_rows)
+        schema = infer_jsonl_schema(spark, path, sample_rows, zoned_timestamps)
     if permissive and CORRUPT_COL not in [f.name for f in schema.fields]:
         schema = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]

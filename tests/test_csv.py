@@ -135,3 +135,130 @@ def test_multiline_quoted_records(spark, csv_dir):
     fcsv.write_csv(df, out)
     back = fcsv.read_csv(spark, out, multi_line=True)
     assert {r.RowNum: r.Description for r in back.collect()} == rows
+
+
+# ---------------------------------------------------------------------------
+# Custom column types: runtime declareColumn/Parseable (reference:
+# src/Frames/TH.hs:91, demo/TutorialUsers.hs teaches the inferencer
+# a custom enum column and the typed read applies it).
+# ---------------------------------------------------------------------------
+
+_MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
+           "jul", "aug", "sep", "oct", "nov", "dec"]
+
+
+def _month_parse(c):
+    from pyspark.sql import functions as F
+
+    expr = None
+    for i, m in enumerate(_MONTHS):
+        cond = F.lower(F.trim(c)) == m
+        expr = F.when(cond, i + 1) if expr is None else expr.when(cond, i + 1)
+    return expr
+
+
+MONTH = fcsv.ColumnType(
+    name="month",
+    predicate=lambda s: s.lower() in _MONTHS,
+    spark_type=T.IntegerType(),
+    parse=_month_parse,
+)
+
+
+def test_custom_column_type_enum(spark, csv_dir):
+    """TutorialUsers-style custom enum: inference recognizes it, the
+    typed read maps it JVM-side, unknown cells are Maybe-NULL, and a
+    write->read round trip of the parsed values survives."""
+    p = str(csv_dir / "months.csv")
+    with open(p, "w") as f:
+        f.write("id,m\n1,jan\n2,FEB\n3,dec\n")
+    schema = fcsv.infer_schema(spark, p, custom_types=[MONTH])
+    assert schema["m"].dataType == T.IntegerType()
+    assert schema["m"].metadata.get("frames_custom") == "month"
+    df = fcsv.read_csv(spark, p, custom_types=[MONTH])
+    rows = {r.id: r.m for r in df.collect()}
+    assert rows == {1: 1, 2: 2, 3: 12}
+    # round trip: the parsed ints are plain ints downstream
+    out = str(csv_dir / "months_out")
+    fcsv.write_csv(df, out)
+    back = fcsv.read_csv(spark, out)
+    assert {r.id: r.m for r in back.collect()} == rows
+
+
+def test_custom_type_falls_back_to_string(spark, csv_dir):
+    """One cell outside the custom domain degrades the column to
+    string (Frames: a failed Parseable falls back to Text)."""
+    p = str(csv_dir / "months_bad.csv")
+    with open(p, "w") as f:
+        f.write("id,m\n1,jan\n2,notamonth\n")
+    schema = fcsv.infer_schema(spark, p, custom_types=[MONTH])
+    assert schema["m"].dataType == T.StringType()
+
+
+def test_custom_type_beats_builtin_lattice(spark, csv_dir):
+    """A custom type of digit strings (zip codes) wins over Int, so
+    leading zeros survive — custom predicates are tried first."""
+    import re
+
+    ZIP = fcsv.ColumnType(
+        name="zipcode",
+        predicate=lambda s: re.fullmatch(r"\d{5}", s) is not None,
+        spark_type=T.StringType(),
+    )
+    p = str(csv_dir / "zips.csv")
+    with open(p, "w") as f:
+        f.write("city,zip\nboston,02134\nnyc,10001\n")
+    schema = fcsv.infer_schema(spark, p, custom_types=[ZIP])
+    assert schema["zip"].dataType == T.StringType()
+    df = fcsv.read_csv(spark, p, custom_types=[ZIP])
+    assert sorted(r.zip for r in df.collect()) == ["02134", "10001"]
+
+
+def test_zoned_timestamp_csv(spark, csv_dir):
+    """demo/TimeZones/: offset-bearing strings become UTC instants
+    under the pinned UTC session zone, and the instant survives a
+    parquet round trip (NTZ-vs-LTZ: what we write back out reads as
+    the same micros)."""
+    from datetime import datetime
+
+    p = str(csv_dir / "zoned.csv")
+    with open(p, "w") as f:
+        f.write(
+            "id,t\n"
+            "1,2003-03-30T01:10:00+02:00\n"
+            "2,2003-03-30T01:10:00Z\n"
+            "3,2003-03-29 20:10:00-05:00\n"
+        )
+    df = fcsv.read_csv(spark, p, custom_types=[fcsv.ZONED_TIMESTAMP])
+    assert dict(df.dtypes)["t"] == "timestamp"
+    rows = {r.id: r.t for r in df.collect()}
+    # all three are instants; session zone is UTC so naive == UTC
+    assert rows[1] == datetime(2003, 3, 29, 23, 10)
+    assert rows[2] == datetime(2003, 3, 30, 1, 10)
+    assert rows[3] == datetime(2003, 3, 30, 1, 10)
+    # parquet round trip preserves the instant regardless of NTZ/LTZ
+    out = str(csv_dir / "zoned_parquet")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert {r.id: r.t for r in back.collect()} == rows
+
+
+def test_zoned_timestamp_jsonl(spark, csv_dir):
+    """Same ingest contract for JSONL: opt-in inferTimestamp maps
+    offset strings to UTC instants."""
+    from datetime import datetime
+
+    from frames_spark.sources import jsonl as fjsonl
+
+    p = str(csv_dir / "zoned.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "t": "2003-03-30T01:10:00+02:00"}\n')
+        f.write('{"id": 2, "t": "2003-03-30T01:10:00Z"}\n')
+    df = fjsonl.read_jsonl(spark, p, zoned_timestamps=True)
+    assert dict(df.dtypes)["t"] == "timestamp"
+    rows = {r.id: r.t for r in df.collect()}
+    assert rows[1] == datetime(2003, 3, 29, 23, 10)
+    assert rows[2] == datetime(2003, 3, 30, 1, 10)
+    # without the opt-in, the field stays a plain string
+    df2 = fjsonl.read_jsonl(spark, p)
+    assert dict(df2.dtypes)["t"] == "string"
