@@ -9,7 +9,11 @@ re-exports the operators a Frames user reaches for first; submodules
 extended surface.
 """
 
-from frames_spark.dedup.cluster import attach_components, connected_components
+from frames_spark.dedup.cluster import (
+    attach_components,
+    connected_components,
+    connected_components_star,
+)
 from frames_spark.dedup.editdist import edit1_pairs
 from frames_spark.operators.aggregate import argmax, column_means, group_fold, mean_ratio
 from frames_spark.operators.asof import asof_join
@@ -103,7 +107,7 @@ __all__ = [
     "profile", "duplicate_keys", "orphans", "out_of_range",
     "null_violations",
     # dedup / similarity
-    "connected_components", "attach_components", "edit1_pairs",
+    "connected_components", "connected_components_star", "attach_components", "edit1_pairs",
     "centroids", "component_means",
     # event analytics
     "funnel_stages", "funnel_counts", "interval_concurrency",

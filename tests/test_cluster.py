@@ -1,111 +1,93 @@
-"""Connected components: fixpoint correctness vs union-find, chain
-convergence, canonical attachment, end-to-end clusters query."""
+"""Connected components (dedup/cluster.py): the large-star/small-star
+variant must agree with min-label propagation on realistic near-dup
+graphs AND converge in O(log n)-ish rounds on the pathological chain
+where propagation needs O(diameter) — plus the propagation guard that
+refuses to return silently-partial labels."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
+import pytest
 from pyspark.sql import functions as F
 
-from frames_spark.dedup import cluster as cc
-from frames_spark.dedup import minhash as mh
-from frames_spark.sources.tables import load_table
-
-
-def _union_find(n_nodes: set[int], edges: list[tuple[int, int]]) -> dict[int, int]:
-    parent = {v: v for v in n_nodes}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    # min-label within each set
-    groups: dict[int, list[int]] = {}
-    for v in n_nodes:
-        groups.setdefault(find(v), []).append(v)
-    return {v: min(members) for members in groups.values() for v in members}
-
-
-def test_chain_converges_to_single_component(spark):
-    # worst case for label propagation: one long path 0-1-2-...-9
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(9)], "src: long, dst: long"
-    )
-    got = {
-        (r.node, r.component)
-        for r in cc.connected_components(edges).collect()
-    }
-    assert got == {(i, 0) for i in range(10)}
-
-
-def test_two_components_and_self_loop(spark):
-    edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (5, 5)], "src: long, dst: long"
-    )
-    rows = {r.node: r.component for r in cc.connected_components(edges).collect()}
-    assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5}
-
-
-@settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+from frames_spark.dedup.cluster import (
+    connected_components,
+    connected_components_star,
 )
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 30), st.integers(0, 30)),
-        min_size=1,
-        max_size=40,
+
+
+def _labels(df) -> dict:
+    return {r.node: r.component for r in df.collect()}
+
+
+def _chain(spark, n: int):
+    """Path graph 0-1-2-...-n-1: diameter n-1, the propagation
+    worst case."""
+    return spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
-)
-def test_matches_union_find(spark, edge_list):
-    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
-    got = {r.node: r.component for r in cc.connected_components(edges).collect()}
-    nodes = {v for e in edge_list for v in e}
-    assert got == _union_find(nodes, edge_list)
 
 
-def test_attach_components_marks_canonicals(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    edges = spark.createDataFrame([(0, 1), (1, 2)], "src: long, dst: long")
-    comps = cc.connected_components(edges)
-    out = cc.attach_components(docs, comps, "doc_id")
-    rows = {r.doc_id: (r.component, r.is_canonical) for r in out.collect()}
-    assert rows[0] == (0, True)
-    assert rows[1] == (0, False) and rows[2] == (0, False)
-    # untouched docs are their own singleton component
-    others = [v for k, v in rows.items() if k > 2]
-    assert others and all(comp == k for k, (comp, canon) in rows.items() if k > 2)
-    # exactly one canonical per component
-    per_comp = (
-        out.groupBy("component")
-        .agg(F.sum(F.col("is_canonical").cast("long")).alias("n_canon"))
-        .collect()
+def test_star_matches_propagation_on_clusters(spark):
+    """Forest of dense clusters (the near-dup shape): identical
+    labels from both algorithms."""
+    # 40 cliques of 5: node = 5*c + i, edges within each clique
+    edges = (
+        spark.range(200)
+        .select(
+            (F.col("id") / 5).cast("long").alias("c"),
+            F.col("id").alias("src"),
+        )
+        .withColumn("dst", F.col("c") * 5 + (F.col("src") + 1) % 5)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
     )
-    assert all(r.n_canon == 1 for r in per_comp)
+    want = _labels(connected_components(edges))
+    got = _labels(connected_components_star(edges))
+    assert got == want
+    # every clique labelled by its min member
+    assert all(comp == (node // 5) * 5 for node, comp in got.items())
 
 
-def test_minhash_clusters_group_near_copies(spark, sf_dir):
-    # near-copy corpus: doc_id and doc_id+offset should co-cluster
-    from frames_spark.queries import _DUP_OFFSET, _MH_BANDS, _MH_K, _MH_ROWS, _with_near_copies
+def test_star_converges_fast_on_chain(spark):
+    """256-node path: diameter 255. Star must converge in a handful
+    of rounds (O(log^2 n), in practice ~log n) and label every node
+    with the chain's minimum."""
+    stats: dict = {}
+    labels = _labels(connected_components_star(_chain(spark, 256), stats=stats))
+    assert stats["rounds"] <= 12, f"star took {stats['rounds']} rounds"
+    assert set(labels.values()) == {0}
+    assert len(labels) == 256
 
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = mh.minhash_signatures(
-        _with_near_copies(docs), "doc_id", "text", n=3, num_hashes=_MH_K
+
+def test_propagation_raises_instead_of_partial_labels(spark):
+    """min-label propagation on a chain longer than max_iter must
+    REFUSE (RuntimeError), never return partial labels silently."""
+    with pytest.raises(RuntimeError, match="connected_components_star"):
+        connected_components(_chain(spark, 64), max_iter=10)
+
+
+def test_propagation_round_count_is_diameter_bound(spark):
+    """On a short chain, propagation converges and reports rounds on
+    the order of the diameter — the measured evidence for why the
+    star variant exists."""
+    stats: dict = {}
+    labels = _labels(connected_components(_chain(spark, 9), stats=stats, max_iter=25))
+    assert set(labels.values()) == {0}
+    # min label travels one hop per round: ~diameter rounds (8), +1
+    # for the fixpoint-detection round
+    assert 4 <= stats["rounds"] <= 10
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    """Deterministic pseudo-random sparse graph: same components."""
+    edges = (
+        spark.range(500)
+        .select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(300)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + 1_000_000), F.lit(300)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
     )
-    pairs = mh.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
-    comps = {r.node: r.component for r in cc.connected_components(
-        pairs, "doc_a", "doc_b").collect()}
-    # every original doc that got any edge shares a component with its copy
-    together = [
-        comps[d] == comps[d + _DUP_OFFSET]
-        for d in comps
-        if d < _DUP_OFFSET and d + _DUP_OFFSET in comps
-    ]
-    assert together and all(together)
+    want = _labels(connected_components(edges, max_iter=25))
+    got = _labels(connected_components_star(edges))
+    assert got == want and len(got) > 0
