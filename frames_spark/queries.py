@@ -5871,8 +5871,11 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_micros(F.col("o_totalprice"))).alias("_sm"))
         .select("o_custkey", F.expr("_sm div 1000000").alias("spend"))
     )
+    # stage=True: cust is an aggregate output, so its within-partition
+    # row order is shuffle-fetch-dependent — pin the range exchange
+    # (same hazard q_rfm hit live at sf0.1; see grouped_rank docstring)
     ranked = grouped_rank(cust, [], ["spend", "o_custkey"], rank_col="rn",
-                          count_col="n")
+                          count_col="n", stage=True)
     ws = F.sum(F.col("rn") * F.col("spend"))
     tot = F.sum("spend")
     n = F.max("n")
@@ -5992,4 +5995,351 @@ def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_share",
         F.col("rev_micros").cast("double")
         / F.sum("rev_micros").over(Window.partitionBy()).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface: customer-value analytics, time-series QA, corpus
+# source comparison, and dimensionality-reduction plumbing.
+# ---------------------------------------------------------------------------
+
+
+# RFM segmentation — the CRM workhorse: per ordering customer,
+# Recency (days since last order, vs the corpus max date), Frequency
+# (order count), Monetary (exact micros spend), each quartile-scored.
+# All three NTILE(4)s ride the two-phase distributed rank
+# (operators/ranking.py) over strict total orders — never a global
+# single-task window over the customer table.
+@register(
+    "q_rfm",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS n_orders,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS spend_micros
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, n_orders, spend_micros,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY spend_micros, o_custkey) AS BIGINT) AS m_score
+    FROM per_cust
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("_max_date"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_micros(F.col("o_totalprice"))).alias("spend_micros"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_max_date"), F.col("_last"))
+            .cast("long")
+            .alias("recency_days"),
+            "n_orders",
+            "spend_micros",
+        )
+    )
+    out = per_cust
+    for metric, score in (
+        ("recency_days", "r_score"),
+        ("n_orders", "f_score"),
+        ("spend_micros", "m_score"),
+    ):
+        # stage=True: the upstream here is a shuffle (groupBy, then
+        # prior rank joins) whose within-partition row ORDER is not
+        # deterministic, so the two-branch rank must pin its range
+        # exchange with a localCheckpoint (see grouped_rank docstring)
+        ranked = grouped_rank(
+            out, [], [metric, "o_custkey"],
+            rank_col="_rn", count_col="_cnt", stage=True,
+        )
+        out = ranked.withColumn(
+            score, ntile_from_rank(F.col("_rn"), F.col("_cnt"), 4)
+        ).drop("_rn", "_cnt")
+    return out
+
+
+# 7-day trailing moving average of daily revenue. The fact table
+# collapses to one row per day FIRST (map-side combined); the moving
+# window then runs over the tiny daily relation only — sum and count
+# kept as exact integers, divided once as double.
+@register(
+    "q_moving_avg",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders GROUP BY 1
+    )
+    SELECT day, rev_micros,
+           CAST(CAST(SUM(rev_micros) OVER w AS BIGINT) AS DOUBLE)
+             / COUNT(*) OVER w AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "rev_micros",
+        (
+            F.sum("rev_micros").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+    )
+
+
+# Trailing-window anomaly days: revenue deviating > 2 sigma from the
+# PRECEDING 28 days (current day excluded — no self-contamination).
+# The sigma test is pure INTEGER arithmetic on floored-thousands
+# revenue: |x - s/n| > 2*sqrt((n*ss - s^2))/n  <=>
+# (n*x - s)^2 > 4*(n*ss - s^2), so no float crosses the engine
+# boundary and the squared sums keep int64 headroom to ~sf100.
+@register(
+    "q_anomaly_days",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               // 1000000000 AS rev_k
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT day, rev_k,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(rev_k) OVER w AS BIGINT) AS s,
+             CAST(SUM(rev_k * rev_k) OVER w AS BIGINT) AS ss
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, rev_k FROM stats
+    WHERE n >= 14
+      AND (n * rev_k - s) * (n * rev_k - s) > 4 * (n * ss - s * s)
+    """,
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum(_micros(F.col("o_totalprice"))).alias("_rm"))
+        .select("day", F.expr("_rm div 1000000000").alias("rev_k"))
+    )
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    stats = daily.select(
+        "day",
+        "rev_k",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rev_k").over(w).alias("s"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("rev_k") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        stats.filter((F.col("n") >= 14) & (dev * dev > 4 * var_n2))
+        .select("day", "rev_k")
+    )
+
+
+# Inter-order gap distribution: per-customer consecutive order gaps
+# (lag window keyed by customer — parallelism = |customers|), then
+# one global aggregate with bit-stable micros percentiles.
+@register(
+    "q_order_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+             - epoch_us(LAG(CAST(o_orderdate AS TIMESTAMP)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)) AS gap_us
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(FLOOR(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
+           CAST(FLOOR(quantile_cont(gap_us, 0.9)) AS BIGINT) AS p90_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    """,
+)
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate may arrive NTZ from the parquet footer; the cast is
+    # exact under the pinned UTC session zone
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    gaps = o.select(
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.floor(F.percentile(F.col("gap_us"), F.lit(0.5))).cast("long").alias("p50_us"),
+        F.floor(F.percentile(F.col("gap_us"), F.lit(0.9))).cast("long").alias("p90_us"),
+    )
+
+
+# Pairwise token-set Jaccard between corpus sources — "how much do
+# my crawls overlap, vocabulary-wise". Candidate pairs come from ONE
+# groupBy on the token (inverted index) with in-array i<j expansion
+# — the (source, token-set) relations never self-join, and the
+# per-source sizes are a broadcast.
+@register(
+    "q_source_jaccard",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest(list_filter({_TOKENS_SQL}, t -> t <> '')) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    """,
+)
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.filter(_tokens_col(), lambda t: t != "")).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    buckets = tok.groupBy("token").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).filter(F.size("ss") >= 2)
+    pairs = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    inter = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_common", "n_a", "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# Random-projection sketch of the embedding corpus: project every
+# vector onto 8 deterministic ±1 hyperplanes (the md5-derived planes
+# the LSH path uses — here kept CONTINUOUS, not sign-quantized) and
+# report per-dimension distribution stats. The dot products run in
+# fixed-point integers, so the DuckDB twin reproduces them exactly
+# from a planes VALUES literal. One pass, no shuffle beyond the
+# 8-row aggregate.
+@register(
+    "q_random_projection",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(8)}),
+    proj AS (
+      SELECT vec_id, p, CAST(SUM(e * c) AS BIGINT) AS v
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    )
+    SELECT CAST(p AS BIGINT) AS dim, COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_proj,
+           CAST(MIN(v) AS BIGINT) AS min_proj,
+           CAST(MAX(v) AS BIGINT) AS max_proj,
+           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_proj
+    FROM proj GROUP BY p
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.vectors import dot_fixed, to_fixed
+    from frames_spark.operators.core import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    fvec = to_fixed(F.col("embedding"))
+    planes = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in embed_ops.plane_components(p, 64)])
+            for p in range(8)
+        ]
+    )
+    projs = F.transform(planes, lambda comp: dot_fixed(fvec, comp))
+    return (
+        emb.select(F.posexplode(projs).alias("dim", "v"))
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_proj"),
+            F.min("v").alias("min_proj"),
+            F.max("v").alias("max_proj"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_proj"),
+        )
+    )
+
+
+# Duplicate-cluster size histogram: how big are the exact-dup groups
+# (cluster_size = docs sharing one md5(text))? The dedup-policy
+# overview number — two map-side-combined groupBys, no joins.
+@register(
+    "q_cluster_sizes",
+    """
+    WITH sizes AS (
+      SELECT md5(text) AS h, COUNT(*) AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
     )
