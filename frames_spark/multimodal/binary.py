@@ -11,6 +11,11 @@ are stubbed: ``decode_stub`` raises NotImplementedError unless
 (so the Spark-side plumbing — schema, batching, partitioning — is
 fully real and testable). Swap `_decode_real` with PIL/ffmpeg calls
 in a deployment image.
+
+PERMANENT-BY-ENVIRONMENT: re-checked round 4 — none of PIL/pillow,
+cv2, soundfile, librosa, or av is importable in this container and
+installs are disallowed, so the real-decode gate cannot be lit here.
+The import-try pattern below is the deployment path.
 """
 
 from __future__ import annotations
