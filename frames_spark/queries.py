@@ -6343,3 +6343,205 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+# Calendar-RANGE moving average — the rows-frame/range-frame
+# distinction that bites every time-series user: q_moving_avg's ROWS
+# frame spans 7 *rows*, this RANGE frame spans 7 *calendar days*, so
+# gaps in the date spine change the answer. Ordered on epoch seconds
+# (both engines), exact integer sum/count divided once.
+@register(
+    "q_moving_avg_range",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             epoch(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)) AS day_s,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, rev_micros,
+           CAST(n_win AS BIGINT) AS n_days,
+           CAST(CAST(s_win AS BIGINT) AS DOUBLE) / n_win AS ma7d
+    FROM (
+      SELECT day, rev_micros,
+             COUNT(*) OVER w AS n_win,
+             SUM(rev_micros) OVER w AS s_win
+      FROM daily
+      WINDOW w AS (ORDER BY day_s
+                   RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    daily = o.groupBy(
+        day.alias("day"),
+        F.unix_timestamp(day.cast("timestamp")).alias("day_s"),
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    w = Window.orderBy("day_s").rangeBetween(-6 * 86400, 0)
+    return daily.select(
+        "day",
+        "rev_micros",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        (
+            F.sum("rev_micros").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7d"),
+    )
+
+
+# Pareto frontier of customers on (frequency, monetary): keep
+# customers no other customer strictly dominates. The scale shape —
+# since the oracle's NOT EXISTS is a quadratic nested loop — is a
+# TWO-LEVEL reduction: max spend per distinct order-count (a tiny
+# relation), a running max over the strictly-higher counts, and one
+# broadcast join back; the customer table never self-joins.
+@register(
+    "q_pareto_customers",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS spend_micros
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, spend_micros FROM per_cust p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per_cust q
+      WHERE q.n_orders >= p.n_orders AND q.spend_micros >= p.spend_micros
+        AND (q.n_orders > p.n_orders OR q.spend_micros > p.spend_micros)
+    )
+    """,
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_micros(F.col("o_totalprice"))).alias("spend_micros"),
+    )
+    # tiny relation: one row per DISTINCT n_orders value
+    by_n = per_cust.groupBy("n_orders").agg(
+        F.max("spend_micros").alias("max_spend")
+    )
+    # running max of max_spend over STRICTLY greater n (window over
+    # the tiny by_n relation only)
+    w = Window.orderBy(F.desc("n_orders")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dom = by_n.select(
+        "n_orders",
+        "max_spend",
+        F.coalesce(F.max("max_spend").over(w), F.lit(-1)).alias("hi_spend"),
+    )
+    # a customer is on the frontier iff: no higher-n customer reaches
+    # their spend (spend > hi_spend) AND no same-n customer strictly
+    # exceeds them (spend == max_spend of their n)
+    return (
+        per_cust.join(F.broadcast(dom), "n_orders")
+        .filter(
+            (F.col("spend_micros") > F.col("hi_spend"))
+            & (F.col("spend_micros") == F.col("max_spend"))
+        )
+        .select("o_custkey", "n_orders", "spend_micros")
+    )
+
+
+# Top-k per group WITH TIES — RANK() semantics vs q_topk_per_group's
+# ROW_NUMBER(): every order tying the k-th price stays in. Same
+# one-window shape; group cardinality is the segment count, fine for
+# a top-k report (the two-phase rank exists for fact-wide ranking).
+@register(
+    "q_topk_with_ties",
+    f"""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY {_MICROS_SQL.format(expr='o_totalprice')} DESC
+                          ) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    # rank on exact integer micros, never rounded doubles — the tie
+    # CLASSES must agree bit-for-bit across engines for RANK parity
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        _micros(F.col("o_totalprice")).desc()
+    )
+    return (
+        joined.select(
+            "c_mktsegment", "o_orderkey", "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# Hierarchical share-of-parent: each nation's revenue share WITHIN
+# its region (and each region's share of the total). Two map-side
+# aggregates; every share divides exact micros sums; all dimension
+# joins broadcast; share windows only over the tiny nation/region
+# relations.
+@register(
+    "q_share_of_parent",
+    f"""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, rev_micros,
+           CAST(rev_micros AS DOUBLE)
+             / CAST(SUM(rev_micros) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(CAST(SUM(rev_micros) OVER (PARTITION BY region) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(rev_micros) OVER () AS DOUBLE) AS region_share
+    FROM nat
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        "rev_micros",
+        (
+            F.col("rev_micros").cast("double")
+            / F.sum("rev_micros").over(wr).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.sum("rev_micros").over(wr).cast("double")
+            / F.sum("rev_micros").over(wall).cast("double")
+        ).alias("region_share"),
+    )
