@@ -6545,3 +6545,249 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_micros").over(wall).cast("double")
         ).alias("region_share"),
     )
+
+
+# New-vs-returning daily active users. The scale move is the same one
+# q_active_users makes: collapse events to DISTINCT (user, day) FIRST
+# (the big cardinality drop), derive first-seen per user from that
+# relation, and key BOTH following shuffles on user_id so the exchange
+# is reused; the day-grain aggregate at the end is tiny.
+@register(
+    "q_new_vs_returning",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ), fs AS (
+      SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM ud JOIN fs USING (user_id)
+    GROUP BY day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    ud = ev.select(day.alias("day"), "user_id").distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+    )
+
+
+# Gopher-style (Rae et al. 2021) rule-based quality gate: word count
+# bounds, mean-word-length band, alphabetic-word fraction — all pure
+# JVM expressions in ONE scan, no Python in the path. Ratios are
+# micros-quantized exact ints (cross-engine float guard); the pass
+# flag ANDs the rules so downstream filters are a scan predicate.
+@register(
+    "q_gopher_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS n_words,
+             length(replace({_NORM_SQL}, ' ', '')) AS word_chars,
+             len(list_filter({_TOKENS_SQL}, t -> regexp_matches(t, '[a-z]')))
+               AS alpha_words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           {_MICROS_SQL.format(expr='word_chars * 1.0 / n_words')}
+             AS mean_word_len_micros,
+           {_MICROS_SQL.format(expr='alpha_words * 1.0 / n_words')}
+             AS alpha_frac_micros,
+           (n_words BETWEEN 25 AND 100000
+            AND {_MICROS_SQL.format(expr='word_chars * 1.0 / n_words')}
+                BETWEEN 3000000 AND 10000000
+            AND {_MICROS_SQL.format(expr='alpha_words * 1.0 / n_words')}
+                >= 800000) AS passes
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    norm = text_fns.normalize(text)
+    toks = text_fns.tokens(text)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        _micros(word_chars.cast("double") / n_words).alias(
+            "mean_word_len_micros"
+        ),
+        _micros(alpha_words.cast("double") / n_words).alias(
+            "alpha_frac_micros"
+        ),
+    )
+    return m.withColumn(
+        "passes",
+        F.col("n_words").between(25, 100000)
+        & F.col("mean_word_len_micros").between(3000000, 10000000)
+        & (F.col("alpha_frac_micros") >= 800000),
+    )
+
+
+# Exact covariance matrix of the embedding dimensions, computed as a
+# DECLARATIVE plan: quantize each component to 2^20 fixed point (one
+# transform), emit the upper-triangle outer products IN THE SCAN STAGE
+# via nested array transforms (no self-join, no second shuffle of the
+# corpus), and let map-side partial aggregation collapse the d^2/2
+# expansion to O(d^2) rows per task before the only exchange. First
+# moments come from a posexplode pass over the same quantized column.
+# The (n*S_ij - S_i*S_j) combination runs in DECIMAL(38,0) (Spark) /
+# HUGEINT (DuckDB) — identical integers, so the final int->double
+# conversion is bit-equal in both engines.
+@register(
+    "q_embed_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS qi
+      FROM q
+    ), g AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(a.qi AS HUGEINT) * b.qi) AS s_ij
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT i, SUM(CAST(qi AS HUGEINT)) AS s, COUNT(*) AS n FROM ex GROUP BY i
+    )
+    SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+           CAST(mi.n * s_ij - mi.s * mj.s AS DOUBLE)
+             / mi.n / mi.n / 1048576 / 1048576 AS cov
+    FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.vectors import to_fixed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(to_fixed(F.col("embedding")).alias("qv"))
+    # upper-triangle outer products, built entirely inside the scan
+    # stage: flatten(transform x transform over slice) — the corpus is
+    # read once and never self-joined
+    terms = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (xi, i) -> "
+                "transform(slice(qv, i + 1, size(qv) - i), (xj, jo) -> "
+                "struct(CAST(i AS BIGINT) AS i, CAST(i + jo AS BIGINT) AS j, "
+                "xi * xj AS prod))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.prod")
+    gram = terms.groupBy("i", "j").agg(F.sum("prod").alias("s_ij"))
+    moments = (
+        q.select(F.posexplode("qv").alias("i", "qi"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    mi = moments.select(
+        F.col("i"), F.col("s").alias("s_i"), F.col("n").alias("n")
+    )
+    mj = moments.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    dec = "decimal(38,0)"
+    fp2 = float(1 << 20) * float(1 << 20)
+    return (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("n").cast(dec) * F.col("s_ij").cast(dec)
+                    - F.col("s_i").cast(dec) * F.col("s_j").cast(dec)
+                ).cast("double")
+                / F.col("n")
+                / F.col("n")
+                / F.lit(fp2)
+            ).alias("cov"),
+        )
+    )
+
+
+# Mergeable HISTOGRAM quantile parts — the numeric twin of
+# q_sketch_users' HLL story: store per-day fixed-width bin counts
+# (O(days x bins) rows, written once per ingest window), answer any
+# date-range quantile by MERGING parts (a groupBy over the tiny parts
+# relation) — the event table is scanned once to build parts and never
+# again at query time. Estimates are bin lower bounds, deterministic
+# integers, so unlike percentile_approx this sketch has a FULL SQL
+# oracle. Bin width 100 currency units = 1e8 micros.
+@register(
+    "q_hist_quantiles",
+    f"""
+    WITH parts AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             {_MICROS_SQL.format(expr='o_totalprice')} // 100000000 AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM parts GROUP BY bin
+    ), cum AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM merged
+    )
+    SELECT p, n, CAST(MIN(bin) * 100000000 AS BIGINT) AS est_lo_micros
+    FROM cum CROSS JOIN (
+      SELECT CAST(p AS DOUBLE) AS p
+      FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(p)
+    ) v
+    WHERE cum >= ceil(p * n)
+    GROUP BY p, n
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    parts = o.groupBy(
+        day.alias("day"),
+        F.expr(
+            f"{_MICROS_SQL.format(expr='o_totalprice')} DIV 100000000"
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = parts.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    # windows over the MERGED bin relation only (~thousands of rows),
+    # never the fact table
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ps = F.explode(
+        F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9, 0.99)])
+    ).alias("p")
+    return (
+        cum.crossJoin(F.broadcast(cum.sparkSession.range(1).select(ps)))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p", "n")
+        .agg((F.min("bin") * F.lit(100000000)).cast("long").alias("est_lo_micros"))
+    )

@@ -1,0 +1,159 @@
+"""Round-4 query additions: new-vs-returning users, Gopher quality
+gate, exact embedding covariance, mergeable histogram quantiles.
+
+Value pins run at sf0.001 against independently computed expectations
+(duckdb or numpy); plan shape is covered by test_plan_hygiene's
+blanket sweep plus the targeted assertions here.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from frames_spark.queries import QUERIES
+
+
+def test_new_vs_returning_matches_duckdb(spark, sf_dir):
+    got = {
+        r["day"]: (r["new_users"], r["returning_users"])
+        for r in QUERIES["q_new_vs_returning"](spark, sf_dir).collect()
+    }
+    exp = duckdb.sql(
+        f"""
+        WITH ud AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+          FROM read_parquet('{sf_dir}/events.parquet')
+        ), fs AS (SELECT user_id, MIN(day) AS fd FROM ud GROUP BY 1)
+        SELECT day, SUM(CASE WHEN day = fd THEN 1 ELSE 0 END),
+               SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
+        FROM ud JOIN fs USING (user_id) GROUP BY day
+        """
+    ).fetchall()
+    assert len(got) == len(exp) > 0
+    for day, new, ret in exp:
+        assert got[day] == (new, ret)
+    # day 1: every active user is new by construction
+    first_day = min(got)
+    assert got[first_day][1] == 0
+
+
+def test_new_vs_returning_sum_is_dau(spark, sf_dir):
+    rows = QUERIES["q_new_vs_returning"](spark, sf_dir).collect()
+    dau = {
+        r["day"]: r["dau"]
+        for r in duckdb.sql(
+            f"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       COUNT(DISTINCT user_id) AS dau
+                FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"""
+        )
+        .df()
+        .to_dict("records")
+    }
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == dau[r["day"]]
+
+
+def test_gopher_quality_rules(spark, sf_dir):
+    rows = QUERIES["q_gopher_quality"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_pass = sum(1 for r in rows if r["passes"])
+    # the gate must discriminate, not rubber-stamp
+    assert 0 < n_pass < len(rows)
+    for r in rows:
+        expect = (
+            25 <= r["n_words"] <= 100000
+            and 3_000_000 <= r["mean_word_len_micros"] <= 10_000_000
+            and r["alpha_frac_micros"] >= 800_000
+        )
+        assert r["passes"] == expect, r
+
+
+def test_embed_covariance_vs_numpy(spark, sf_dir):
+    rows = QUERIES["q_embed_covariance"](spark, sf_dir).collect()
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    fp = 1 << 20
+    x = np.floor(
+        np.array([v[0] for v in vecs], dtype=np.float64) * fp + 0.5
+    )
+    n, d = x.shape
+    assert len(rows) == d * (d + 1) // 2
+    # population covariance of the quantized values, exact integers
+    got = {(r["i"], r["j"]): r["cov"] for r in rows}
+    s = x.sum(axis=0)
+    for i in range(0, d, 7):
+        for j in range(i, d, 11):
+            s_ij = float(np.dot(x[:, i], x[:, j]))
+            exp = (n * s_ij - s[i] * s[j]) / n / n / fp / fp
+            assert got[(i, j)] == pytest.approx(exp, rel=1e-9), (i, j)
+
+
+def test_embed_covariance_plan_no_self_join(spark, sf_dir):
+    """The corpus must be read, expanded and partially aggregated in
+    one pass — a SortMergeJoin of the embeddings table against itself
+    would be the O(n*d^2)-shuffle plan this query exists to avoid
+    (the only joins are the two 64-row broadcast moment joins)."""
+    from frames_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_embed_covariance"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # partial aggregation collapses the expansion before the exchange
+    assert "HashAggregate" in plan
+
+
+def test_hist_quantiles_bounds(spark, sf_dir):
+    rows = {
+        r["p"]: r for r in QUERIES["q_hist_quantiles"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0.25, 0.5, 0.75, 0.9, 0.99}
+    exact = duckdb.sql(
+        f"""SELECT quantile_disc(o_totalprice, [0.25, 0.5, 0.75, 0.9, 0.99])
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchone()[0]
+    width = 100_000_000  # bin width in micros
+    for p, ex in zip((0.25, 0.5, 0.75, 0.9, 0.99), exact):
+        lo = rows[p]["est_lo_micros"]
+        # estimate is the true quantile's bin lower bound
+        assert lo <= ex * 1e6 < lo + width, (p, lo, ex)
+    # estimates are monotone in p
+    est = [rows[p]["est_lo_micros"] for p in (0.25, 0.5, 0.75, 0.9, 0.99)]
+    assert est == sorted(est)
+
+
+def test_hist_quantiles_parts_merge(spark, sf_dir):
+    """The mergeability contract: quantiles from per-day parts over a
+    date SUBRANGE equal quantiles computed directly on that subrange —
+    parts are the stored artifact, the fact table is never re-read."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cutoff = o.agg(F.max("o_orderdate")).collect()[0][0]
+    half = o.filter(F.col("o_orderdate") <= F.lit(cutoff) - F.expr("INTERVAL 400 DAYS"))
+    micros = F.floor(F.col("o_totalprice") * 1_000_000 + 0.5).cast("long")
+    parts = half.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        (micros / 100_000_000).cast("long").alias("bin"),
+    ).count()
+    merged = parts.groupBy("bin").agg(F.sum("count").alias("cnt"))
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    est = (
+        cum.filter(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")))
+        .agg(F.min("bin"))
+        .collect()[0][0]
+    )
+    exact = duckdb.sql(
+        f"""SELECT quantile_disc(o_totalprice, 0.5)
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE o_orderdate <= (
+              SELECT max(o_orderdate) - INTERVAL 400 DAY
+              FROM read_parquet('{sf_dir}/orders.parquet'))"""
+    ).fetchone()[0]
+    assert est * 100_000_000 <= exact * 1e6 < (est + 1) * 100_000_000
