@@ -54,3 +54,76 @@ def merge_sketches(
         *group_cols,
         F.hll_sketch_estimate(F.col(sketch_col)).alias(estimate_col),
     )
+
+
+def mg_candidates(
+    tokens: DataFrame, token_col: str = "tok", m: int = 256
+) -> DataFrame:
+    """Misra-Gries candidate heavy hitters, one summary per partition.
+
+    The classic bounded-memory frequent-items sketch: m counters per
+    partition; a token with partition frequency > n_p/(m+1) is
+    guaranteed to survive its partition's summary, so the UNION of
+    per-partition candidate sets contains every token with GLOBAL
+    frequency > N/(m+1) (a global heavy hitter must clear the
+    threshold in at least one partition). Output is tiny —
+    O(m x partitions) rows — and partition-layout-DEPENDENT, which is
+    why callers recount exactly (see heavy_hitters): the sketch only
+    prunes, the recount decides.
+
+    Runs as mapInPandas: Misra-Gries is inherently sequential state
+    per partition — the legitimate Pandas case, and it touches each
+    token once with O(m) memory.
+    """
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[token_col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < m:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({token_col: list(counters)})
+
+    return tokens.select(token_col).mapInPandas(
+        summarize, f"{token_col} string"
+    )
+
+
+def heavy_hitters(
+    tokens: DataFrame, token_col: str = "tok", phi: float = 0.02, m: int = 256
+) -> DataFrame:
+    """Exact phi-heavy hitters via MG pruning + exact recount.
+
+    At 100 TB the naive `groupBy(token).count()` shuffles a partial
+    row for every distinct token per mapper — the vocabulary, times
+    the partition count. This path shuffles only the CANDIDATES:
+    MG (above) yields a provable superset of the phi-heavy tokens for
+    phi >= 1/(m+1); a broadcast semi-join keeps just candidate tokens
+    for the exact recount, and the final threshold filter makes the
+    output deterministic (exact counts, exact compare) no matter how
+    the sketch partitioned. Requires phi > 1/(m+1).
+    """
+    if phi <= 1.0 / (m + 1):
+        raise ValueError(f"phi={phi} needs m > {1.0 / phi - 1:.0f}")
+    cands = mg_candidates(tokens, token_col, m).distinct()
+    total = tokens.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tokens.join(F.broadcast(cands), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
+        .select(token_col, "cnt", "n_total")
+    )

@@ -6791,3 +6791,107 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p", "n")
         .agg((F.min("bin") * F.lit(100000000)).cast("long").alias("est_lo_micros"))
     )
+
+
+# Exact phi-heavy-hitter tokens via Misra-Gries pruning + recount
+# (operators/sketches.py heavy_hitters). The sketch pass bounds
+# memory at O(m) per partition and the shuffle at O(candidates);
+# the exact recount + threshold makes the OUTPUT deterministic —
+# partition layout can change which extra candidates MG emits, never
+# which tokens survive — so a plain exact-count SQL oracle applies.
+@register(
+    "q_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(n_total) AS BIGINT) AS n_total
+    FROM toks CROSS JOIN tot
+    GROUP BY tok
+    HAVING COUNT(*) >= ceil(0.02 * MIN(n_total))
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import heavy_hitters
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(text_fns.tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", phi=0.02, m=256)
+
+
+# BM25 relevance of every document against a fixed query-term set —
+# the retrieval scorer a corpus pipeline uses for targeted slicing.
+# Scale shape: tokens are FILTERED to the query terms inside the scan
+# (array filter before explode), so the per-doc tf relation is
+# O(docs x |query|), never the token stream; document-frequency and
+# corpus stats are 1-row/3-row broadcasts. Per-term scores are
+# micros-quantized before the doc-level sum (ln() libm guard, same
+# as q_unigram_logprob).
+_BM25_TERMS = ("spark", "query", "join")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "q_bm25",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS dl,
+             list_filter({_TOKENS_SQL}, t -> t IN ({_BM25_TERMS_SQL})) AS qt
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM docs
+    ), tf AS (
+      SELECT doc_id, dl, unnest(qt) AS term FROM docs
+    ), tfc AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2, 3
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+    )
+    SELECT doc_id, CAST(SUM({_MICROS_SQL.format(expr='''
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / total_len))''')})
+           AS BIGINT) AS score_micros
+    FROM tfc JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    toks = text_fns.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(
+            toks, lambda t: t.isin(*_BM25_TERMS)
+        ).alias("qt"),
+    )
+    stats = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tfc = (
+        base.select("doc_id", "dl", F.explode("qt").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (
+        (1 - b)
+        + b * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    term_score = idf * F.col("tf") * (k1 + 1) / norm
+    return (
+        tfc.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(_micros(term_score)).alias("score_micros"))
+    )

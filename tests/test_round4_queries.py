@@ -157,3 +157,80 @@ def test_hist_quantiles_parts_merge(spark, sf_dir):
               FROM read_parquet('{sf_dir}/orders.parquet'))"""
     ).fetchone()[0]
     assert est * 100_000_000 <= exact * 1e6 < (est + 1) * 100_000_000
+
+
+def test_heavy_hitters_exact_under_any_layout(spark, sf_dir):
+    """The determinism contract: MG prunes, the recount decides — the
+    result equals the exact phi-heavy set no matter how the token
+    stream is partitioned."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.functions import text as text_fns
+    from frames_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+    exact = duckdb.sql(
+        f"""WITH t AS (
+              SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                '\\s+', ' ', 'g')), ' ')) AS tok
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+            SELECT tok, COUNT(*) FROM t GROUP BY tok
+            HAVING COUNT(*) >= ceil(0.02 * (SELECT COUNT(*) FROM t))"""
+    ).fetchall()
+    expect = {(t, c) for t, c in exact}
+    for layout in (toks.repartition(1), toks.repartition(13, "tok"), toks):
+        got = {
+            (r["tok"], r["cnt"])
+            for r in heavy_hitters(layout, "tok", phi=0.02, m=256).collect()
+        }
+        assert got == expect
+
+
+def test_heavy_hitters_rejects_undersized_m(spark):
+    from frames_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], ["tok"])
+    with pytest.raises(ValueError, match="needs m"):
+        heavy_hitters(df, "tok", phi=0.001, m=256)
+
+
+def test_mg_candidates_superset(spark, sf_dir):
+    """Per-partition MG summaries must contain every global heavy
+    hitter even on an adversarial single-partition layout."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.functions import text as text_fns
+    from frames_spark.operators.sketches import mg_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+    n = toks.count()
+    exact_hh = {
+        r["tok"]
+        for r in toks.groupBy("tok").count().filter(F.col("count") > n / 257).collect()
+    }
+    cands = {
+        r["tok"] for r in mg_candidates(toks.repartition(1), "tok", 256).collect()
+    }
+    assert exact_hh <= cands
+
+
+def test_bm25_scoring_properties(spark, sf_dir):
+    rows = QUERIES["q_bm25"](spark, sf_dir).collect()
+    assert rows and all(r["score_micros"] > 0 for r in rows)
+    # a document that mentions no query term must be absent
+    import pyspark.sql.functions as F
+
+    from frames_spark.functions import text as text_fns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_terms = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", text_fns.tokens(F.col("text")).alias("t")
+        )
+        .filter(F.arrays_overlap("t", F.array(F.lit("spark"), F.lit("query"), F.lit("join"))))
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows} == with_terms
