@@ -6895,3 +6895,84 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(_micros(term_score)).alias("score_micros"))
     )
+
+
+# Join-key skew diagnostics — the pre-flight check a 100 TB join
+# needs before it shuffles: per-key row counts reduced to a tiny
+# distribution summary (max/avg/top-share). Two-level aggregation —
+# the per-key counts combine map-side, and every statistic over them
+# is a second O(distinct keys) agg; nothing ever sorts the fact table.
+@register(
+    "q_key_skew",
+    """
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           CAST(FLOOR(SUM(cnt) * 1.0 / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+             AS avg_key_rows_micros,
+           CAST(FLOOR(MAX(cnt) * COUNT(*) * 1.0 / SUM(cnt) * 1000000 + 0.5)
+             AS BIGINT) AS skew_factor_micros
+    FROM per_key
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        _micros(F.sum("cnt") * 1.0 / F.count(F.lit(1))).alias(
+            "avg_key_rows_micros"
+        ),
+        _micros(
+            F.max("cnt") * F.count(F.lit(1)) * 1.0 / F.sum("cnt")
+        ).alias("skew_factor_micros"),
+    )
+
+
+# Per-group exact nearest-rank median WITHOUT percentile()'s
+# whole-group value buffering: the two-phase distributed rank
+# (operators/ranking.py) turns the median into `rank == ceil(n/2)` —
+# a filter — so parallelism is partitions x groups and no reducer
+# ever holds a group's values. The grouped twin of
+# q_quantiles_scalable.
+@register(
+    "q_group_median_scalable",
+    f"""
+    WITH r AS (
+      SELECT c_mktsegment, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY {_MICROS_SQL.format(expr='o_totalprice')}, o_orderkey)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment, o_totalprice AS median_price,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = ceil(n / 2.0)
+    """,
+)
+def q_group_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_totalprice", "o_orderkey")
+    ranked = grouped_rank(
+        joined,
+        ["c_mktsegment"],
+        [_micros(F.col("o_totalprice")), F.col("o_orderkey")],
+        rank_col="rn",
+        count_col="n",
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0)
+    ).select(
+        "c_mktsegment",
+        F.col("o_totalprice").alias("median_price"),
+        F.col("n").cast("long").alias("n"),
+    )

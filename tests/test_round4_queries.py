@@ -234,3 +234,45 @@ def test_bm25_scoring_properties(spark, sf_dir):
         .collect()
     }
     assert {r["doc_id"] for r in rows} == with_terms
+
+
+def test_key_skew_values(spark, sf_dir):
+    r = QUERIES["q_key_skew"](spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert r["n_rows"] == li.count()
+    assert r["n_keys"] == li.select("l_orderkey").distinct().count()
+    assert r["max_key_rows"] >= r["n_rows"] / r["n_keys"]
+    # skew factor is max/avg, >= 1 by construction
+    assert r["skew_factor_micros"] >= 1_000_000
+
+
+def test_group_median_two_phase_plan(spark, sf_dir):
+    """The grouped median must ride the two-phase distributed rank —
+    a 5-value PARTITION BY window over the fact table caps the sort
+    at 5 tasks at any cluster size."""
+    from frames_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_group_median_scalable"](spark, sf_dir))
+    assert "spark_partition_id" in plan.lower()
+
+
+def test_group_median_matches_duckdb(spark, sf_dir):
+    got = {
+        r["c_mktsegment"]: r["median_price"]
+        for r in QUERIES["q_group_median_scalable"](spark, sf_dir).collect()
+    }
+    exp = dict(
+        duckdb.sql(
+            f"""WITH r AS (
+              SELECT c_mktsegment, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT),
+                                o_orderkey) AS rn,
+                     COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+              FROM read_parquet('{sf_dir}/orders.parquet') o
+              JOIN read_parquet('{sf_dir}/customer.parquet') c
+                ON o_custkey = c_custkey)
+            SELECT c_mktsegment, o_totalprice FROM r WHERE rn = ceil(n / 2.0)"""
+        ).fetchall()
+    )
+    assert got == exp
