@@ -76,6 +76,13 @@ BENCH_QUERIES = {
     "sole_delayed": Q.q_sole_delayed,
     "boilerplate": Q.q_boilerplate,
     "unigram_logprob": Q.q_unigram_logprob,
+    "new_vs_returning": Q.q_new_vs_returning,
+    "gopher_quality": Q.q_gopher_quality,
+    "embed_covariance": Q.q_embed_covariance,
+    "hist_quantiles": Q.q_hist_quantiles,
+    "heavy_hitters": Q.q_heavy_hitters,
+    "bm25": Q.q_bm25,
+    "group_median": Q.q_group_median_scalable,
 }
 
 
