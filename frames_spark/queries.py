@@ -6976,3 +6976,181 @@ def q_group_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("median_price"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+# Weekly churn: users active in week w but absent in w+1. Collapse
+# to DISTINCT (user, week) first, then ONE lead window keyed by
+# user — no week-to-week self-join of the activity table. The last
+# observed week is excluded (its churn is not yet knowable); that
+# horizon comes from a 1-row max broadcast, not a driver collect.
+@register(
+    "q_churn",
+    """
+    WITH um AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS m
+      FROM events
+    ), nxt AS (
+      SELECT user_id, m,
+             LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+      FROM um
+    ), horizon AS (SELECT MAX(m) AS max_m FROM um)
+    SELECT m,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN next_m IS NULL
+                          OR next_m > m + INTERVAL 7 DAYS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+    FROM nxt CROSS JOIN horizon
+    WHERE m < max_m
+    GROUP BY m
+    """,
+)
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("m")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("m")
+    nxt = um.withColumn("next_m", F.lead("m").over(w))
+    horizon = um.groupBy().agg(F.max("m").alias("max_m"))
+    churned = F.when(
+        F.col("next_m").isNull()
+        | (F.col("next_m") > F.col("m") + F.expr("INTERVAL 7 DAYS")),
+        1,
+    ).otherwise(0)
+    return (
+        nxt.crossJoin(F.broadcast(horizon))
+        .filter(F.col("m") < F.col("max_m"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(churned).alias("n_churned"),
+        )
+    )
+
+
+# Weekly stickiness (mean DAU / WAU): the standard engagement ratio.
+# All cardinality drops happen FIRST (distinct user-day pairs), the
+# rest is day- and week-grain arithmetic over tiny relations; the
+# ratio divides exact integers once, micros-quantized.
+@register(
+    "q_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS m
+      FROM events
+    ), daily AS (
+      SELECT m, day, COUNT(*) AS dau FROM ud GROUP BY m, day
+    ), monthly AS (
+      SELECT m, COUNT(DISTINCT user_id) AS wau FROM ud GROUP BY m
+    ), per_month AS (
+      SELECT m, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY m
+    )
+    SELECT m, sum_dau, n_days, CAST(wau AS BIGINT) AS wau,
+           CAST(FLOOR(sum_dau * 1.0 / n_days / wau * 1000000 + 0.5) AS BIGINT)
+             AS stickiness_micros
+    FROM per_month JOIN monthly USING (m)
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("m"),
+    ).distinct()
+    daily = ud.groupBy("m", "day").agg(F.count(F.lit(1)).alias("dau"))
+    monthly = ud.groupBy("m").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    per_month = daily.groupBy("m").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return per_month.join(monthly, "m").select(
+        "m",
+        "sum_dau",
+        "n_days",
+        F.col("wau").cast("long").alias("wau"),
+        _micros(
+            F.col("sum_dau") * 1.0 / F.col("n_days") / F.col("wau")
+        ).alias("stickiness_micros"),
+    )
+
+
+# Each user's 3rd purchase (nth-event extraction). The per-user
+# window is the scale-CORRECT shape here — parallelism is the user
+# count, groups are tiny — unlike the low-cardinality grouping that
+# forces the two-phase rank. Strict (ts, event_id) order for
+# deterministic ties.
+@register(
+    "q_nth_purchase",
+    """
+    SELECT user_id, ts AS third_purchase_ts, value AS third_purchase_value
+    FROM (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 3
+    """,
+)
+def q_nth_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 3)
+        .select(
+            "user_id",
+            F.col("ts").alias("third_purchase_ts"),
+            F.col("value").alias("third_purchase_value"),
+        )
+    )
+
+
+# 7-day rolling MEDIAN of daily revenue — a holistic (not
+# decomposable) rolling statistic. The fact table collapses to day
+# grain first; the in-window sort touches at most 7 values per row of
+# the TINY daily relation (sort_array over a collected frame). The
+# nearest-rank element ceil(n/2) equals DuckDB's quantile_disc(0.5)
+# (identity: ceil(n/2) == floor((n+1)/2)), so the oracle is exact.
+@register(
+    "q_rolling_median",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders GROUP BY 1
+    )
+    SELECT day, rev_micros,
+           CAST(quantile_disc(rev_micros, 0.5) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS med7_micros
+    FROM daily
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    vals = F.sort_array(F.collect_list("rev_micros").over(w))
+    return daily.select(
+        "day",
+        "rev_micros",
+        F.element_at(vals, F.ceil(F.size(vals) / 2.0).cast("int")).alias(
+            "med7_micros"
+        ),
+    )

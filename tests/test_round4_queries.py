@@ -276,3 +276,32 @@ def test_group_median_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_churn_bounded_by_active(spark, sf_dir):
+    rows = QUERIES["q_churn"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_churned"] <= r["n_active"]
+
+
+def test_stickiness_in_unit_interval(spark, sf_dir):
+    rows = QUERIES["q_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # mean DAU can't exceed WAU (every daily user is a weekly user)
+        assert 0 < r["stickiness_micros"] <= 1_000_000
+        assert r["wau"] >= r["sum_dau"] / r["n_days"]
+
+
+def test_rolling_median_window_semantics(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_rolling_median"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    revs = [r["rev_micros"] for r in rows]
+    import math
+
+    for k, r in enumerate(rows):
+        window = sorted(revs[max(0, k - 6) : k + 1])
+        assert r["med7_micros"] == window[math.ceil(len(window) / 2) - 1]
