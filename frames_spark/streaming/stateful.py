@@ -137,3 +137,81 @@ try:  # pragma: no cover - import surface depends on PySpark build
 
 except ImportError:  # pragma: no cover
     running_user_stats_tws = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# First-seen classifier: the streaming twin of q_new_vs_returning.
+# ---------------------------------------------------------------------------
+
+FIRST_SEEN_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.TimestampType()),
+        T.StructField("is_new", T.BooleanType()),
+    ]
+)
+
+FIRST_SEEN_STATE = T.StructType(
+    [
+        T.StructField("first_day_us", T.LongType()),
+        T.StructField("seen_days_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_first_seen(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    first_us: int | None = None
+    seen: set[int] = set()
+    if state.exists:
+        first_us, seen_list = state.get
+        seen = set(seen_list or [])
+    days: set[int] = set()
+    for pdf in pdfs:
+        day_us = (pdf["ts"].dt.floor("D").astype("int64") // 1000).astype(
+            "int64"
+        )
+        days.update(int(d) for d in day_us)
+    fresh = sorted(days - seen)
+    if fresh:
+        batch_min = fresh[0]
+        if first_us is None or batch_min < first_us:
+            first_us = batch_min
+        state.update((first_us, sorted(seen | days)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(fresh),
+                "day": [pd.Timestamp(d, unit="us") for d in fresh],
+                "is_new": [d == first_us for d in fresh],
+            }
+        )
+
+
+def first_seen_days(events: DataFrame) -> DataFrame:
+    """Per (user, day) exactly one emitted row flagging whether that
+    day is the user's FIRST ever — the streaming twin of the batch
+    q_new_vs_returning split (aggregate is_new counts per day
+    downstream; the emitted relation is user-days, already the big
+    cardinality drop).
+
+    State per user is (first day, set of seen days): O(active users x
+    retention horizon) and exactly-once per user-day under
+    redelivery — a redelivered day is in the seen set and emits
+    nothing. CONTRACT: each user's first appearance must not arrive
+    after a later day was already classified (guaranteed when files
+    land in event-time order, the same contract the streaming funnel
+    documents); in production an idle timeout evicts cold users.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_first_seen,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=FIRST_SEEN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

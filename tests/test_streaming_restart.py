@@ -136,3 +136,59 @@ def test_streaming_funnel_survives_restart(spark, tmp_path, sf_dir):
     final = dict(phase1)
     final.update(phase2)
     assert final == want
+
+
+def test_first_seen_days_matches_batch_across_cut(spark, tmp_path, sf_dir):
+    """first_seen_days over a two-batch event-time cut must reproduce
+    the batch new-vs-returning split exactly: users whose activity
+    spans the cut are 'returning' in phase 2 only because phase-1
+    state remembers them."""
+    from frames_spark.queries import QUERIES
+    from frames_spark.streaming.stateful import first_seen_days
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) // 2
+    h1, h2 = _deliver_split(ev, cut)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows: dict = {}
+
+    def absorb(batch_df, batch_id: int) -> None:
+        for r in batch_df.collect():
+            rows[(r["user_id"], r["day"])] = r["is_new"]
+
+    for phase in (h1, h2):
+        phase.coalesce(1).write.mode("append").parquet(src)
+        physical = sev.probe_event_schema(spark, src)
+        raw = spark.readStream.schema(physical).format("parquet").load(src)
+        q = (
+            first_seen_days(sev.normalize_ts(raw, physical))
+            .writeStream.outputMode("update")
+            .foreachBatch(absorb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # exactly one emission per (user, day)
+    batch = QUERIES["q_new_vs_returning"](spark, sf_dir).collect()
+    got_new = {}
+    got_ret = {}
+    for (u, day), is_new in rows.items():
+        if is_new:
+            got_new[day] = got_new.get(day, 0) + 1
+        else:
+            got_ret[day] = got_ret.get(day, 0) + 1
+    assert {
+        r["day"]: r["new_users"] for r in batch if r["new_users"]
+    } == got_new
+    assert {
+        r["day"]: r["returning_users"] for r in batch if r["returning_users"]
+    } == got_ret
