@@ -7154,3 +7154,120 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med7_micros"
         ),
     )
+
+
+# Exact join-output cardinality WITHOUT running the join — the
+# other pre-flight diagnostic next to q_key_skew: |A ⋈ B| =
+# Σ_k cnt_A(k)·cnt_B(k). Both per-key counts combine map-side; the
+# only join is between the two O(distinct keys) count relations, so
+# the answer costs two scans + one tiny join however large the
+# would-be join output (which is the point — you ask BEFORE paying
+# for a 10^14-row blowup).
+@register(
+    "q_join_cardinality_est",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+    ), b AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS matching_keys,
+           CAST(MAX(a.cnt * b.cnt) AS BIGINT) AS max_key_fanout
+    FROM a JOIN b USING (k)
+    """,
+)
+def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_a")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_b")
+    )
+    prod = F.col("cnt_a") * F.col("cnt_b")
+    return a.join(b, "k").agg(
+        F.sum(prod).alias("join_rows"),
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.max(prod).alias("max_key_fanout"),
+    )
+
+
+# Triangle count on the co-purchase graph (parts co-occurring in an
+# order). The naive open-wedge join explodes on hub nodes — "the
+# curse of the last reducer" — so edges are oriented LOW-DEGREE ->
+# HIGH-DEGREE first (Suri & Vassilvitskii, WWW'11): every wedge is
+# generated at its lowest-degree vertex, bounding per-task work by
+# sum(deg^1.5) instead of max(deg^2). Edge building itself is the
+# bucketed in-order pair expansion (one groupBy, i<j inside the
+# array — the order table never self-joins). The count is
+# orientation-invariant, so the oracle uses the simple i<j
+# orientation.
+@register(
+    "q_triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey,
+             LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (SELECT DISTINCT u, v FROM pairs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT 1 FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # undirected edge list via one groupBy + in-array i<j expansion
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    # degree-ordered orientation: lo = lower-degree endpoint
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    # wedges open at the LOW-degree vertex; close them against the
+    # canonical (min, max) edge set
+    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
+    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    wedges = w1.join(w2, "p").filter(F.col("a") < F.col("b"))
+    canon = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    return wedges.join(canon, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

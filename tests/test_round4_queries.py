@@ -305,3 +305,34 @@ def test_rolling_median_window_semantics(spark, sf_dir):
     for k, r in enumerate(rows):
         window = sorted(revs[max(0, k - 6) : k + 1])
         assert r["med7_micros"] == window[math.ceil(len(window) / 2) - 1]
+
+
+def test_join_cardinality_matches_actual_join(spark, sf_dir):
+    r = QUERIES["q_join_cardinality_est"](spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    actual = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert r["join_rows"] == actual
+
+
+def test_triangle_count_degree_ordered_vs_naive(spark, sf_dir):
+    """Degree-ordered closure must equal a naive all-orientations
+    count computed independently in duckdb."""
+    got = QUERIES["q_triangle_count"](spark, sf_dir).collect()[0][
+        "n_triangles"
+    ]
+    exp = duckdb.sql(
+        f"""
+        WITH e AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                 GREATEST(a.l_partkey, b.l_partkey) AS v
+          FROM read_parquet('{sf_dir}/lineitem.parquet') a
+          JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """
+    ).fetchone()[0]
+    assert got == exp > 0
