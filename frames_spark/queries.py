@@ -7271,3 +7271,81 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.join(canon, ["a", "b"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# Equal-frequency feature binning (10 bins over order price) — the
+# ML-prep discretizer. Rides the two-phase distributed rank, so the
+# global total order costs partitions x 1 histogram rows, not a
+# single-task sort; bin id is pure arithmetic on (rank, n). Strict
+# (price, orderkey) order keeps engines bit-agreed on ties.
+@register(
+    "q_equifreq_bins",
+    f"""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ceil(rn * 10.0 / n) AS BIGINT) AS bin
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               ORDER BY {_MICROS_SQL.format(expr='o_totalprice')}, o_orderkey
+             ) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    """,
+)
+def q_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = grouped_rank(
+        o,
+        [],
+        [_micros(F.col("o_totalprice")), F.col("o_orderkey")],
+        rank_col="rn",
+        count_col="n",
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("long").alias("bin"),
+    )
+
+
+# Leave-one-out target encoding of a categorical feature (order
+# priority -> mean total price of the OTHER orders in the category).
+# One map-side-combined per-category aggregate broadcast back onto
+# the fact scan; the LOO subtraction ((S - y) / (n - 1)) happens in
+# exact micros per row, so no row ever sees its own target and no
+# window materializes per-category row lists. n==1 categories yield
+# NULL (nullif guard — ANSI mode raises on /0 otherwise).
+@register(
+    "q_target_encoding",
+    f"""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS s_micros,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(
+             (s_micros - {_MICROS_SQL.format(expr='o_totalprice')}) AS DOUBLE
+           ) / nullif(n - 1, 0) / 1000000 AS loo_mean_price
+    FROM orders JOIN stats USING (o_orderpriority)
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum(_micros(F.col("o_totalprice"))).alias("s_micros"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return o.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            (F.col("s_micros") - _micros(F.col("o_totalprice"))).cast("double")
+            / F.nullif(F.col("n") - 1, F.lit(0))
+            / 1000000
+        ).alias("loo_mean_price"),
+    )

@@ -336,3 +336,35 @@ def test_triangle_count_degree_ordered_vs_naive(spark, sf_dir):
         """
     ).fetchone()[0]
     assert got == exp > 0
+
+
+def test_equifreq_bins_balanced(spark, sf_dir):
+    import collections
+
+    rows = QUERIES["q_equifreq_bins"](spark, sf_dir).collect()
+    sizes = collections.Counter(r["bin"] for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    # equal frequency within 1 row
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # bins are ordered by value: every bin-k value <= every bin-k+1 value
+    hi = {b: max(r["o_totalprice"] for r in rows if r["bin"] == b) for b in sizes}
+    lo = {b: min(r["o_totalprice"] for r in rows if r["bin"] == b) for b in sizes}
+    for b in range(1, 10):
+        assert hi[b] <= lo[b + 1] + 1e-9
+
+
+def test_target_encoding_loo_excludes_self(spark, sf_dir):
+    rows = QUERIES["q_target_encoding"](spark, sf_dir).collect()
+    import collections
+
+    by_cat = collections.defaultdict(list)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    price = {r["o_orderkey"]: r["o_totalprice"] for r in o}
+    for r in o:
+        by_cat[r["o_orderpriority"]].append(r["o_orderkey"])
+    for r in rows[:200]:
+        keys = by_cat[r["o_orderpriority"]]
+        others = [price[k] for k in keys if k != r["o_orderkey"]]
+        assert r["loo_mean_price"] == pytest.approx(
+            sum(others) / len(others), rel=1e-6
+        )
