@@ -1,0 +1,174 @@
+"""Plan advisor: static anti-pattern audit of a DataFrame's physical
+plan BEFORE it runs.
+
+`.explain()` tells an expert what the plan does; the advisor tells
+everyone what will hurt at 1000 executors. It pattern-matches the
+formatted physical plan for the failure modes this engine designs
+around (SURVEY.md §6) and returns structured findings, so pipelines
+can gate on `advise(df)` in CI the same way tests/test_plan_hygiene.py
+gates the registered queries:
+
+- CARTESIAN            CartesianProduct — O(|A|x|B|), almost always a
+                       missing join key.
+- GLOBAL_WINDOW        a window with no PARTITION BY over a plan that
+                       scans fact-sized input — every row lands on ONE
+                       task. (Tiny aggregated relations are the
+                       legitimate exception; the advisor flags only
+                       windows fed by scans without an aggregate in
+                       between.)
+- NO_PUSHDOWN          a parquet scan whose filter stayed in the plan
+                       instead of reaching PushedFilters.
+- WIDE_SCAN            a scan reading many more columns than the query
+                       references — column pruning lost.
+- ROW_PYTHON_UDF       row-at-a-time BatchEvalPython in the plan; the
+                       10-100x-slower path vs Arrow/pandas or JVM
+                       expressions.
+
+Each finding is (code, detail). An empty list is the passing grade.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from frames_spark.plans.explain import formatted_plan
+
+__all__ = ["Finding", "advise", "assert_clean"]
+
+
+@dataclass(frozen=True)
+class Finding:
+    code: str
+    detail: str
+
+
+def _windowspec_args(plan: str) -> list[str]:
+    """Balanced-paren extraction of every windowspecdefinition(...)
+    argument string (specs nest parens arbitrarily, e.g.
+    unboundedpreceding$())."""
+    out = []
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        j, depth = i + len(marker), 1
+        while j < len(plan) and depth:
+            depth += plan[j] == "("
+            depth -= plan[j] == ")"
+            j += 1
+        out.append(plan[i + len(marker) : j - 1])
+        i = plan.find(marker, j)
+    return out
+
+
+def _scan_columns(plan: str) -> list[list[str]]:
+    """Column name lists of each scan's ReadSchema."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [
+            c.split(":", 1)[0].strip()
+            for c in m.group(1).split(",")
+            if ":" in c
+        ]
+        out.append(cols)
+    return out
+
+
+def advise(df: DataFrame, max_scan_cols: int = 24) -> list[Finding]:
+    plan = formatted_plan(df)
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            Finding("CARTESIAN", "CartesianProduct in plan — missing join key?")
+        )
+
+    # Global (partition-less) windows: a windowspecdefinition whose
+    # argument list has no partition column (every arg is an ORDER BY
+    # spec or the frame) forces Exchange SinglePartition — one task.
+    # Heuristic scope: flag only when NO aggregate exists in the plan;
+    # windows over pre-aggregated tiny relations (share-of-total,
+    # day-grain analytics) are the documented legitimate use.
+    if "HashAggregate" not in plan and "SortAggregate" not in plan:
+        for spec in _windowspec_args(plan):
+            args, depth, cur = [], 0, ""
+            for ch in spec:
+                if ch == "," and depth == 0:
+                    args.append(cur.strip())
+                    cur = ""
+                    continue
+                depth += ch == "("
+                depth -= ch == ")"
+                cur += ch
+            args.append(cur.strip())
+            partition_cols = [
+                a
+                for a in args
+                if a
+                and " ASC" not in a
+                and " DESC" not in a
+                and not a.startswith("specifiedwindowframe")
+            ]
+            if not partition_cols:
+                findings.append(
+                    Finding(
+                        "GLOBAL_WINDOW",
+                        "partition-less window over non-aggregated input "
+                        "— all rows to one task",
+                    )
+                )
+                break
+
+    # Filter node in the plan while every scan pushed nothing of
+    # substance (IsNotNull guards are auto-derived and don't count —
+    # they prune nothing when the predicate itself can't reach the
+    # scan).
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    if pushed and re.search(r"\bFilter \(", plan) is not None:
+        substantive = any(
+            part.strip() and not part.strip().startswith("IsNotNull")
+            for lst in pushed
+            for part in lst.split(",")
+        )
+        if not substantive:
+            findings.append(
+                Finding(
+                    "NO_PUSHDOWN",
+                    "plan filters rows but no scan pushed a substantive "
+                    "filter — predicate not scan-eligible?",
+                )
+            )
+
+    for cols in _scan_columns(plan):
+        if len(cols) > max_scan_cols:
+            findings.append(
+                Finding(
+                    "WIDE_SCAN",
+                    f"scan reads {len(cols)} columns — column pruning "
+                    "lost (select earlier)",
+                )
+            )
+
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding(
+                "ROW_PYTHON_UDF",
+                "row-at-a-time Python UDF in plan — use JVM exprs or "
+                "a pandas UDF (Arrow)",
+            )
+        )
+
+    return findings
+
+
+def assert_clean(df: DataFrame, allow: set[str] = frozenset()) -> None:
+    """Raise if advise() finds anything not explicitly allowed —
+    the CI gate form."""
+    bad = [f for f in advise(df) if f.code not in allow]
+    if bad:
+        raise AssertionError(
+            "plan advisor findings: "
+            + "; ".join(f"{f.code}: {f.detail}" for f in bad)
+        )

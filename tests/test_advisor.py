@@ -1,0 +1,87 @@
+"""Plan advisor: each anti-pattern fires on a deliberately bad plan
+and stays silent on the engine's good plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from frames_spark.plans.advisor import advise, assert_clean
+
+
+def _codes(df):
+    return {f.code for f in advise(df)}
+
+
+def test_cartesian_flagged(spark, sf_dir):
+    a = spark.read.parquet(f"{sf_dir}/region.parquet")
+    b = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    bad = a.crossJoin(b.hint("shuffle_replicate_nl"))
+    assert "CARTESIAN" in _codes(bad)
+
+
+def test_global_window_flagged_on_fact_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    assert "GLOBAL_WINDOW" in _codes(bad)
+
+
+def test_global_window_ok_over_aggregate(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    fine = daily.withColumn(
+        "cum", F.sum("rev").over(Window.orderBy("d"))
+    )
+    assert "GLOBAL_WINDOW" not in _codes(fine)
+
+
+def test_pushdown_miss_flagged(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # a predicate parquet cannot push (expression over two columns)
+    bad = li.filter(
+        F.col("l_extendedprice") * F.col("l_discount") > 100.0
+    ).select("l_orderkey")
+    assert "NO_PUSHDOWN" in _codes(bad)
+
+
+def test_pushable_predicate_is_clean(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    good = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    assert "NO_PUSHDOWN" not in _codes(good)
+
+
+def test_wide_scan_flagged(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # force every column through the plan
+    assert "WIDE_SCAN" in {
+        f.code for f in advise(li.distinct(), max_scan_cols=8)
+    }
+
+
+def test_row_udf_flagged(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    slow = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    bad = li.select(slow("l_orderkey").alias("k"))
+    assert "ROW_PYTHON_UDF" in _codes(bad)
+
+
+def test_registered_queries_pass_the_gate(spark, sf_dir):
+    """The engine's own flagship plans clear the advisor."""
+    from frames_spark.queries import QUERIES
+
+    for name in ("q_group_fold", "q_top_unshipped", "q_forecast_revenue"):
+        assert_clean(QUERIES[name](spark, sf_dir))
+
+
+def test_assert_clean_raises_with_detail(spark, sf_dir):
+    a = spark.read.parquet(f"{sf_dir}/region.parquet")
+    b = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with pytest.raises(AssertionError, match="CARTESIAN"):
+        assert_clean(a.crossJoin(b.hint("shuffle_replicate_nl")))
