@@ -7349,3 +7349,143 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("loo_mean_price"),
     )
+
+
+# Language-ID confusion matrix: the classifier eval for q_langid —
+# predicted language vs the stored label, with per-cell counts and
+# row-normalized rates. One langid pass (all JVM expressions) + one
+# tiny groupBy; the rate window runs over the <= |langs|^2 relation.
+@register(
+    "q_lang_confusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             {", ".join(_lang_case(lang) for lang in ["en", "de", "fr", "es", "zh"])}
+      FROM toks GROUP BY doc_id, lang
+    ), pred AS (
+      SELECT lang AS actual,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr
+                       AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es
+                       AND score_de >= score_zh THEN 'de'
+                  WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+                  WHEN score_es >= score_zh THEN 'es'
+                  ELSE 'zh' END AS predicted
+      FROM scores
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY actual) * 1000000 + 0.5)
+             AS BIGINT) AS rate_micros
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from frames_spark.functions.langid import language_scores
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    pred = language_scores(docs, "doc_id", "text").select(
+        "doc_id", "predicted"
+    )
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        _micros(F.col("n") * 1.0 / F.sum("n").over(w)).alias("rate_micros"),
+    )
+
+
+# Deterministic A/B conversion lift: users split into arms by a
+# content-hash parity (layout-invariant, the same trick as
+# q_train_test_split), conversion = >= 10 purchase events (the raw
+# did-purchase flag is vacuously 100% in this corpus, which would
+# zero the pooled variance). All counts are exact; lift and the
+# pooled two-proportion z statistic are one double expression each
+# over those ints (sqrt is IEEE correctly-rounded), micros-quantized
+# at the end; nullif guards keep degenerate arms NULL instead of
+# raising under ANSI.
+@register(
+    "q_abtest_lift",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 10 THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM arms
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           CAST(FLOOR((c_b * 1.0 / n_b) / nullif(c_a * 1.0 / n_a, 0) * 1000000
+                - 1000000 + 0.5) AS BIGINT) AS lift_micros,
+           CAST(FLOOR((c_b * 1.0 / n_b - c_a * 1.0 / n_a)
+             / nullif(sqrt((c_a + c_b) * 1.0 / (n_a + n_b)
+                    * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0) * 1000000 + 0.5) AS BIGINT)
+             AS z_micros
+    FROM agg
+    """,
+)
+def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 10,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("arm", arm)
+    agg = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    rate_a = F.col("c_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("c_b") * 1.0 / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (rate_b - rate_a) / F.nullif(
+        F.sqrt(
+            pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.floor(rate_b / F.nullif(rate_a, F.lit(0.0)) * 1000000 - 1000000 + 0.5)
+        .cast("long")
+        .alias("lift_micros"),
+        _micros(z).alias("z_micros"),
+    )

@@ -368,3 +368,24 @@ def test_target_encoding_loo_excludes_self(spark, sf_dir):
         assert r["loo_mean_price"] == pytest.approx(
             sum(others) / len(others), rel=1e-6
         )
+
+
+def test_lang_confusion_diagonal_and_rates(spark, sf_dir):
+    rows = QUERIES["q_lang_confusion"](spark, sf_dir).collect()
+    assert rows
+    import collections
+
+    by_actual = collections.defaultdict(int)
+    for r in rows:
+        by_actual[r["actual"]] += r["rate_micros"]
+    # row rates sum to ~1 per actual language (rounding at micros)
+    for actual, total in by_actual.items():
+        assert abs(total - 1_000_000) <= len(rows), actual
+
+
+def test_abtest_arms_partition_users(spark, sf_dir):
+    r = QUERIES["q_abtest_lift"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+    assert 0 <= r["c_a"] <= r["n_a"] and 0 <= r["c_b"] <= r["n_b"]
