@@ -7489,3 +7489,24 @@ def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lift_micros"),
         _micros(z).alias("z_micros"),
     )
+
+
+# PCA projection of the embedding corpus onto its top-2 principal
+# axes (similarity/pca.py). Distributed where data-sized (exact
+# fixed-point covariance, scan-stage projection), driver-side where
+# tiny (the 64x64 eigensolve — distributing it would be theater).
+# Rows-only: no portable SQL eigensolve exists; the quantitative
+# witness is tests/test_pca.py's pin against an independent
+# numpy-only PCA (projections equal, variance order correct).
+@register("q_embed_pca")
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.pca import fit_pca, project_pca
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(e, "embedding", k=2)
+    proj = project_pca(e, "embedding", model)
+    return proj.select(
+        "vec_id",
+        _micros(F.col("pc1")).alias("pc1_micros"),
+        _micros(F.col("pc2")).alias("pc2_micros"),
+    )
