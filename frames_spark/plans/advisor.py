@@ -45,6 +45,26 @@ class Finding:
     detail: str
 
 
+def _strip_null_guards(cond: str) -> str:
+    """Remove isnotnull(...)/isnull(...) terms (balanced parens —
+    guards wrap casts, e.g. isnotnull(cast(ts#55 as timestamp)))."""
+    out = []
+    i = 0
+    while i < len(cond):
+        m = re.match(r"isnotnull\(|isnull\(", cond[i:])
+        if not m:
+            out.append(cond[i])
+            i += 1
+            continue
+        j, depth = i + m.end(), 1
+        while j < len(cond) and depth:
+            depth += cond[j] == "("
+            depth -= cond[j] == ")"
+            j += 1
+        i = j
+    return "".join(out)
+
+
 def _windowspec_args(plan: str) -> list[str]:
     """Balanced-paren extraction of every windowspecdefinition(...)
     argument string (specs nest parens arbitrarily, e.g.
@@ -121,25 +141,41 @@ def advise(df: DataFrame, max_scan_cols: int = 24) -> list[Finding]:
                 )
                 break
 
-    # Filter node in the plan while every scan pushed nothing of
-    # substance (IsNotNull guards are auto-derived and don't count —
-    # they prune nothing when the predicate itself can't reach the
-    # scan).
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    if pushed and re.search(r"\bFilter \(", plan) is not None:
-        substantive = any(
-            part.strip() and not part.strip().startswith("IsNotNull")
-            for lst in pushed
-            for part in lst.split(",")
-        )
-        if not substantive:
+    # Pushdown misses: a Filter condition that (a) compares against a
+    # literal, (b) references ONLY columns that come straight off a
+    # scan (aggregate/window aliases like sum_qty#25 are post-shuffle
+    # by nature — filtering them is HAVING, not a miss), and (c) whose
+    # columns appear in no scan's substantive PushedFilters. Derived
+    # isnotnull guards are stripped first; they push trivially and
+    # prove nothing.
+    scan_cols = {c for cols in _scan_columns(plan) for c in cols}
+    pushed_cols = set()
+    for lst in re.findall(r"PushedFilters: \[([^\]]*)\]", plan):
+        for part in lst.split(","):
+            part = part.strip()
+            if part and not part.startswith("IsNotNull"):
+                m = re.search(r"\(([A-Za-z_]\w*)", part)
+                if m:
+                    pushed_cols.add(m.group(1))
+    for m in re.finditer(r"Condition : (.+)", plan):
+        residual = _strip_null_guards(m.group(1))
+        refs = set(re.findall(r"([A-Za-z_]\w*)#\d+", residual))
+        has_literal = re.search(r"[=<>]\s*-?\d|\bIN \(|LIKE ", residual)
+        if (
+            refs
+            and has_literal
+            and refs <= scan_cols
+            and not refs & pushed_cols
+        ):
             findings.append(
                 Finding(
                     "NO_PUSHDOWN",
-                    "plan filters rows but no scan pushed a substantive "
-                    "filter — predicate not scan-eligible?",
+                    f"filter on scan columns {sorted(refs)} compares "
+                    "against literals but reached no scan's "
+                    "PushedFilters — predicate shape not scan-eligible?",
                 )
             )
+            break
 
     for cols in _scan_columns(plan):
         if len(cols) > max_scan_cols:

@@ -85,3 +85,38 @@ def test_assert_clean_raises_with_detail(spark, sf_dir):
     b = spark.read.parquet(f"{sf_dir}/nation.parquet")
     with pytest.raises(AssertionError, match="CARTESIAN"):
         assert_clean(a.crossJoin(b.hint("shuffle_replicate_nl")))
+
+
+# Queries whose filters are KNOWN non-scan-eligible by design: hash-
+# membership sampling (md5 over the key — the whole point is a
+# layout-invariant scan-STAGE filter), function-of-column guards
+# (size(embedding)=d), and computed join/diff keys. The advisor
+# correctly reports these as not scan-eligible; everything else in
+# the registry must stay clean.
+KNOWN_UNPUSHABLE = {
+    "q_cross_source_dups",
+    "q_cust_order_dist",
+    "q_embed_centroids",
+    "q_join_multi",
+    "q_label_purity",
+    "q_melt",
+    "q_missing_drop",
+    "q_sample_hash",
+    "q_table_diff",
+}
+
+
+def test_registry_wide_advisor_sweep(spark, sf_dir):
+    from frames_spark.queries import QUERIES
+
+    noisy = {}
+    for name, fn in QUERIES.items():
+        findings = advise(fn(spark, sf_dir))
+        unexpected = [
+            f
+            for f in findings
+            if not (f.code == "NO_PUSHDOWN" and name in KNOWN_UNPUSHABLE)
+        ]
+        if unexpected:
+            noisy[name] = unexpected
+    assert not noisy, noisy
