@@ -1,8 +1,10 @@
 """CLI: run any registered query by name and show rows + plan.
 
-    python -m frames_spark q_group_fold [sf_dir] [--explain] [-n 20]
+    python -m frames_spark q_group_fold [sf_dir] [--explain] [--advise] [-n 20]
 
-Lists all queries when invoked without arguments.
+Lists all queries when invoked without arguments. ``--advise`` runs
+the static plan advisor (plans/advisor.py) and prints findings
+instead of executing.
 """
 
 from __future__ import annotations
@@ -20,6 +22,10 @@ def main() -> int:
     p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     p.add_argument("-n", type=int, default=20, help="rows to show")
     p.add_argument("--explain", action="store_true", help="print the formatted plan")
+    p.add_argument(
+        "--advise", action="store_true",
+        help="run the plan advisor and exit (1 if findings)",
+    )
     args = p.parse_args()
 
     if not args.query:
@@ -32,6 +38,15 @@ def main() -> int:
         return 2
     spark = get_spark("frames_spark_cli")
     df = Q.QUERIES[args.query](spark, args.sf_dir)
+    if args.advise:
+        from frames_spark.plans.advisor import advise
+
+        findings = advise(df)
+        for f in findings:
+            print(f"{f.code}: {f.detail}")
+        if not findings:
+            print("clean")
+        return 1 if findings else 0
     if args.explain:
         df.explain("formatted")
     df.show(args.n, truncate=40)
