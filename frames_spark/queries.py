@@ -7510,3 +7510,99 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micros(F.col("pc1")).alias("pc1_micros"),
         _micros(F.col("pc2")).alias("pc2_micros"),
     )
+
+
+# MinHash calibration curve: candidate pairs bucketed by the
+# signature estimate, with the mean EXACT Jaccard per bucket — the
+# plot that tells you where to put the LSH threshold. Pure reuse of
+# the q_minhash_accuracy relation (candidate pairs only, never all
+# pairs); the aggregate runs over <= 11 buckets. Means divide sums of
+# micros-quantized exact ints, so the curve is bit-stable.
+@register(
+    "q_minhash_calibration",
+    f"""
+    SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM({_MICROS_SQL.format(expr='est_jaccard')}) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_est,
+           CAST(SUM({_MICROS_SQL.format(expr='exact_jaccard')}) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_exact
+    FROM ({{acc}}) acc
+    GROUP BY 1
+    """.format(acc="{acc}"),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acc = q_minhash_accuracy(spark, sf_dir)
+    return (
+        acc.groupBy(
+            F.floor(F.col("est_jaccard") * 10).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(_micros(F.col("est_jaccard"))).cast("double")
+                / F.count(F.lit(1))
+                / 1000000
+            ).alias("mean_est"),
+            (
+                F.sum(_micros(F.col("exact_jaccard"))).cast("double")
+                / F.count(F.lit(1))
+                / 1000000
+            ).alias("mean_exact"),
+        )
+    )
+
+
+ORACLES["q_minhash_calibration"] = ORACLES["q_minhash_calibration"].format(
+    acc=ORACLES["q_minhash_accuracy"]
+)
+
+
+# Degree distribution of the co-purchase graph — the first thing you
+# look at before any graph algorithm (it decides whether degree-
+# ordered orientation, salting, or plain joins are needed). Edges via
+# the same no-self-join expansion as q_triangle_count; two map-side-
+# combined groupBys after that.
+@register(
+    "q_degree_dist",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT n, COUNT(*) AS degree FROM (
+        SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY n
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -389,3 +389,25 @@ def test_abtest_arms_partition_users(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert r["n_a"] + r["n_b"] == n_users
     assert 0 <= r["c_a"] <= r["n_a"] and 0 <= r["c_b"] <= r["n_b"]
+
+
+def test_minhash_calibration_monotone_exact(spark, sf_dir):
+    """Higher estimate buckets must carry higher mean exact Jaccard —
+    the property that makes an LSH threshold meaningful at all."""
+    rows = sorted(
+        QUERIES["q_minhash_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    exact = [r["mean_exact"] for r in rows]
+    assert exact == sorted(exact)
+    for r in rows:
+        assert 0.0 <= r["mean_exact"] <= 1.0
+        assert r["bucket"] / 10 <= r["mean_est"] <= (r["bucket"] + 1) / 10
+
+
+def test_degree_dist_conservation(spark, sf_dir):
+    rows = QUERIES["q_degree_dist"](spark, sf_dir).collect()
+    # sum(degree * n_nodes) = 2 |E| (handshake lemma)
+    total = sum(r["degree"] * r["n_nodes"] for r in rows)
+    assert total % 2 == 0 and total > 0
