@@ -347,3 +347,75 @@ def footer_stats(
             conf.unset("spark.sql.sources.useV1SourceList")
         else:
             conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile parts: the numeric mergeable-summary sink.
+# Each ingest batch appends per-(window, bin) counts; any date range
+# answers any quantile by merging parts — the event stream is read
+# once at ingest and NEVER re-scanned at query time (the storable
+# form of queries.q_hist_quantiles, and the deterministic cousin of
+# the HLL sketch parts: bin counts are exact ints, so estimates are
+# reproducible and bounded by bin width).
+# ---------------------------------------------------------------------------
+
+
+def append_histogram_increment(
+    batch: DataFrame,
+    path: str,
+    value: str,
+    bin_width_micros: int = 100_000_000,
+    window: str = "1 day",
+    ts: str = "ts",
+) -> None:
+    """Aggregate one ingest batch to (window, bin, cnt) and append."""
+    (
+        batch.groupBy(
+            F.window(ts, window).alias("w"),
+            F.expr(
+                f"CAST(FLOOR({value} * 1000000 + 0.5) AS BIGINT) "
+                f"DIV {bin_width_micros}"
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "bin", "cnt")
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def read_quantiles(
+    spark: SparkSession,
+    path: str,
+    ps: list[float],
+    bin_width_micros: int = 100_000_000,
+    lo: "object | None" = None,
+    hi: "object | None" = None,
+) -> DataFrame:
+    """Quantile estimates (bin lower bounds) for any window range by
+    merging stored parts. The windows predicate prunes part files;
+    everything downstream is the tiny bin relation."""
+    from pyspark.sql import Window
+
+    parts = spark.read.parquet(path)
+    if lo is not None:
+        parts = parts.filter(F.col("w_start") >= F.lit(lo))
+    if hi is not None:
+        parts = parts.filter(F.col("w_start") < F.lit(hi))
+    merged = parts.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    pcol = F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+    return (
+        cum.crossJoin(F.broadcast(spark.range(1).select(pcol)))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p", "n")
+        .agg(
+            (F.min("bin") * F.lit(bin_width_micros))
+            .cast("long")
+            .alias("est_lo_micros")
+        )
+    )

@@ -174,3 +174,62 @@ def test_delete_rows(spark, sf_dir, tmp_path):
     assert after.count() == expect_keep
     assert after.filter(F.col("user_id").isin(3, 7, 11)).count() == 0
     assert not [d for d in os.listdir(tmp_path) if "retired" in d]
+
+
+def test_histogram_parts_streaming_quantiles(spark, sf_dir, tmp_path):
+    """Histogram parts appended batch-by-batch answer the same
+    quantiles as a direct pass over all the data — the mergeability
+    contract under incremental ingest, including a range-restricted
+    read that only touches a subset of parts."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from frames_spark.sources.sink import (
+        append_histogram_increment,
+        read_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    path = str(tmp_path / "hist_parts")
+    # two ingest batches (a batch boundary inside a day is fine —
+    # partial bins merge by summation)
+    append_histogram_increment(ev.filter(F.col("ts") <= mid), path, "value")
+    append_histogram_increment(ev.filter(F.col("ts") > mid), path, "value")
+
+    got = {
+        r["p"]: r
+        for r in read_quantiles(
+            spark, path, [0.5, 0.9], bin_width_micros=100_000_000
+        ).collect()
+    }
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT value FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    vals.sort()
+    n = len(vals)
+    for p in (0.5, 0.9):
+        exact = vals[math.ceil(p * n) - 1]
+        est = got[p]["est_lo_micros"]
+        assert est <= exact * 1e6 < est + 100_000_000
+        assert got[p]["n"] == n
+
+    # range-restricted read: only parts in [lo, mid-day) are merged
+    import datetime as dt
+
+    day0 = dt.datetime(lo.year, lo.month, lo.day)
+    cut = day0 + dt.timedelta(days=7)
+    small = read_quantiles(
+        spark, path, [0.5], lo=day0, hi=cut
+    ).collect()[0]
+    n_small = ev.filter(
+        (F.date_trunc("day", "ts") >= F.lit(day0))
+        & (F.date_trunc("day", "ts") < F.lit(cut))
+    ).count()
+    assert small["n"] == n_small < n
