@@ -7606,3 +7606,52 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# END-TO-END product-analytics pipeline (pipelines/product.py):
+# sessionize -> per-user engagement rollup -> recency vs corpus
+# horizon -> rule-based segment, one lazy plan with a full
+# cross-engine oracle — the analytics twin of q_pipeline_clean.
+@register(
+    "q_pipeline_product",
+    """
+    WITH sessions AS (
+      SELECT user_id, value, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second',
+                                      CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP),
+                                      CAST(ts AS TIMESTAMP)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ), per_user AS (
+      SELECT user_id,
+             CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_micros,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      FROM sessions GROUP BY user_id
+    ), horizon AS (
+      SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events
+    )
+    SELECT user_id, n_sessions, n_events, total_value_micros,
+           CAST((max_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+           CASE WHEN (max_us - last_us) // 86400000000 <= 7
+                     AND n_sessions >= 30 THEN 'core'
+                WHEN (max_us - last_us) // 86400000000 <= 7 THEN 'engaged'
+                WHEN (max_us - last_us) // 86400000000 <= 14 THEN 'lapsing'
+                ELSE 'dormant' END AS segment
+    FROM per_user CROSS JOIN horizon
+    """,
+)
+def q_pipeline_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.pipelines.product import engagement_segments
+
+    ev = load_table(spark, sf_dir, "events")
+    return engagement_segments(ev)

@@ -92,3 +92,20 @@ def test_cleaner_redacts_before_dedup(spark, sf_dir):
     fa = {r[0] for r in a.select(fingerprint(redact(F.col("text")))).collect()}
     fb = {r[0] for r in b.select(fingerprint(redact(F.col("text")))).collect()}
     assert fa == fb
+
+
+def test_engagement_segments_composition(spark, sf_dir):
+    """The pipeline's per-user rollup must be consistent with its
+    own parts and produce a non-degenerate segmentation."""
+    from frames_spark.pipelines.product import engagement_segments
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = engagement_segments(ev).collect()
+    assert len(rows) == ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    segs = {r["segment"] for r in rows}
+    assert segs <= {"core", "engaged", "lapsing", "dormant"}
+    for r in rows:
+        assert 1 <= r["n_sessions"] <= r["n_events"]
+        assert r["recency_days"] >= 0
