@@ -210,3 +210,37 @@ def test_grouped_rank_matches_window_prop(spark, rows, nparts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]),
+        min_size=20,
+        max_size=200,
+    ),
+    parts=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_exact_on_random_streams(spark, tokens, parts):
+    """Misra-Gries + recount returns EXACTLY the phi-heavy set for
+    arbitrary token streams and partitionings (m intentionally tiny
+    so the sketch actually evicts)."""
+    from collections import Counter
+
+    from frames_spark.operators.sketches import heavy_hitters
+
+    phi, m = 0.15, 8
+    df = spark.createDataFrame(
+        [(t,) for t in tokens], ["tok"]
+    ).repartition(parts)
+    got = {
+        (r["tok"], r["cnt"])
+        for r in heavy_hitters(df, "tok", phi=phi, m=m).collect()
+    }
+    n = len(tokens)
+    exact = {
+        (t, c)
+        for t, c in Counter(tokens).items()
+        if c >= math.ceil(phi * n)
+    }
+    assert got == exact
