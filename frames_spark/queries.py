@@ -7655,3 +7655,156 @@ def q_pipeline_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return engagement_segments(ev)
+
+
+# Event-type co-occurrence PMI within sessions — "which behaviors go
+# together". Sessions from the standard lag+cumsum pass; each
+# session's DISTINCT type set collapses in one groupBy and pairs
+# expand IN-ARRAY (i<j over the sorted set, never a session-level
+# self-join); marginals and the session total are tiny broadcasts.
+# ln() micros-quantized as usual.
+@register(
+    "q_cooccurrence_pmi",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second',
+                                    CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP),
+                                    CAST(ts AS TIMESTAMP)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), st AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ), singles AS (
+      SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1
+    ), total AS (
+      SELECT COUNT(DISTINCT (user_id, session_id)) AS s FROM st
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(FLOOR(ln(s * 1.0 * n_ab / (sa.n * 1.0 * sb.n)) * 1000000
+                + 0.5) AS BIGINT) AS pmi_micros
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    CROSS JOIN total
+    """,
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = win_ops.sessionize(
+        ev, "user_id", "ts", 1800, order_tiebreak=["event_id"]
+    )
+    st = sess.select("user_id", "session_id", "event_type").distinct()
+    per_session = st.groupBy("user_id", "session_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = (
+        per_session.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (x, i) -> "
+                    "transform(slice(types, i + 2, size(types) - i - 1), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.type_a", "p.type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = per_session.agg(F.count(F.lit(1)).alias("s"))
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    pmi = F.log(
+        F.col("s") * 1.0 * F.col("n_ab") / (F.col("n_a") * 1.0 * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select("type_a", "type_b", "n_ab", _micros(pmi).alias("pmi_micros"))
+    )
+
+
+# 2-D histogram (price x quantity bins over lineitem) — the heatmap
+# feed. One map-side-combined groupBy over integer bin ids; output is
+# O(bins^2) rows however large the fact table.
+@register(
+    "q_histogram_2d",
+    f"""
+    SELECT {_MICROS_SQL.format(expr='l_extendedprice')} // 10000000000 AS price_bin,
+           CAST(l_quantity AS BIGINT) AS qty_bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(
+            f"{_MICROS_SQL.format(expr='l_extendedprice')} DIV 10000000000"
+        ).alias("price_bin"),
+        F.col("l_quantity").cast("long").alias("qty_bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# Cohort LTV: purchase revenue by (first-seen week, weeks since) —
+# the monetary counterpart of q_cohort_retention. Same exchange
+# chain: everything keys on user_id until the tiny cohort matrix.
+@register(
+    "q_ltv_cohort",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort,
+                CAST(date_trunc('week', ts) AS TIMESTAMP)) // 7 AS BIGINT)
+             AS weeks_since,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_micros,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+    FROM events JOIN firsts USING (user_id)
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    weeks_since = F.expr(
+        "CAST(datediff(date_trunc('week', ts), cohort) DIV 7 AS BIGINT)"
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("cohort", weeks_since.alias("weeks_since"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+            ).alias("revenue_micros"),
+            F.count_distinct("user_id").alias("n_buyers"),
+        )
+    )

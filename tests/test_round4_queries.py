@@ -411,3 +411,31 @@ def test_degree_dist_conservation(spark, sf_dir):
     # sum(degree * n_nodes) = 2 |E| (handshake lemma)
     total = sum(r["degree"] * r["n_nodes"] for r in rows)
     assert total % 2 == 0 and total > 0
+
+
+def test_pmi_symmetric_and_bounded(spark, sf_dir):
+    rows = QUERIES["q_cooccurrence_pmi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]  # canonical pair order
+        assert r["n_ab"] > 0
+
+
+def test_histogram_2d_conserves_rows(spark, sf_dir):
+    rows = QUERIES["q_histogram_2d"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["n"] for r in rows) == li.count()
+
+
+def test_ltv_cohort_totals(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["q_ltv_cohort"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")))
+        .collect()[0][0]
+    )
+    assert sum(r["revenue_micros"] for r in rows) == total
+    assert all(r["weeks_since"] >= 0 for r in rows)
