@@ -367,9 +367,17 @@ def append_histogram_increment(
     bin_width_micros: int = 100_000_000,
     window: str = "1 day",
     ts: str = "ts",
+    batch_id: int | None = None,
 ) -> None:
-    """Aggregate one ingest batch to (window, bin, cnt) and append."""
-    (
+    """Aggregate one ingest batch to (window, bin, cnt) and append.
+
+    With ``batch_id`` (the foreachBatch epoch) the parts land in a
+    batch_id partition under dynamic overwrite, so a REPLAYED batch
+    replaces its own prior parts instead of double-counting — the
+    exactly-once contract for non-transactional sinks (same pattern
+    as the foreachBatch order sink; read side merges by summation and
+    is oblivious to the extra partition column)."""
+    parts = (
         batch.groupBy(
             F.window(ts, window).alias("w"),
             F.expr(
@@ -379,7 +387,15 @@ def append_histogram_increment(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("w_start"), "bin", "cnt")
-        .write.mode("append")
+    )
+    if batch_id is None:
+        parts.write.mode("append").parquet(path)
+        return
+    (
+        parts.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(path)
     )
 

@@ -233,3 +233,67 @@ def test_histogram_parts_streaming_quantiles(spark, sf_dir, tmp_path):
         & (F.date_trunc("day", "ts") < F.lit(cut))
     ).count()
     assert small["n"] == n_small < n
+
+
+def test_histogram_parts_streaming_exactly_once(spark, sf_dir, tmp_path):
+    """True streaming ingest: readStream -> foreachBatch appending
+    batch-id-partitioned parts. Replaying a batch (the restart
+    failure mode) must REPLACE its parts, not double-count — the
+    merged quantile row is identical before and after the replay."""
+    from pyspark.sql import functions as F
+
+    from frames_spark.sources.sink import (
+        append_histogram_increment,
+        read_quantiles,
+    )
+    from frames_spark.streaming import events as sev
+
+    src = f"{sf_dir}"
+    parts = str(tmp_path / "parts")
+    ckpt = str(tmp_path / "ckpt")
+    physical = sev.probe_event_schema(spark, f"{src}/events.parquet")
+    raw = (
+        spark.readStream.schema(physical)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(src)
+    )
+    stream = sev.normalize_ts(raw, physical)
+    seen = {}
+
+    def write_batch(batch_df, batch_id: int):
+        seen[batch_id] = batch_df.count()
+        append_histogram_increment(
+            batch_df, parts, "value", batch_id=batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen
+
+    before = sorted(
+        tuple(r) for r in read_quantiles(spark, parts, [0.5, 0.9]).collect()
+    )
+    # replay the first batch verbatim (simulates restart after a
+    # sink write that wasn't acknowledged)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    replay_id = min(seen)
+    append_histogram_increment(ev, parts, "value", batch_id=replay_id)
+    # (replaying with the FULL data is the worst case: it replaces the
+    # old batch's parts wholesale rather than appending to them)
+    after_replace = sorted(
+        tuple(r) for r in read_quantiles(spark, parts, [0.5, 0.9]).collect()
+    )
+    # n must equal full-table count, not count + replay
+    n_total = ev.count()
+    extra = sum(c for b, c in seen.items() if b != replay_id)
+    assert all(r[1] == n_total + extra for r in after_replace)
+    if len(seen) == 1:
+        assert after_replace == before
