@@ -7808,3 +7808,116 @@ def q_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_buyers"),
         )
     )
+
+
+# Weekly activity-level migration matrix: each active (user, week)
+# labeled heavy/light by event count, crossed with the SAME user's
+# level in the NEXT calendar week ('churn' if absent). One lead
+# window keyed by user over the distinct user-week relation — no
+# week-over-week self-join; the matrix is at most levels^2 rows. The
+# final observed week is excluded via a 1-row horizon broadcast.
+@register(
+    "q_segment_migration",
+    """
+    WITH uw AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             CASE WHEN COUNT(*) >= 15 THEN 'heavy' ELSE 'light' END AS lvl
+      FROM events GROUP BY 1, 2
+    ), nxt AS (
+      SELECT user_id, wk, lvl,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+             LEAD(lvl) OVER (PARTITION BY user_id ORDER BY wk) AS next_lvl
+      FROM uw
+    ), horizon AS (SELECT MAX(wk) AS max_wk FROM uw)
+    SELECT lvl AS from_lvl,
+           CASE WHEN next_wk = wk + INTERVAL 7 DAYS THEN next_lvl
+                ELSE 'churn' END AS to_lvl,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nxt CROSS JOIN horizon
+    WHERE wk < max_wk
+    GROUP BY 1, 2
+    """,
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(
+        F.when(F.count(F.lit(1)) >= 15, "heavy")
+        .otherwise("light")
+        .alias("lvl")
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    nxt = uw.select(
+        "user_id",
+        "wk",
+        "lvl",
+        F.lead("wk").over(w).alias("next_wk"),
+        F.lead("lvl").over(w).alias("next_lvl"),
+    )
+    horizon = uw.groupBy().agg(F.max("wk").alias("max_wk"))
+    to_lvl = F.when(
+        F.col("next_wk") == F.col("wk") + F.expr("INTERVAL 7 DAYS"),
+        F.col("next_lvl"),
+    ).otherwise("churn")
+    return (
+        nxt.crossJoin(F.broadcast(horizon))
+        .filter(F.col("wk") < F.col("max_wk"))
+        .groupBy(F.col("lvl").alias("from_lvl"), to_lvl.alias("to_lvl"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Daily revenue split by new vs returning buyers — the monetary
+# companion of q_new_vs_returning. Purchase revenue collapses to
+# (user, day) grain first; first-seen derives from the ACTIVITY
+# relation (any event type), both shuffles keyed user_id.
+@register(
+    "q_revenue_new_vs_returning",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ), fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+    rev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS rev_micros
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN rev_micros ELSE 0 END)
+                AS BIGINT) AS new_rev_micros,
+           CAST(SUM(CASE WHEN day > first_day THEN rev_micros ELSE 0 END)
+                AS BIGINT) AS returning_rev_micros
+    FROM rev JOIN fs USING (user_id)
+    GROUP BY day
+    """,
+)
+def q_revenue_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day.alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+            ).alias("rev_micros")
+        )
+    )
+    return (
+        rev.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), F.col("rev_micros")).otherwise(0)
+            ).alias("new_rev_micros"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), F.col("rev_micros")).otherwise(0)
+            ).alias("returning_rev_micros"),
+        )
+    )

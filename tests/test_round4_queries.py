@@ -439,3 +439,39 @@ def test_ltv_cohort_totals(spark, sf_dir):
     )
     assert sum(r["revenue_micros"] for r in rows) == total
     assert all(r["weeks_since"] >= 0 for r in rows)
+
+
+def test_segment_migration_matrix(spark, sf_dir):
+    rows = QUERIES["q_segment_migration"](spark, sf_dir).collect()
+    froms = {r["from_lvl"] for r in rows}
+    tos = {r["to_lvl"] for r in rows}
+    assert froms <= {"heavy", "light"} and len(froms) == 2
+    assert tos <= {"heavy", "light", "churn"}
+    # total transitions = active user-weeks excluding the last week
+    import pyspark.sql.functions as F
+
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    last = uw.agg(F.max("wk")).collect()[0][0]
+    expected = uw.filter(F.col("wk") < F.lit(last)).count()
+    assert sum(r["n"] for r in rows) == expected
+
+
+def test_revenue_split_sums_to_total(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["q_revenue_new_vs_returning"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")))
+        .collect()[0][0]
+    )
+    assert (
+        sum(r["new_rev_micros"] + r["returning_rev_micros"] for r in rows)
+        == total
+    )
