@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_rank", "ntile_from_rank"]
+__all__ = ["grouped_rank", "grouped_prefix_sum", "ntile_from_rank"]
 
 
 def grouped_rank(
@@ -111,4 +111,63 @@ def ntile_from_rank(rank: Column, cnt: Column, buckets: int) -> Column:
         F.when(in_big, (r0 / big).cast("long") + 1)
         .otherwise(rem + ((r0 - rem * big) / F.nullif(base, F.lit(0))).cast("long") + 1)
         .cast("long")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    num_partitions: int | None = None,
+    cum_col: str = "cum",
+    total_col: str = "group_total",
+    stage: bool = False,
+) -> DataFrame:
+    """df + [cum_col, total_col]: exact inclusive running sum of
+    ``value_col`` within each group under ORDER BY order_cols, plus
+    the group total — the VALUE counterpart of grouped_rank, same
+    two-phase shape: per-(partition, group) subtotal histogram →
+    exclusive offsets via a window over the histogram only → local
+    running sum + broadcast offset. A naive
+    `sum() OVER (ORDER BY ...)` is a single-task sort at fact scale;
+    this keeps parallelism at num_partitions x |groups|.
+
+    Same determinism requirement as grouped_rank (both branches must
+    observe one evaluation of the range exchange); pass stage=True
+    for nondeterministic upstreams. Use integer/decimal value columns
+    — float partial sums would make the offsets partition-dependent.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    order_exprs = [as_col(c) for c in order_cols]
+    keys = [*[as_col(c) for c in group_cols], *order_exprs]
+    part = df.repartitionByRange(n, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    if stage:
+        part = part.localCheckpoint(eager=False)
+    wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
+    local = part.withColumn("_lcum", F.sum(value_col).over(wloc))
+
+    subs = part.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_s")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    offs = subs.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_s").over(wtot).alias(total_col),
+    )
+    return (
+        local.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(cum_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
     )

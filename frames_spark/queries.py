@@ -7921,3 +7921,105 @@ def q_revenue_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returning_rev_micros"),
         )
     )
+
+
+from frames_spark.operators.ranking import grouped_prefix_sum  # noqa: E402
+
+
+# ABC inventory classification: parts ranked by revenue, classified
+# by cumulative share (A <= 80%, B <= 95%, C rest). The running sum
+# over the revenue order rides grouped_prefix_sum — the two-phase
+# VALUE prefix sum (histogram offsets, parallelism = partitions) —
+# never a single-task `SUM() OVER (ORDER BY ...)` on the part
+# relation; class thresholds compare exact integers (5*cum <=
+# 4*total), no float shares.
+@register(
+    "q_abc_analysis",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice')}) AS BIGINT)
+               AS rev_micros
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT l_partkey, rev_micros,
+             SUM(rev_micros) OVER (ORDER BY rev_micros DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+             SUM(rev_micros) OVER () AS total
+      FROM per_part
+    )
+    SELECT l_partkey, rev_micros,
+           CASE WHEN 5 * cum_rev <= 4 * total THEN 'A'
+                WHEN 20 * cum_rev <= 19 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_micros(F.col("l_extendedprice"))).alias("rev_micros")
+    )
+    cum = grouped_prefix_sum(
+        per_part,
+        [],
+        [F.col("rev_micros").desc(), F.col("l_partkey")],
+        "rev_micros",
+        cum_col="cum_rev",
+        total_col="total",
+    )
+    cls = (
+        F.when(5 * F.col("cum_rev") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum_rev") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return cum.select("l_partkey", "rev_micros", cls.alias("abc_class"))
+
+
+# Exact weighted median (price weighted by quantity) — the prefix-sum
+# primitive again: cumulative weight along the price order, answer =
+# first price where 2*cum_weight >= total_weight. No value buffering,
+# no single-task sort; all integer compares.
+@register(
+    "q_weighted_median",
+    f"""
+    WITH w AS (
+      SELECT {_MICROS_SQL.format(expr='l_extendedprice')} AS price_micros,
+             CAST(l_quantity AS BIGINT) AS wt, l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT price_micros, wt,
+             SUM(wt) OVER (ORDER BY price_micros, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_wt,
+             SUM(wt) OVER () AS total_wt
+      FROM w
+    )
+    SELECT CAST(MIN(price_micros) AS BIGINT) AS wmedian_price_micros,
+           CAST(MIN(total_wt) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cum_wt >= total_wt
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _micros(F.col("l_extendedprice")).alias("price_micros"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = grouped_prefix_sum(
+        li,
+        [],
+        ["price_micros", "l_orderkey", "l_linenumber"],
+        "wt",
+        cum_col="cum_wt",
+        total_col="total_wt",
+    )
+    return (
+        cum.filter(2 * F.col("cum_wt") >= F.col("total_wt"))
+        .agg(
+            F.min("price_micros").alias("wmedian_price_micros"),
+            F.min("total_wt").alias("total_weight"),
+        )
+    )

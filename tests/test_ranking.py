@@ -79,3 +79,58 @@ def test_grouped_rank_more_partitions_than_rows(spark):
     rows = grouped_rank(df, ["g"], ["v"], num_partitions=32).collect()
     got = {(r.g, r.v): (r.rn, r.group_cnt) for r in rows}
     assert got == {("a", 1): (1, 2), ("a", 3): (2, 2), ("b", 2): (1, 1)}
+
+
+def test_grouped_prefix_sum_matches_window(spark, sf_dir):
+    """Two-phase prefix sum == the naive single-task window, per
+    group and globally, on exact integers."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from frames_spark.operators.ranking import grouped_prefix_sum
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got = {
+        r["o_orderkey"]: (r["cum"], r["group_total"])
+        for r in grouped_prefix_sum(
+            o,
+            ["o_orderpriority"],
+            ["cents", "o_orderkey"],
+            "cents",
+            num_partitions=7,
+        ).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("o_orderpriority")
+    exp = {
+        r["o_orderkey"]: (r["cum"], r["tot"])
+        for r in o.select(
+            "o_orderkey",
+            F.sum("cents").over(w).alias("cum"),
+            F.sum("cents").over(wt).alias("tot"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_grouped_prefix_sum_plan_is_distributed(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from frames_spark.operators.ranking import grouped_prefix_sum
+    from frames_spark.plans.explain import formatted_plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    plan = formatted_plan(
+        grouped_prefix_sum(o, [], ["cents", "o_orderkey"], "cents")
+    )
+    assert "spark_partition_id" in plan.lower()
