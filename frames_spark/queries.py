@@ -8023,3 +8023,80 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total_wt").alias("total_weight"),
         )
     )
+
+
+# TIME-CONSTRAINED funnel: view -> click within 1h -> purchase
+# within 24h of a qualifying click (the strict version of the
+# first-touch funnel — credit expires). Each constraint is one
+# backward as-of join with tolerance (operators/asof.py: the
+# union-window trick — ONE shuffle per stage, keyed by user, no
+# range self-join): "a view exists within [click-1h, click]" iff the
+# LAST prior view is within tolerance. The oracle states the same
+# thing as EXISTS windows.
+@register(
+    "q_funnel_windowed",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    qc AS (
+      SELECT c.user_id, c.ts FROM c
+      WHERE EXISTS (SELECT 1 FROM v
+                    WHERE v.user_id = c.user_id
+                      AND v.ts <= c.ts
+                      AND v.ts >= c.ts - INTERVAL 1 HOUR)
+    ),
+    qp AS (
+      SELECT p.user_id FROM p
+      WHERE EXISTS (SELECT 1 FROM qc
+                    WHERE qc.user_id = p.user_id
+                      AND qc.ts <= p.ts
+                      AND qc.ts >= p.ts - INTERVAL 24 HOURS)
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT) AS n_view_users,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM qc) AS BIGINT) AS n_click_users,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM qp) AS BIGINT) AS n_purchase_users
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("vid"),
+        F.lit(1).alias("v_hit"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    # stage 1: last view within 1h before each click
+    qc = asof_join(
+        clicks,
+        views,
+        key="user_id",
+        ts="ts",
+        value_cols=["v_hit"],
+        right_tiebreak="vid",
+        direction="backward",
+        tolerance_micros=3600 * 1_000_000,
+    ).filter(F.col("v_hit").isNotNull()).select(
+        "user_id", "ts", F.col("event_id").alias("cid"),
+        F.lit(1).alias("c_hit"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    qp = asof_join(
+        purchases,
+        qc,
+        key="user_id",
+        ts="ts",
+        value_cols=["c_hit"],
+        right_tiebreak="cid",
+        direction="backward",
+        tolerance_micros=24 * 3600 * 1_000_000,
+    ).filter(F.col("c_hit").isNotNull())
+    nv = views.agg(F.count_distinct("user_id").alias("n_view_users"))
+    nc = qc.agg(F.count_distinct("user_id").alias("n_click_users"))
+    np_ = qp.agg(F.count_distinct("user_id").alias("n_purchase_users"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))

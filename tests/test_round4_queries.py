@@ -475,3 +475,16 @@ def test_revenue_split_sums_to_total(spark, sf_dir):
         sum(r["new_rev_micros"] + r["returning_rev_micros"] for r in rows)
         == total
     )
+
+
+def test_funnel_windowed_stage_monotone(spark, sf_dir):
+    r = QUERIES["q_funnel_windowed"](spark, sf_dir).collect()[0]
+    assert r["n_view_users"] >= r["n_click_users"] >= 0
+    assert r["n_purchase_users"] >= 0
+    # strict funnel can't beat the unconstrained first-touch funnel
+    plain = {
+        row["step"]: row["n_users"]
+        for row in QUERIES["q_funnel_counts"](spark, sf_dir).collect()
+    }
+    assert r["n_view_users"] == plain["view"]
+    assert r["n_click_users"] <= plain["view"]
