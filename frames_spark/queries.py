@@ -8100,3 +8100,78 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = qc.agg(F.count_distinct("user_id").alias("n_click_users"))
     np_ = qp.agg(F.count_distinct("user_id").alias("n_purchase_users"))
     return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+# Linear multi-touch attribution: each purchase's value split evenly
+# across its qualifying touches (view/click within the prior 24h);
+# purchases with no touch report as 'unattributed'. The touch-to-
+# purchase pairing is the BUCKETED range join (operators/rangejoin.py
+# — touch side explodes x2 into window buckets, pure equi-join +
+# residual, never a per-user product); per-purchase touch counts come
+# from one map-side-combined groupBy and the per-pair credit is
+# micros-quantized before the final by-type sum.
+@register(
+    "q_attribution",
+    f"""
+    WITH t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT p.event_id AS pid, p.value, t.event_type AS touch_type
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.ts <= p.ts AND epoch_us(CAST(p.ts AS TIMESTAMP))
+            <= epoch_us(CAST(t.ts AS TIMESTAMP)) + 86400000000
+    ), per_p AS (
+      SELECT pid, COUNT(*) AS n FROM pairs GROUP BY 1
+    ), credited AS (
+      SELECT touch_type, {_MICROS_SQL.format(expr='value / n')} AS credit
+      FROM pairs JOIN per_p USING (pid)
+      UNION ALL
+      SELECT 'unattributed', {_MICROS_SQL.format(expr='value')}
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pid = p.event_id)
+    )
+    SELECT touch_type, CAST(SUM(credit) AS BIGINT) AS credit_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_credits
+    FROM credited GROUP BY touch_type
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    pairs = range_join(
+        touches, purch, "user_id", "t_ts", "p_ts", 86400
+    ).select("pid", "value", "touch_type")
+    per_p = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    credited = pairs.join(per_p, "pid").select(
+        "touch_type", _micros(F.col("value") / F.col("n")).alias("credit")
+    )
+    unattr = (
+        purch.join(per_p, "pid", "left_anti")
+        .select(
+            F.lit("unattributed").alias("touch_type"),
+            _micros(F.col("value")).alias("credit"),
+        )
+    )
+    return (
+        credited.unionByName(unattr)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("credit").alias("credit_micros"),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )

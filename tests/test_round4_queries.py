@@ -488,3 +488,23 @@ def test_funnel_windowed_stage_monotone(spark, sf_dir):
     }
     assert r["n_view_users"] == plain["view"]
     assert r["n_click_users"] <= plain["view"]
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Linear attribution must conserve total purchase revenue up to
+    the per-pair micro-rounding (|pairs| half-ulps at most)."""
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["q_attribution"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")))
+        .collect()[0][0]
+    )
+    credited = sum(r["credit_micros"] for r in rows)
+    n_credits = sum(r["n_credits"] for r in rows)
+    assert abs(credited - total) <= n_credits  # rounding slack
+    assert {r["touch_type"] for r in rows} <= {
+        "view", "click", "unattributed"
+    }
