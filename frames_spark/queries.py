@@ -8175,3 +8175,123 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_credits"),
         )
     )
+
+
+# Sample-based estimation with an error bar: total revenue estimated
+# from a deterministic 1-in-16 content-hash sample, with the normal-
+# approximation 95% CI half-width. The 100 TB pattern: the full scan
+# is replaced by a scan-stage hash filter (layout-invariant, same
+# predicate shape as q_sample_hash); the estimate and its variance
+# are exact-integer sums over the sample, combined in one double
+# expression per output column.
+@register(
+    "q_sample_estimate",
+    f"""
+    WITH s AS (
+      SELECT {_MICROS_SQL.format(expr='o_totalprice')} AS v
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 16 = 0
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(v) AS sv, SUM(CAST(v AS HUGEINT) * v) AS svv
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS sample_n,
+           CAST(16 * sv AS BIGINT) AS est_total_micros,
+           CAST(FLOOR(16 * sqrt(n * 1.0)
+                * sqrt((svv - sv * 1.0 / n * sv) / (n - 1)) * 1.96 + 0.5)
+                AS BIGINT) AS ci95_micros
+    FROM m
+    """,
+)
+def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    in_sample = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 16
+        == 0
+    )
+    s = o.filter(in_sample).select(
+        _micros(F.col("o_totalprice")).alias("v")
+    )
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("svv"),
+    )
+    # sample variance in exact decimals -> one double sqrt chain
+    var = (
+        F.col("svv").cast("double")
+        - F.col("sv") * 1.0 / F.col("n") * F.col("sv")
+    ) / (F.col("n") - 1)
+    return m.select(
+        F.col("n").cast("long").alias("sample_n"),
+        (16 * F.col("sv")).cast("long").alias("est_total_micros"),
+        F.floor(
+            16 * F.sqrt(F.col("n") * 1.0) * F.sqrt(var) * 1.96 + 0.5
+        )
+        .cast("long")
+        .alias("ci95_micros"),
+    )
+
+
+# Top session paths: the 3 first event types of each session as an
+# ordered path string, counted corpus-wide — lightweight sequence
+# mining. Sessions from the standard pass; the path builds in ONE
+# per-session aggregate (sorted struct collect -> slice -> join), and
+# the count is a map-side-combined groupBy over path strings.
+@register(
+    "q_funnel_paths",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second',
+                                    CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP),
+                                    CAST(ts AS TIMESTAMP)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_type, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list_slice(
+               list_sort(list_zip(list(ts), list(event_id), list(event_type)))
+                 .apply(x -> x[3]), 1, 3), '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = win_ops.sessionize(
+        ev, "user_id", "ts", 1800, order_tiebreak=["event_id"]
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))

@@ -508,3 +508,33 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     assert {r["touch_type"] for r in rows} <= {
         "view", "click", "unattributed"
     }
+
+
+def test_sample_estimate_brackets_truth(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    r = QUERIES["q_sample_estimate"](spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    truth = o.agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000 + 0.5).cast("long"))
+    ).collect()[0][0]
+    # 95% CI should bracket the truth (deterministic sample; allow 3x
+    # slack so tiny-SF noise can't flake the test)
+    assert abs(r["est_total_micros"] - truth) <= 3 * r["ci95_micros"]
+    assert r["sample_n"] > 0 and r["ci95_micros"] > 0
+
+
+def test_funnel_paths_cover_all_sessions(spark, sf_dir):
+    rows = QUERIES["q_funnel_paths"](spark, sf_dir).collect()
+    from frames_spark.operators import window as win_ops
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_sessions = (
+        win_ops.sessionize(ev, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+        .select("user_id", "session_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_sessions"] for r in rows) == n_sessions
+    assert all(1 <= len(r["path"].split(">")) <= 3 for r in rows)
