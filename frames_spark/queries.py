@@ -8295,3 +8295,101 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# Per-group exact quartiles (p25/p50/p75) in ONE two-phase-rank pass:
+# the nearest-rank positions become a 3-way IN filter on the rank —
+# no percentile() value buffering, no second scan per quantile.
+@register(
+    "q_group_quantiles",
+    f"""
+    WITH r AS (
+      SELECT c_mktsegment, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY {_MICROS_SQL.format(expr='o_totalprice')}, o_orderkey)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(CASE WHEN rn = ceil(0.25 * n) THEN 0.25
+                WHEN rn = ceil(0.5 * n) THEN 0.5
+                ELSE 0.75 END AS DOUBLE) AS p,
+           o_totalprice AS price
+    FROM r
+    WHERE rn IN (ceil(0.25 * n), ceil(0.5 * n), ceil(0.75 * n))
+    """,
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_totalprice", "o_orderkey")
+    ranked = grouped_rank(
+        joined,
+        ["c_mktsegment"],
+        [_micros(F.col("o_totalprice")), F.col("o_orderkey")],
+        rank_col="rn",
+        count_col="n",
+    )
+    pos = [F.ceil(p * F.col("n")) for p in (0.25, 0.5, 0.75)]
+    label = (
+        F.when(F.col("rn") == pos[0], 0.25)
+        .when(F.col("rn") == pos[1], 0.5)
+        .otherwise(0.75)
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == pos[0])
+            | (F.col("rn") == pos[1])
+            | (F.col("rn") == pos[2])
+        )
+        .select(
+            "c_mktsegment",
+            label.alias("p"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+
+
+# Year-over-year monthly revenue growth: the classic OLAP report.
+# One month-grain fact aggregate; the lag-12 window runs over the
+# tiny monthly relation only; growth divides exact micros (nullif
+# guards the first year under ANSI).
+@register(
+    "q_year_over_year",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders GROUP BY 1
+    )
+    SELECT m, rev_micros,
+           LAG(rev_micros, 12) OVER (ORDER BY m) AS prior_micros,
+           CAST(FLOOR((rev_micros - LAG(rev_micros, 12) OVER (ORDER BY m))
+                * 1.0 / nullif(LAG(rev_micros, 12) OVER (ORDER BY m), 0)
+                * 1000000 + 0.5) AS BIGINT) AS yoy_growth_micros
+    FROM monthly
+    """,
+)
+def q_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    w = Window.orderBy("m")
+    prior = F.lag("rev_micros", 12).over(w)
+    return monthly.select(
+        "m",
+        "rev_micros",
+        prior.alias("prior_micros"),
+        _micros(
+            (F.col("rev_micros") - prior)
+            * 1.0
+            / F.nullif(prior, F.lit(0))
+        ).alias("yoy_growth_micros"),
+    )

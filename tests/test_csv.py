@@ -262,3 +262,25 @@ def test_zoned_timestamp_jsonl(spark, csv_dir):
     # without the opt-in, the field stays a plain string
     df2 = fjsonl.read_jsonl(spark, p)
     assert dict(df2.dtypes)["t"] == "string"
+
+
+def test_gzip_csv_roundtrip(spark, tmp_path):
+    """Compressed CSV ingest: gzip shards read transparently through
+    the same inference path (crawl dumps arrive compressed; at scale
+    the only caveat is that gzip files are unsplittable — one task
+    per shard, so shard sizing is the parallelism knob)."""
+    import gzip
+
+    p = tmp_path / "data.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n3,z\n")
+    df = fcsv.read_csv(spark, str(p))
+    assert df.count() == 3
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int",
+        "string",
+    ] or [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "string",
+    ]
+    assert {r["a"] for r in df.collect()} == {1, 2, 3}

@@ -538,3 +538,30 @@ def test_funnel_paths_cover_all_sessions(spark, sf_dir):
     )
     assert sum(r["n_sessions"] for r in rows) == n_sessions
     assert all(1 <= len(r["path"].split(">")) <= 3 for r in rows)
+
+
+def test_group_quantiles_match_duckdb(spark, sf_dir):
+    got = {
+        (r["c_mktsegment"], r["p"]): r["price"]
+        for r in QUERIES["q_group_quantiles"](spark, sf_dir).collect()
+    }
+    exp = {
+        (seg, p): v
+        for seg, p, v in duckdb.sql(
+            f"""WITH r AS (
+              SELECT c_mktsegment, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY CAST(FLOOR(o_totalprice*1000000+0.5) AS BIGINT),
+                                o_orderkey) AS rn,
+                     COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+              FROM read_parquet('{sf_dir}/orders.parquet') o
+              JOIN read_parquet('{sf_dir}/customer.parquet') c
+                ON o_custkey = c_custkey)
+            SELECT c_mktsegment,
+                   CAST(CASE WHEN rn = ceil(0.25*n) THEN 0.25
+                        WHEN rn = ceil(0.5*n) THEN 0.5 ELSE 0.75 END AS DOUBLE),
+                   o_totalprice
+            FROM r WHERE rn IN (ceil(0.25*n), ceil(0.5*n), ceil(0.75*n))"""
+        ).fetchall()
+    }
+    assert got == exp
