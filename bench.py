@@ -83,6 +83,11 @@ BENCH_QUERIES = {
     "heavy_hitters": Q.q_heavy_hitters,
     "bm25": Q.q_bm25,
     "group_median": Q.q_group_median_scalable,
+    "triangle_count": Q.q_triangle_count,
+    "attribution": Q.q_attribution,
+    "abc_analysis": Q.q_abc_analysis,
+    "funnel_windowed": Q.q_funnel_windowed,
+    "pipeline_product": Q.q_pipeline_product,
 }
 
 

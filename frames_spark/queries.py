@@ -7241,6 +7241,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # degree-ordered orientation: lo = lower-degree endpoint
+    # (measured: staging the edge list does NOT pay here — the wedge
+    # join dominates and AQE already reuses the distinct's exchange
+    # across the three consumers)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
