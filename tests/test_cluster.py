@@ -91,3 +91,68 @@ def test_star_matches_propagation_on_random_graph(spark):
     want = _labels(connected_components(edges, max_iter=25))
     got = _labels(connected_components_star(edges))
     assert got == want and len(got) > 0
+
+
+def test_update_components_equals_full_recompute(spark):
+    """Folding edge batches incrementally == clustering the union,
+    including merges ACROSS old clusters and untouched singletons."""
+    from frames_spark.dedup.cluster import (
+        connected_components,
+        update_components,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 30)], ["src", "dst"]
+    )
+    # batch 2 merges cluster {1,2,3} with {10,11}, extends {20,21},
+    # and introduces a brand-new cluster {40,41}
+    batch2 = spark.createDataFrame(
+        [(3, 10), (21, 22), (40, 41)], ["src", "dst"]
+    )
+    l1 = connected_components(batch1)
+    inc = {
+        (r["node"], r["component"])
+        for r in update_components(l1, batch2).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(batch1.unionByName(batch2)).collect()
+    }
+    assert inc == full
+    # associativity: a third fold still matches
+    batch3 = spark.createDataFrame([(22, 40)], ["src", "dst"])
+    inc2 = {
+        (r["node"], r["component"])
+        for r in update_components(
+            update_components(l1, batch2), batch3
+        ).collect()
+    }
+    full2 = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            batch1.unionByName(batch2).unionByName(batch3)
+        ).collect()
+    }
+    assert inc2 == full2
+
+
+def test_update_components_bounded_rounds(spark):
+    """Old-cluster topology must NOT leak into incremental cost: a
+    long chain clustered once re-enters as stars, so folding one new
+    edge converges in a handful of rounds instead of re-walking the
+    chain's diameter."""
+    from frames_spark.dedup.cluster import (
+        connected_components_star,
+        update_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["src", "dst"]
+    )
+    labels = connected_components_star(chain)
+    stats: dict = {}
+    new_edge = spark.createDataFrame([(100, 101)], ["src", "dst"])
+    out = update_components(labels, new_edge, stats=stats)
+    assert stats["rounds"] <= 4
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert comp[60] == 0 and comp[101] == 100
