@@ -8396,3 +8396,27 @@ def q_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(prior, F.lit(0))
         ).alias("yoy_growth_micros"),
     )
+
+
+# Product-quantization ANN (similarity/pq.py): 16 sub-codebooks of
+# 32 centroids -> 16 small codes per vector (16x compression), ADC
+# shortlist of 100, exact fixed-point cosine re-rank. Rows-only
+# (iterative codebook training); tests/test_pq.py pins recall@10
+# against the exact search and code layout-invariance.
+@register("q_ann_pq")
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.pq import encode_pq, fit_pq, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = fit_pq(emb, "vec_id", "embedding", m=16, k=32)
+    codes = encode_pq(emb, "vec_id", "embedding", cb)
+    return pq_topk(
+        codes,
+        cb,
+        emb.filter(F.col("vec_id") < 3),
+        "vec_id",
+        "embedding",
+        k=10,
+        corpus=emb,
+        rerank=100,
+    )

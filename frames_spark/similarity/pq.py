@@ -1,0 +1,257 @@
+"""Product quantization (PQ) ANN — the compressed-domain member of
+the similarity family (brute force / hyperplane LSH / IVF live in
+ann.py and ivf.py).
+
+Jegou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split d dims into m subspaces, k-means each subspace
+(codebooks are tiny: m x k x d/m floats), store each corpus vector as
+m SMALL CODES (here m bytes), and answer queries by asymmetric
+distance computation (ADC) — per query a m x k lookup table, per
+corpus row m table lookups instead of d multiplies. At 100 TB the
+point is the 32x storage compression (64 floats -> 8 codes) and that
+the scan reads the code column only.
+
+Division of labor mirrors ivf.py/pca.py:
+- codebook FIT is m seeded MLlib k-means runs over a deterministic
+  content-hash-capped training sample (layout-invariant, same rule
+  as build_ivf);
+- ENCODING is one scan-stage expression — the codebook rides along
+  as a constant-folded 3-D literal of 2^20 fixed-point ints, and the
+  per-subspace argmin is exact integer arithmetic (ties break to the
+  first index in BOTH the Spark expression and the numpy table
+  builder, so codes are bit-reproducible);
+- SEARCH broadcasts the per-query ADC tables (built driver-side in
+  the same fixed point — queries are a handful) and sums m
+  element_at lookups per corpus row.
+
+Registered rows-only (iterative training); tests pin recall against
+the exact search and code layout-invariance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from frames_spark.functions.vectors import FIXED_POINT
+from frames_spark.operators.core import spread
+
+__all__ = ["fit_pq", "encode_pq", "pq_topk"]
+
+
+def _unit(vec) -> "F.Column":
+    """L2-normalized double vector (PQ quantizes the UNIT sphere so
+    its L2 distance order matches the cosine order the exact search
+    ranks by; unnormalized L2 would mix magnitude into the ranking).
+    Zero vectors pass through via nullif -> NULL norm -> NULL codes.
+    """
+    v = vec.cast("array<double>")
+    n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    return F.transform(v, lambda x: x / F.nullif(F.sqrt(n2), F.lit(0.0)))
+
+
+def fit_pq(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """Codebooks (m, k, d/m) — one seeded k-means per subspace over a
+    deterministic content-hash-ordered training cap."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(corpus.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    train = (
+        spread(corpus)
+        .select(F.xxhash64(F.col(id_col)).alias("_h"), id_col, vec_col)
+        .orderBy("_h", id_col)
+        .limit(max_train)
+        .select(_unit(F.col(vec_col)).alias("v"))
+        .persist()
+    )
+    books = []
+    for j in range(m):
+        feats = train.select(
+            array_to_vector(F.slice("v", j * sub + 1, sub)).alias("_feat")
+        )
+        model = KMeans(
+            k=k,
+            seed=seed + j,
+            maxIter=10,
+            initMode="random",
+            featuresCol="_feat",
+            predictionCol="_c",
+        ).fit(feats)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    train.unpersist()
+    return np.array(books)  # (m, k, sub)
+
+
+def _quantized_books(codebooks: np.ndarray) -> np.ndarray:
+    return np.floor(codebooks * FIXED_POINT + 0.5).astype(np.int64)
+
+
+def encode_pq(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes: array<int>) — per-subspace argmin against the
+    constant-folded fixed-point codebook, all in the scan stage."""
+    m, k, sub = codebooks.shape
+    qb = _quantized_books(codebooks)
+    cb_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(x)}L" for x in cent) + ")"
+                for cent in qb[j]
+            )
+            + ")"
+            for j in range(m)
+        )
+        + ")"
+    )
+    # xq: fixed-point vector; per subspace distances to the k
+    # centroids, argmin = 1-based first position of the min (ties to
+    # the first index, matching numpy argmin in the table builder)
+    expr = f"""
+    transform(sequence(0, {m - 1}), j ->
+      transform(array(
+        transform({cb_lit}[j], c ->
+          aggregate(
+            zip_with(slice(_xq, j * {sub} + 1, {sub}), c,
+                     (a, b) -> (a - b) * (a - b)),
+            0L, (acc, v) -> acc + v))), dists ->
+        int(array_position(dists, array_min(dists)) - 1))[0])
+    """
+    xq = F.transform(
+        _unit(F.col(vec_col)),
+        lambda x: F.floor(x * FIXED_POINT + F.lit(0.5)).cast("long"),
+    )
+    return (
+        spread(corpus)
+        .withColumn("_xq", xq)
+        .select(F.col(id_col), F.expr(expr).alias("codes"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    corpus: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist, rank) by ADC: per-query
+    m x k distance table broadcast, m lookups per corpus code row.
+
+    With ``rerank`` > 0 (and the full-vector ``corpus`` supplied) the
+    ADC pass only SHORTLISTS the top ``rerank`` candidates per query;
+    the exact fixed-point cosine then re-ranks that shortlist — the
+    production PQ shape: full vectors are fetched for
+    O(queries x rerank) rows, never the corpus, and recall is set by
+    the shortlist depth instead of the code resolution."""
+    m, kk, sub = codebooks.shape
+    qb = _quantized_books(codebooks)
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = codes.sparkSession
+    table_rows = []
+    for r in qrows:
+        raw = np.array(r[vec_col], dtype=np.float64)
+        raw = raw / np.sqrt((raw * raw).sum())
+        xq = np.floor(raw * FIXED_POINT + 0.5).astype(np.int64)
+        flat = []
+        for j in range(m):
+            diff = qb[j] - xq[j * sub : (j + 1) * sub]  # (k, sub)
+            flat.extend(int(x) for x in (diff * diff).sum(axis=1))
+        table_rows.append((int(r[id_col]), flat))
+    tables = spark.createDataFrame(
+        table_rows, f"query_id long, dtable array<long>"
+    )
+    dist = F.aggregate(
+        F.expr(
+            f"zip_with(codes, sequence(0, {m - 1}), "
+            f"(c, j) -> element_at(dtable, j * {kk} + c + 1))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(tables))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "approx_dist", "neighbor_id"
+    )
+    shortlist = rerank if (rerank and corpus is not None) else k
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    if shortlist == k:
+        return top
+    from frames_spark.dedup.embedding import _fixed
+    from frames_spark.functions.vectors import (
+        cosine_from_fixed,
+        dot_fixed,
+        norm2_fixed,
+    )
+
+    cand = top.select("query_id", "neighbor_id")
+    cvec = _fixed(corpus, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("fvec").alias("cvec"),
+        F.col("n2").alias("cn2"),
+    )
+    qvec = _fixed(queries, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("fvec").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    exact = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("qvec"), F.col("cvec")),
+                F.col("qn2"),
+                F.col("cn2"),
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,79 @@
+"""Product quantization (similarity/pq.py): recall against the exact
+search, deterministic codes under any layout, and the compression
+contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from frames_spark.similarity.ann import brute_force_topk
+from frames_spark.similarity.pq import encode_pq, fit_pq, pq_topk
+
+
+def _setup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = fit_pq(emb, "vec_id", "embedding", m=16, k=32)
+    return emb, cb
+
+
+def test_pq_rerank_recall(spark, sf_dir):
+    emb, cb = _setup(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    codes = encode_pq(emb, "vec_id", "embedding", cb)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            codes, cb, q, "vec_id", "embedding", k=10, corpus=emb, rerank=100
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_pq_codes_layout_invariant(spark, sf_dir):
+    emb, cb = _setup(spark, sf_dir)
+    c1 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in encode_pq(emb, "vec_id", "embedding", cb).collect()
+    }
+    c2 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in encode_pq(
+            emb.repartition(13), "vec_id", "embedding", cb
+        ).collect()
+    }
+    assert c1 == c2
+    # compression contract: 64 floats -> 16 small ints
+    assert all(len(v) == 16 for v in c1.values())
+    assert all(0 <= c < 32 for v in c1.values() for c in v)
+
+
+def test_pq_fit_deterministic(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb1 = fit_pq(emb, "vec_id", "embedding", m=8, k=16)
+    cb2 = fit_pq(emb.repartition(7), "vec_id", "embedding", m=8, k=16)
+    np.testing.assert_array_equal(cb1, cb2)
+
+
+def test_pq_adc_only_path(spark, sf_dir):
+    """Without rerank the ADC order itself must be sane: the exact
+    nearest neighbor set should overlap the shortlist far above
+    chance."""
+    emb, cb = _setup(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    codes = encode_pq(emb, "vec_id", "embedding", cb)
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(codes, cb, q, "vec_id", "embedding", k=10).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    }
+    assert len(adc & exact) / len(exact) >= 0.2
