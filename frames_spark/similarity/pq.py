@@ -255,3 +255,39 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def save_pq(codes: DataFrame, codebooks: np.ndarray, path: str) -> None:
+    """Persist the PQ index: the code column as parquet (the 16x-
+    compressed corpus representation — THIS is what query-time scans
+    read; the raw vectors are only consulted by the re-rank join) and
+    the codebooks as one tiny parquet of (subspace, centroid, vec)
+    rows, engine-readable without pickle."""
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    m, k, sub = codebooks.shape
+    spark = codes.sparkSession
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "subspace int, centroid int, vec array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+
+
+def load_pq(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["centroid"] for r in rows) + 1
+    sub = len(rows[0]["vec"])
+    books = np.zeros((m, k, sub))
+    for r in rows:
+        books[r["subspace"]][r["centroid"]] = r["vec"]
+    return codes, books

@@ -77,3 +77,32 @@ def test_pq_adc_only_path(spark, sf_dir):
         for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
     }
     assert len(adc & exact) / len(exact) >= 0.2
+
+
+def test_pq_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """A reloaded index answers identically to the in-memory one —
+    the persistence contract (codes are the stored representation;
+    codebooks round-trip through engine-readable parquet)."""
+    import numpy as np
+
+    from frames_spark.similarity.pq import load_pq, save_pq
+
+    emb, cb = _setup(spark, sf_dir)
+    codes = encode_pq(emb, "vec_id", "embedding", cb)
+    save_pq(codes, cb, str(tmp_path / "pqidx"))
+    codes2, cb2 = load_pq(spark, str(tmp_path / "pqidx"))
+    np.testing.assert_array_equal(cb, cb2)
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        tuple(r)
+        for r in pq_topk(
+            codes, cb, q, "vec_id", "embedding", k=10, corpus=emb, rerank=50
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pq_topk(
+            codes2, cb2, q, "vec_id", "embedding", k=10, corpus=emb, rerank=50
+        ).collect()
+    )
+    assert a == b
