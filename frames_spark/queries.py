@@ -8420,3 +8420,23 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb,
         rerank=100,
     )
+
+
+# IVF-ADC: coarse IVF cells + PQ-coded residuals + exact re-rank —
+# the production composite index (similarity/pq.py ivfpq_topk).
+# Rows-only (two iterative trainings); tests pin recall vs exact,
+# full-probe equality, and nprobe monotonicity.
+@register("q_ann_ivfpq")
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        "vec_id",
+        "embedding",
+        k=10,
+        n_centroids=8,
+        nprobe=3,
+    )

@@ -59,6 +59,7 @@ def fit_pq(
     k: int = 16,
     seed: int = 42,
     max_train: int = 100_000,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Codebooks (m, k, d/m) — one seeded k-means per subspace over a
     deterministic content-hash-ordered training cap."""
@@ -74,7 +75,13 @@ def fit_pq(
         .select(F.xxhash64(F.col(id_col)).alias("_h"), id_col, vec_col)
         .orderBy("_h", id_col)
         .limit(max_train)
-        .select(_unit(F.col(vec_col)).alias("v"))
+        .select(
+            (
+                _unit(F.col(vec_col))
+                if normalize
+                else F.col(vec_col).cast("array<double>")
+            ).alias("v")
+        )
         .persist()
     )
     books = []
@@ -99,8 +106,24 @@ def _quantized_books(codebooks: np.ndarray) -> np.ndarray:
     return np.floor(codebooks * FIXED_POINT + 0.5).astype(np.int64)
 
 
+def _adc_table(vec: np.ndarray, qb: np.ndarray, m: int, sub: int) -> list:
+    """Flattened m x k table of exact fixed-point squared distances
+    from ``vec``'s subvectors to every centroid."""
+    xq = np.floor(vec * FIXED_POINT + 0.5).astype(np.int64)
+    flat: list[int] = []
+    for j in range(m):
+        diff = qb[j] - xq[j * sub : (j + 1) * sub]  # (k, sub)
+        flat.extend(int(x) for x in (diff * diff).sum(axis=1))
+    return flat
+
+
 def encode_pq(
-    corpus: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    normalize: bool = True,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """(id, codes: array<int>) — per-subspace argmin against the
     constant-folded fixed-point codebook, all in the scan stage."""
@@ -132,14 +155,18 @@ def encode_pq(
             0L, (acc, v) -> acc + v))), dists ->
         int(array_position(dists, array_min(dists)) - 1))[0])
     """
+    base = (
+        _unit(F.col(vec_col))
+        if normalize
+        else F.col(vec_col).cast("array<double>")
+    )
     xq = F.transform(
-        _unit(F.col(vec_col)),
-        lambda x: F.floor(x * FIXED_POINT + F.lit(0.5)).cast("long"),
+        base, lambda x: F.floor(x * FIXED_POINT + F.lit(0.5)).cast("long")
     )
     return (
         spread(corpus)
         .withColumn("_xq", xq)
-        .select(F.col(id_col), F.expr(expr).alias("codes"))
+        .select(F.col(id_col), *carry_cols, F.expr(expr).alias("codes"))
     )
 
 
@@ -170,12 +197,7 @@ def pq_topk(
     for r in qrows:
         raw = np.array(r[vec_col], dtype=np.float64)
         raw = raw / np.sqrt((raw * raw).sum())
-        xq = np.floor(raw * FIXED_POINT + 0.5).astype(np.int64)
-        flat = []
-        for j in range(m):
-            diff = qb[j] - xq[j * sub : (j + 1) * sub]  # (k, sub)
-            flat.extend(int(x) for x in (diff * diff).sum(axis=1))
-        table_rows.append((int(r[id_col]), flat))
+        table_rows.append((int(r[id_col]), _adc_table(raw, qb, m, sub)))
     tables = spark.createDataFrame(
         table_rows, f"query_id long, dtable array<long>"
     )
@@ -291,3 +313,144 @@ def load_pq(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     for r in rows:
         books[r["subspace"]][r["centroid"]] = r["vec"]
     return codes, books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    codebook_k: int = 32,
+    rerank: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-ADC: the production ANN index shape (coarse IVF cells +
+    PQ-coded RESIDUALS + exact re-rank).
+
+    - build_ivf (seeded, deterministic training cap) partitions the
+      unit sphere into cells; residual = unit(vec) - cell centroid is
+      what PQ encodes, so the codes spend their resolution on the
+      within-cell detail instead of re-describing the cell.
+    - At query time each query probes its ``nprobe`` nearest cells;
+      the per-(query, cell) ADC tables are built driver-side from the
+      query's residual against THAT cell (queries x nprobe tiny rows)
+      and the candidate scan is an equi-join on centroid_id — the
+      same pruning the IVF index does, now over 16-byte codes.
+    - The shortlist re-ranks with the exact fixed-point cosine.
+
+    All arithmetic after the k-means fits is exact fixed point, so
+    results are layout-invariant.
+    """
+    from frames_spark.similarity.ivf import build_ivf
+
+    unit_col = "_nv"
+    ncorp = corpus.withColumn(unit_col, _unit(F.col(vec_col)))
+    assigned, centroids = build_ivf(
+        ncorp, id_col, unit_col, n_centroids=n_centroids, seed=seed
+    )
+    with_res = assigned.join(F.broadcast(centroids), "centroid_id").withColumn(
+        "_res", F.zip_with(unit_col, "cvec", lambda a, b: a - b)
+    )
+    books = fit_pq(
+        with_res, id_col, "_res", m=m, k=codebook_k, seed=seed, normalize=False
+    )
+    codes = encode_pq(
+        with_res,
+        id_col,
+        "_res",
+        books,
+        normalize=False,
+        carry_cols=("centroid_id",),
+    )
+
+    qb = _quantized_books(books)
+    mm, kk, sub = books.shape
+    cents = {
+        r["centroid_id"]: np.array(r["cvec"]) for r in centroids.collect()
+    }
+    spark = corpus.sparkSession
+    table_rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        qv = np.array(r[vec_col], dtype=np.float64)
+        qv = qv / np.sqrt((qv * qv).sum())
+        by_dist = sorted(
+            cents, key=lambda c: (float(((qv - cents[c]) ** 2).sum()), c)
+        )
+        for cell in by_dist[:nprobe]:
+            res = qv - cents[cell]
+            table_rows.append(
+                (int(r[id_col]), int(cell), _adc_table(res, qb, mm, sub))
+            )
+    tables = spark.createDataFrame(
+        table_rows, "query_id long, centroid_id int, dtable array<long>"
+    )
+    dist = F.aggregate(
+        F.expr(
+            f"zip_with(codes, sequence(0, {mm - 1}), "
+            f"(c, j) -> element_at(dtable, j * {kk} + c + 1))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # centroid_id equi-join = only the probed cells are scanned
+    scored = (
+        codes.join(F.broadcast(tables), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    from frames_spark.dedup.embedding import _fixed
+    from frames_spark.functions.vectors import (
+        cosine_from_fixed,
+        dot_fixed,
+    )
+
+    cvec = _fixed(corpus, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("fvec").alias("cvec2"),
+        F.col("n2").alias("cn2"),
+    )
+    qvec = _fixed(queries, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("fvec").alias("qvec2"),
+        F.col("n2").alias("qn2"),
+    )
+    exact = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("qvec2"), F.col("cvec2")),
+                F.col("qn2"),
+                F.col("cn2"),
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -106,3 +106,35 @@ def test_pq_save_load_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert a == b
+
+
+def test_ivfpq_recall_and_fullprobe(spark, sf_dir):
+    """IVF-ADC: recall floor at nprobe=3, monotone in nprobe; and
+    with EVERY cell probed and the shortlist covering the corpus the
+    exact re-rank must equal brute force bit-for-bit (the recall
+    budget is exactly {cells pruned} + {shortlist depth} — nothing
+    else loses candidates)."""
+    from frames_spark.similarity.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    }
+
+    def got(nprobe, rerank=100):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                emb, q, "vec_id", "embedding", k=10,
+                n_centroids=8, nprobe=nprobe, rerank=rerank,
+            ).collect()
+        }
+
+    r3 = len(got(3) & exact) / len(exact)
+    r8 = len(got(8) & exact) / len(exact)
+    assert r3 >= 0.5, r3
+    assert r8 >= r3
+    # exhaustive setting == exact search, exactly
+    assert got(8, rerank=10_000) == exact
