@@ -284,8 +284,17 @@ def save_pq(codes: DataFrame, codebooks: np.ndarray, path: str) -> None:
     compressed corpus representation — THIS is what query-time scans
     read; the raw vectors are only consulted by the re-rank join) and
     the codebooks as one tiny parquet of (subspace, centroid, vec)
-    rows, engine-readable without pickle."""
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    rows, engine-readable without pickle.
+
+    IVF-ADC codes (carrying ``centroid_id``) are partitioned BY CELL,
+    so a query probing nprobe cells reads nprobe directories — the
+    same on-disk pruning contract as save_ivf."""
+    w = codes.write.mode("overwrite")
+    if "centroid_id" in codes.columns:
+        w = codes.repartition("centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id")
+    w.parquet(f"{path}/codes")
     m, k, sub = codebooks.shape
     spark = codes.sparkSession
     rows = [

@@ -138,3 +138,42 @@ def test_ivfpq_recall_and_fullprobe(spark, sf_dir):
     assert r8 >= r3
     # exhaustive setting == exact search, exactly
     assert got(8, rerank=10_000) == exact
+
+
+def test_ivfpq_codes_partitioned_on_save(spark, sf_dir, tmp_path):
+    """IVF-ADC codes save partitioned by cell: probing nprobe cells
+    is a DIRECTORY prune on disk (PartitionFilters), same contract
+    as the IVF index."""
+    import os
+
+    from frames_spark.plans.explain import formatted_plan
+    from frames_spark.similarity.ivf import build_ivf
+    from frames_spark.similarity.pq import (
+        _unit,
+        encode_pq,
+        fit_pq,
+        save_pq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "_nv", _unit(F.col("embedding"))
+    )
+    assigned, centroids = build_ivf(emb, "vec_id", "_nv", n_centroids=4)
+    with_res = assigned.join(
+        F.broadcast(centroids), "centroid_id"
+    ).withColumn("_res", F.zip_with("_nv", "cvec", lambda a, b: a - b))
+    cb = fit_pq(with_res, "vec_id", "_res", m=8, k=16, normalize=False)
+    codes = encode_pq(
+        with_res, "vec_id", "_res", cb, normalize=False,
+        carry_cols=("centroid_id",),
+    )
+    save_pq(codes, cb, str(tmp_path / "idx"))
+    root = str(tmp_path / "idx" / "codes")
+    cells = [d for d in os.listdir(root) if d.startswith("centroid_id=")]
+    assert len(cells) == 4
+    probe = spark.read.parquet(root).filter(F.col("centroid_id").isin(0, 1))
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert probe.count() > 0
