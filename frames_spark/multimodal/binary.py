@@ -5,17 +5,18 @@ the pattern that survives 100 TB: bytes stay columnar in parquet,
 metadata prunes without touching payloads, and decode/feature steps
 run as Arrow-batched ``mapInPandas`` (never row-at-a-time Python).
 
-The container has no image/audio libraries, so the actual decoders
-are stubbed: ``decode_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces deterministic fake features
-(so the Spark-side plumbing — schema, batching, partitioning — is
-fully real and testable). Swap `_decode_real` with PIL/ffmpeg calls
-in a deployment image.
+Decoders come in three tiers:
 
-PERMANENT-BY-ENVIRONMENT: re-checked round 4 — none of PIL/pillow,
-cv2, soundfile, librosa, or av is importable in this container and
-installs are disallowed, so the real-decode gate cannot be lit here.
-The import-try pattern below is the deployment path.
+1. REAL, stdlib-only (multimodal/codecs.py): binary PNM images
+   (PGM/PPM) and PCM WAV audio decode fully in any environment —
+   ``extract_features(codec="auto")`` lights these up for real.
+2. REAL, library-gated: PIL/ffmpeg formats. PERMANENT-BY-ENVIRONMENT
+   here — re-checked round 4: none of PIL/pillow, cv2, soundfile,
+   librosa, av is importable and installs are disallowed;
+   ``_decode_real`` raises with the deployment hint.
+3. FAKE (``fake=True``): deterministic md5-derived features so the
+   Spark-side plumbing (schema, batching, partitioning) stays
+   testable for formats neither tier can decode.
 """
 
 from __future__ import annotations
@@ -85,13 +86,29 @@ def extract_features(
     id_col: str = "media_id",
     fake: bool = True,
     dim: int = 8,
+    codec: str | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     mapInPandas: one pandas batch per Arrow chunk — the decode cost
     dominates, so batch shape (not per-row overhead) sets throughput.
+
+    ``codec="auto"`` REALLY decodes stdlib-supported containers
+    (PGM/PPM images, PCM WAV — multimodal/codecs.py) and handles the
+    rest per ``fake``; without it every payload goes through the
+    fake/raise tier (the historical stub behavior).
     """
-    decode = _decode_fake if fake else (lambda p, _d=dim: _decode_real(p))
+
+    def decode(p: bytes) -> list[float]:
+        if codec == "auto":
+            from frames_spark.multimodal.codecs import decode_auto
+
+            out = decode_auto(p or b"")
+            if out is not None:
+                return out[1]
+        if fake:
+            return _decode_fake(p, dim)
+        return _decode_real(p)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,7 +120,7 @@ def extract_features(
                     "digest": payloads.map(
                         lambda p: hashlib.md5(p or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda p: decode(p, dim)),
+                    "feature": payloads.map(decode),
                 }
             )
 

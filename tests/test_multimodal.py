@@ -77,3 +77,75 @@ def test_expand_frames_row_expansion(spark, tmp_path):
     again = expand_frames(df, every_n_frames=5, max_frames=3).collect()
     assert {(r.media_id, r.frame_idx, bytes(r.frame_payload)) for r in frames} == \
            {(r.media_id, r.frame_idx, bytes(r.frame_payload)) for r in again}
+
+
+def _pgm(w, h, pixels):
+    return b"P5\n# test\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _ppm(w, h, pixels):
+    return b"P6 %d %d 255\n" % (w, h) + bytes(pixels)
+
+
+def _wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_stdlib_codecs_decode_for_real():
+    """PGM/PPM/WAV decode without any external library — features are
+    exact byte math verified against hand-computed values."""
+    import numpy as np
+
+    from frames_spark.multimodal.codecs import decode_auto, sniff
+
+    pgm = _pgm(2, 2, [0, 100, 200, 255])
+    (mime, w, h), feat = decode_auto(pgm)
+    assert (mime, w, h) == ("image/x-portable-graymap", 2, 2)
+    assert feat[:4] == [2.0, 2.0, 1.0, 255.0]
+    assert feat[4] == np.mean([0, 100, 200, 255])
+
+    ppm = _ppm(1, 2, [10, 20, 30, 40, 50, 60])
+    (mime, w, h), feat = decode_auto(ppm)
+    assert (mime, w, h) == ("image/x-portable-pixmap", 1, 2)
+    assert feat[2] == 3.0 and feat[4] == 35.0
+
+    wav = _wav([0, 1000, -1000, 500])
+    (mime, w, h), feat = decode_auto(wav)
+    assert mime == "audio/wav" and (w, h) == (None, None)
+    assert feat[:4] == [4.0, 8000.0, 1.0, 16.0]
+    assert feat[4] == 125.0  # mean of samples
+
+    assert sniff(b"\x89PNG....") is None  # foreign formats stay gated
+
+
+def test_extract_features_auto_codec(spark):
+    """codec='auto' REALLY decodes the stdlib formats inside the
+    Arrow-batched pipeline and falls back to the fake tier for
+    foreign payloads — one mixed DataFrame, one pass."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.multimodal.binary import extract_features
+
+    rows = [
+        (1, bytearray(_pgm(2, 2, [0, 100, 200, 255]))),
+        (2, bytearray(_wav([0, 1000, -1000, 500]))),
+        (3, bytearray(b"\x89PNG not decodable here")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(df, codec="auto").collect()
+    }
+    assert out[1][:4] == [2.0, 2.0, 1.0, 255.0]  # real image decode
+    assert out[2][:4] == [4.0, 8000.0, 1.0, 16.0]  # real audio decode
+    assert all(0.0 <= v < 1.0 for v in out[3])  # fake tier for PNG
