@@ -141,6 +141,27 @@ FRAME_SCHEMA = (
 )
 
 
+def split_pnm_stream(payload: bytes) -> list[bytes]:
+    """Split a raw multi-image PNM stream (concatenated P5/P6 frames
+    — a legitimate uncompressed video container: `ffmpeg -f
+    image2pipe -vcodec ppm`) into per-frame byte slices, by REAL
+    header parsing (codecs.py), no libraries."""
+    from frames_spark.multimodal.codecs import _pnm_header
+
+    frames: list[bytes] = []
+    i = 0
+    n = len(payload)
+    while i < n and payload[i : i + 2] in (b"P5", b"P6"):
+        magic, (w, h, _maxval), off = _pnm_header(payload[i:])
+        ch = 1 if magic == b"P5" else 3
+        end = i + off + w * h * ch
+        if end > n:
+            break
+        frames.append(payload[i:end])
+        i = end
+    return frames
+
+
 def expand_frames(
     df: DataFrame,
     every_n_frames: int = 10,
@@ -154,16 +175,16 @@ def expand_frames(
     The row-EXPANDING mapInPandas shape: each Arrow batch of videos
     yields a frame batch, so the expansion happens inside the
     executor with no shuffle — the downstream repartition (if any)
-    moves only the kept frames. With a real decoder this is
-    `ffmpeg -vf select` per payload; here the decode is stubbed
-    (container has no codecs) with deterministic md5-derived frame
-    bytes, keeping schema/batching/expansion real and testable.
+    moves only the kept frames.
+
+    Payloads that are raw PNM streams (concatenated P5/P6 frames —
+    what `ffmpeg -f image2pipe` emits) REALLY split into frames via
+    stdlib header parsing regardless of ``fake``; compressed
+    containers (mp4/mkv) need ffmpeg/PyAV: with ``fake=True`` they
+    expand into deterministic md5-derived stub frames (plumbing
+    stays testable), with ``fake=False`` they raise with the
+    deployment hint.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real frame extraction needs ffmpeg/PyAV — deploy with "
-            "decoder libs and swap the stub"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -174,8 +195,26 @@ def expand_frames(
                 "frame_payload": [], "frame_meta": [],
             }
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                payload = payload or b""
-                # stub: frame count proportional to payload size
+                payload = bytes(payload or b"")
+                real = split_pnm_stream(payload)
+                if real:
+                    kept = real[::every_n_frames][:max_frames]
+                    for k, fb in enumerate(kept):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k * every_n_frames)
+                        out["frame_payload"].append(fb)
+                        out["frame_meta"].append(
+                            json.dumps(
+                                {"stub": False, "n_src_frames": len(real)}
+                            )
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame extraction for compressed containers "
+                        "needs ffmpeg/PyAV — deploy with decoder libs"
+                    )
+                # stub tier: frame count proportional to payload size
                 n_frames = min(max_frames, max(1, len(payload) // 16))
                 for k in range(n_frames):
                     src_frame = k * every_n_frames

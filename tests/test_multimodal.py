@@ -149,3 +149,35 @@ def test_extract_features_auto_codec(spark):
     assert out[1][:4] == [2.0, 2.0, 1.0, 255.0]  # real image decode
     assert out[2][:4] == [4.0, 8000.0, 1.0, 16.0]  # real audio decode
     assert all(0.0 <= v < 1.0 for v in out[3])  # fake tier for PNG
+
+
+def test_expand_frames_real_pnm_stream(spark):
+    """A raw concatenated-PNM 'video' REALLY splits into frames (and
+    each emitted frame is itself decodable); frame sampling keeps
+    every Nth; compressed containers still take the stub tier."""
+    import json
+
+    from frames_spark.multimodal.binary import expand_frames
+    from frames_spark.multimodal.codecs import decode_auto
+
+    stream = b"".join(_pgm(2, 1, [i, i + 1]) for i in range(0, 12, 2))  # 6 frames
+    rows = [
+        (1, bytearray(stream)),
+        (2, bytearray(b"\x00fake-mp4-payload-00000000")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = expand_frames(df, every_n_frames=2, max_frames=8).collect()
+    mine = sorted(
+        (r["frame_idx"], bytes(r["frame_payload"]))
+        for r in out
+        if r["media_id"] == 1
+    )
+    # 6 source frames sampled every 2nd -> 3 emitted
+    assert [i for i, _ in mine] == [0, 2, 4]
+    for k, (idx, fb) in enumerate(mine):
+        (mime, w, h), feat = decode_auto(fb)
+        assert (w, h) == (2, 1)
+        assert feat[4] == 2 * idx + 0.5  # mean of [i, i+1] with i = 2*idx
+    metas = {r["media_id"]: json.loads(r["frame_meta"]) for r in out}
+    assert metas[1]["stub"] is False and metas[1]["n_src_frames"] == 6
+    assert metas[2]["stub"] is True
