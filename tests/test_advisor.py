@@ -102,6 +102,7 @@ KNOWN_UNPUSHABLE = {
     "q_melt",
     "q_missing_drop",
     "q_sample_hash",
+    "q_sample_estimate",
     "q_table_diff",
 }
 
