@@ -8440,3 +8440,191 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8,
         nprobe=3,
     )
+
+
+# Distribution drift between the first and last week of events
+# (Kolmogorov-Smirnov over binned purchase values) — the data-quality
+# gate a 100 TB ingest runs before trusting a new shard. Bins are
+# exact integer micros buckets; both periods' cumulative shares come
+# from one groupBy + a window over the TINY bin relation; the KS
+# statistic is the max |cdf gap|, micros-quantized.
+@register(
+    "q_drift_ks",
+    """
+    WITH ev AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'a'
+                  WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'b'
+             END AS period,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) // 2000000 AS bin
+      FROM events WHERE event_type = 'purchase'
+    ), counts AS (
+      SELECT period, bin, COUNT(*) AS n FROM ev
+      WHERE period IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT period, bin,
+             SUM(n) OVER (PARTITION BY period ORDER BY bin) AS c,
+             SUM(n) OVER (PARTITION BY period) AS tot
+      FROM counts
+    ), grid AS (
+      SELECT DISTINCT bin FROM counts
+    ), cdfs AS (
+      SELECT g.bin,
+             MAX(CASE WHEN period = 'a' THEN c * 1.0 / tot END) AS cdf_a,
+             MAX(CASE WHEN period = 'b' THEN c * 1.0 / tot END) AS cdf_b
+      FROM grid g LEFT JOIN cum ON cum.bin <= g.bin
+      GROUP BY g.bin
+    )
+    SELECT CAST(FLOOR(MAX(ABS(coalesce(cdf_a, 0) - coalesce(cdf_b, 0)))
+           * 1000000 + 0.5) AS BIGINT) AS ks_micros
+    FROM cdfs
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"), "a"
+    ).when(
+        F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"), "b"
+    )
+    binned = ev.select(
+        period.alias("period"),
+        F.expr(
+            "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) DIV 2000000"
+        ).alias("bin"),
+    ).filter(F.col("period").isNotNull())
+    counts = binned.groupBy("period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = Window.partitionBy("period").orderBy("bin")
+    wtot = Window.partitionBy("period")
+    cum = counts.select(
+        "period",
+        "bin",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    grid = counts.select("bin").distinct()
+    # evaluate both CDFs on the union grid: for each grid bin, the
+    # latest cumulative at-or-below it (join over the tiny bins only)
+    cdfs = (
+        grid.alias("g")
+        .join(cum.alias("c"), F.col("c.bin") <= F.col("g.bin"), "left")
+        .groupBy(F.col("g.bin").alias("bin"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "a",
+                    F.col("c") * 1.0 / F.col("tot"),
+                )
+            ).alias("cdf_a"),
+            F.max(
+                F.when(
+                    F.col("period") == "b",
+                    F.col("c") * 1.0 / F.col("tot"),
+                )
+            ).alias("cdf_b"),
+        )
+    )
+    return cdfs.agg(
+        _micros(
+            F.max(
+                F.abs(
+                    F.coalesce(F.col("cdf_a"), F.lit(0.0))
+                    - F.coalesce(F.col("cdf_b"), F.lit(0.0))
+                )
+            )
+        ).alias("ks_micros")
+    )
+
+
+# Population stability index over the same periods/bins — the
+# ML-monitoring standard (PSI < 0.1 stable, > 0.25 shifted). Shares
+# are Laplace-smoothed (+1 per bin) so empty cells can't produce
+# ln(0); terms are micros-quantized before the sum (libm guard).
+@register(
+    "q_psi",
+    """
+    WITH ev AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'a'
+                  WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'b'
+             END AS period,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) // 2000000 AS bin
+      FROM events WHERE event_type = 'purchase'
+    ), counts AS (
+      SELECT period, bin, COUNT(*) AS n FROM ev
+      WHERE period IS NOT NULL GROUP BY 1, 2
+    ), grid AS (SELECT DISTINCT bin FROM counts),
+    tots AS (
+      SELECT CAST(SUM(CASE WHEN period = 'a' THEN n ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN period = 'b' THEN n ELSE 0 END) AS BIGINT) AS nb,
+             CAST(COUNT(DISTINCT bin) AS BIGINT) AS k
+      FROM counts
+    ), cells AS (
+      SELECT g.bin,
+             CAST(coalesce(MAX(CASE WHEN period = 'a' THEN n END), 0) + 1 AS BIGINT) AS ca,
+             CAST(coalesce(MAX(CASE WHEN period = 'b' THEN n END), 0) + 1 AS BIGINT) AS cb
+      FROM grid g LEFT JOIN counts c ON c.bin = g.bin
+      GROUP BY g.bin
+    )
+    SELECT CAST(SUM(CAST(FLOOR(
+             (ca * 1.0 / (na + k) - cb * 1.0 / (nb + k))
+             * ln(ca * 1.0 / (na + k) / (cb * 1.0 / (nb + k)))
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_micros_sum
+    FROM cells CROSS JOIN tots
+    """,
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"), "a"
+    ).when(
+        F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"), "b"
+    )
+    binned = ev.select(
+        period.alias("period"),
+        F.expr(
+            "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) DIV 2000000"
+        ).alias("bin"),
+    ).filter(F.col("period").isNotNull())
+    counts = binned.groupBy("period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = counts.select("bin").distinct()
+    tots = counts.agg(
+        F.sum(F.when(F.col("period") == "a", F.col("n")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("period") == "b", F.col("n")).otherwise(0)).alias("nb"),
+        F.count_distinct("bin").alias("k"),
+    )
+    cells = (
+        grid.join(counts, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("period") == "a", F.col("n"))),
+                    F.lit(0),
+                )
+                + 1
+            ).alias("ca"),
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("period") == "b", F.col("n"))),
+                    F.lit(0),
+                )
+                + 1
+            ).alias("cb"),
+        )
+    )
+    pa = F.col("ca") * 1.0 / (F.col("na") + F.col("k"))
+    pb = F.col("cb") * 1.0 / (F.col("nb") + F.col("k"))
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .agg(F.sum(_micros(term)).alias("psi_micros_sum"))
+    )

@@ -565,3 +565,15 @@ def test_group_quantiles_match_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_drift_ks_bounds(spark, sf_dir):
+    r = QUERIES["q_drift_ks"](spark, sf_dir).collect()[0]
+    assert 0 <= r["ks_micros"] <= 1_000_000
+
+
+def test_psi_nonnegative(spark, sf_dir):
+    # PSI is a sum of (p-q)ln(p/q) terms, each >= 0; micro-rounding
+    # can shave at most half a micro per bin
+    r = QUERIES["q_psi"](spark, sf_dir).collect()[0]
+    assert r["psi_micros_sum"] >= -100
