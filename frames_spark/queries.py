@@ -8628,3 +8628,48 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.crossJoin(F.broadcast(tots))
         .agg(F.sum(_micros(term)).alias("psi_micros_sum"))
     )
+
+
+# Benford first-digit profile of order totals — the classic
+# fabricated-data screen. One scan, 9-group aggregate; expected
+# Benford shares are log10 constants folded into the plan; the
+# deviation is micros-quantized per digit.
+@register(
+    "q_benford",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(n * 1.0 / t * 1000000 + 0.5) AS BIGINT) AS share_micros,
+           CAST(FLOOR(log10(1 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)
+             AS benford_micros,
+           CAST(FLOOR(ABS(n * 1.0 / t - log10(1 + 1.0 / digit)) * 1000000
+                + 0.5) AS BIGINT) AS abs_dev_micros
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    share = F.col("n") * 1.0 / F.col("t")
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        _micros(share).alias("share_micros"),
+        _micros(benford).alias("benford_micros"),
+        _micros(F.abs(share - benford)).alias("abs_dev_micros"),
+    )

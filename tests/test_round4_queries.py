@@ -577,3 +577,12 @@ def test_psi_nonnegative(spark, sf_dir):
     # can shave at most half a micro per bin
     r = QUERIES["q_psi"](spark, sf_dir).collect()[0]
     assert r["psi_micros_sum"] >= -100
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = QUERIES["q_benford"](spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    total_share = sum(r["share_micros"] for r in rows)
+    assert abs(total_share - 1_000_000) <= len(rows)
+    # Benford expectations themselves sum to 1
+    assert abs(sum(r["benford_micros"] for r in rows) - 1_000_000) <= len(rows)
