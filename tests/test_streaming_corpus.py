@@ -60,3 +60,64 @@ def test_streaming_clean_matches_batch_gates(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_near_dup_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming LSH candidate pairs == the batch band-bucket pairs,
+    across a two-batch delivery cut — the stateful bucket store must
+    pair a doc in batch 2 with its near-copy stored in batch 1."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.dedup import minhash as mh
+    from frames_spark.queries import _with_near_copies
+    from frames_spark.sources.tables import load_table
+    from frames_spark.streaming.corpus import near_dup_pairs_stream
+
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    bands, rows_per_band, k = 4, 4, 16
+
+    # batch reference
+    sigs = mh.minhash_signatures(
+        docs, "doc_id", "text", n=3, num_hashes=k
+    )
+    expect = {
+        (r["doc_a"], r["doc_b"])
+        for r in mh.lsh_candidate_pairs(sigs, bands, rows_per_band)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+
+    # stream: two id-ordered halves, one file each = one batch each
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    got: set = set()
+
+    def absorb(batch_df, _bid):
+        for r in batch_df.collect():
+            got.add((r["doc_a"], r["doc_b"]))
+
+    for half in (
+        docs.filter(F.col("doc_id") <= cut),
+        docs.filter(F.col("doc_id") > cut),
+    ):
+        half.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            near_dup_pairs_stream(
+                stream, "doc_id", "text",
+                bands=bands, rows_per_band=rows_per_band,
+                num_hashes=k, state_cap=10_000,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(absorb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    assert got == expect and expect
