@@ -8673,3 +8673,93 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micros(benford).alias("benford_micros"),
         _micros(F.abs(share - benford)).alias("abs_dev_micros"),
     )
+
+
+# Sparse TF-IDF cosine similarity pairs — the SPARSE-vector
+# complement of the dense ANN ladder (classic IR similarity). Scale
+# shape: the inverted index joins itself PER TOKEN, and tokens with
+# df > max_df (corpus-wide hubs — exactly the tokens that carry no
+# signal AND would blow the bucket quadratic) are pruned first, so
+# per-token fanout is bounded by max_df^2. Weights are
+# milli-quantized ints (tf * ln(N/df)), dots and norms stay exact
+# integers; one sqrt at the very end, micros-quantized.
+@register(
+    "q_sparse_cosine",
+    f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ), n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    dfs AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), w AS (
+      SELECT doc, tf.tok,
+             CAST(FLOOR(tf * ln(n * 1.0 / df) * 1000 + 0.5) AS BIGINT) AS wq
+      FROM tf JOIN dfs ON tf.tok = dfs.tok CROSS JOIN n_docs
+      WHERE df BETWEEN 2 AND 50
+    ), norms AS (
+      SELECT doc, SUM(wq * wq) AS n2 FROM w GROUP BY doc
+    ), dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.wq * b.wq) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(dot / sqrt(na.n2 * 1.0) / sqrt(nb.n2 * 1.0)
+                * 1000000 + 0.5) AS BIGINT) AS cos_micros
+    FROM dots
+    JOIN norms na ON na.doc = doc_a
+    JOIN norms nb ON nb.doc = doc_b
+    WHERE dot / sqrt(na.n2 * 1.0) / sqrt(nb.n2 * 1.0) >= 0.5
+    """,
+)
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(text_fns.tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfs, "tok")
+        .filter(F.col("df").between(2, 50))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "tok",
+            F.floor(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")) * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    wa = w.select(F.col("doc").alias("doc_a"), "tok", F.col("wq").alias("wa"))
+    wb = w.select(F.col("doc").alias("doc_b"), "tok", F.col("wq").alias("wb"))
+    dots = (
+        wa.join(wb, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = (
+        F.col("dot")
+        / F.sqrt(F.col("na2") * 1.0)
+        / F.sqrt(F.col("nb2") * 1.0)
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.5)
+        .select("doc_a", "doc_b", _micros(cos).alias("cos_micros"))
+    )

@@ -586,3 +586,10 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert abs(total_share - 1_000_000) <= len(rows)
     # Benford expectations themselves sum to 1
     assert abs(sum(r["benford_micros"] for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_sparse_cosine_bounds_and_symmetry(spark, sf_dir):
+    rows = QUERIES["q_sparse_cosine"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 500_000 <= r["cos_micros"] <= 1_000_001
