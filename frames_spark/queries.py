@@ -8763,3 +8763,32 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.5)
         .select("doc_a", "doc_b", _micros(cos).alias("cos_micros"))
     )
+
+
+# PageRank over the co-purchase graph (operators/graph.py) — exact
+# integer micros, so rankings are bit-identical across layouts (the
+# float formulation drifts with partition order). Rows-only
+# (iterative); tests pin determinism, mass conservation bounds and
+# degree correlation.
+@register("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    return pagerank(edges, iterations=8)
