@@ -8792,3 +8792,67 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iterations=8)
+
+
+# Mutual information between event type and weekday — the
+# information-theoretic dependence check next to q_chi_square (and
+# q_entropy's joint-distribution sibling). Exact contingency counts;
+# every term is ln() over ratios of exact longs, micros-quantized
+# before the sum; marginals come from windows over the tiny
+# |types| x 7 relation.
+@register(
+    "q_mutual_info",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (SELECT SUM(n) AS t FROM cells),
+    marg AS (
+      SELECT event_type, dow, n,
+             SUM(n) OVER (PARTITION BY event_type) AS nx,
+             SUM(n) OVER (PARTITION BY dow) AS ny
+      FROM cells
+    )
+    SELECT CAST(SUM(CAST(FLOOR(
+             n * 1.0 / t * ln(n * 1.0 * t / (nx * 1.0 * ny))
+             * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_nanos_sum
+    FROM marg CROSS JOIN tot
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek == DuckDB dayofweek + 1 (Sunday numbering quirk
+    # pinned by q_weekday_profile); MI is invariant to the category
+    # LABELS, so either numbering yields the same statistic — but the
+    # cells must still group identically, so shift to match.
+    dow = F.dayofweek(F.col("ts")) - 1
+    cells = ev.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    wx = Window.partitionBy("event_type")
+    wy = Window.partitionBy("dow")
+    marg = cells.select(
+        "n",
+        F.sum("n").over(wx).alias("nx"),
+        F.sum("n").over(wy).alias("ny"),
+    )
+    term = (
+        F.col("n")
+        * 1.0
+        / F.col("t")
+        * F.log(
+            F.col("n") * 1.0 * F.col("t") / (F.col("nx") * 1.0 * F.col("ny"))
+        )
+    )
+    return (
+        marg.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(term * 1_000_000_000 + 0.5).cast("long")
+            ).alias("mi_nanos_sum")
+        )
+    )

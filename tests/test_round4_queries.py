@@ -593,3 +593,9 @@ def test_sparse_cosine_bounds_and_symmetry(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 500_000 <= r["cos_micros"] <= 1_000_001
+
+
+def test_mutual_info_nonnegative(spark, sf_dir):
+    # MI >= 0; nano-rounding can shave < 1 nano per cell
+    r = QUERIES["q_mutual_info"](spark, sf_dir).collect()[0]
+    assert r["mi_nanos_sum"] >= -100
