@@ -8856,3 +8856,101 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_nanos_sum")
         )
     )
+
+
+# Time-series gap filling: a complete DAY SPINE with both standard
+# fills — LOCF (last observation carried forward) and linear
+# interpolation — over the sparse big-ticket daily revenue series.
+# The spine generates with sequence() from a 1-row min/max broadcast
+# (never a driver collect); both fills are windows over the tiny
+# daily relation; interpolation arithmetic stays in exact integer
+# micros and day counts, with nullif guarding the edges under ANSI.
+@register(
+    "q_gap_fill",
+    f"""
+    WITH obs AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev_micros
+      FROM orders WHERE o_totalprice > 400000 GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM obs
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ), joined AS (
+      SELECT s.day, o.rev_micros FROM spine s LEFT JOIN obs o USING (day)
+    ), ctx AS (
+      SELECT day, rev_micros,
+             last_value(rev_micros IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf,
+             last_value(CASE WHEN rev_micros IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pd,
+             first_value(rev_micros IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN rev_micros IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nd
+      FROM joined
+    )
+    SELECT day, rev_micros, CAST(locf AS BIGINT) AS locf_micros,
+           CAST(CASE
+             WHEN rev_micros IS NOT NULL THEN rev_micros
+             WHEN locf IS NULL OR nv IS NULL THEN NULL
+             ELSE locf + (nv - locf)
+                  * date_diff('day', pd, day)
+                  // nullif(date_diff('day', pd, nd), 0)
+           END AS BIGINT) AS interp_micros
+    FROM ctx
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    obs = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
+    bounds = obs.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    joined = spine.join(obs, "day", "left")
+    wb = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("rev_micros").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "day",
+        "rev_micros",
+        F.last("rev_micros", ignorenulls=True).over(wb).alias("locf"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("rev_micros", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    span = F.datediff(F.col("nd"), F.col("pd"))
+    interp = (
+        F.when(F.col("rev_micros").isNotNull(), F.col("rev_micros"))
+        .when(F.col("locf").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("locf")
+            + F.expr(
+                "(nv - locf) * datediff(day, pd) DIV "
+                "nullif(datediff(nd, pd), 0)"
+            )
+        )
+    )
+    return ctx.select(
+        "day",
+        "rev_micros",
+        F.col("locf").cast("long").alias("locf_micros"),
+        interp.cast("long").alias("interp_micros"),
+    )

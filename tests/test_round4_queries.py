@@ -599,3 +599,39 @@ def test_mutual_info_nonnegative(spark, sf_dir):
     # MI >= 0; nano-rounding can shave < 1 nano per cell
     r = QUERIES["q_mutual_info"](spark, sf_dir).collect()[0]
     assert r["mi_nanos_sum"] >= -100
+
+
+def test_gap_fill_semantics(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_gap_fill"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    # spine is contiguous daily
+    days = [r["day"] for r in rows]
+    assert all(
+        (b - a).days == 1 for a, b in zip(days, days[1:])
+    )
+    # observed days pass through; gaps get locf and bounded interp
+    last_obs = None
+    for r in rows:
+        if r["rev_micros"] is not None:
+            assert r["locf_micros"] == r["rev_micros"]
+            assert r["interp_micros"] == r["rev_micros"]
+            last_obs = r["rev_micros"]
+        elif last_obs is not None:
+            assert r["locf_micros"] == last_obs
+    # interpolated values sit between their anchors
+    for i, r in enumerate(rows):
+        if r["rev_micros"] is None and r["interp_micros"] is not None:
+            prev_obs = next(
+                rows[j]["rev_micros"]
+                for j in range(i, -1, -1)
+                if rows[j]["rev_micros"] is not None
+            )
+            next_obs = next(
+                rows[j]["rev_micros"]
+                for j in range(i, len(rows))
+                if rows[j]["rev_micros"] is not None
+            )
+            lo, hi = sorted((prev_obs, next_obs))
+            assert lo - 1 <= r["interp_micros"] <= hi + 1
