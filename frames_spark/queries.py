@@ -8954,3 +8954,57 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("locf").cast("long").alias("locf_micros"),
         interp.cast("long").alias("interp_micros"),
     )
+
+
+# CUSUM changepoint: the day where cumulative deviation from the
+# global daily mean peaks — the standard level-shift detector. The
+# fact collapses to day grain first; the mean enters as a 1-row
+# broadcast and deviations use the FLOORED integer mean (identical in
+# both engines — a float mean would drift in the cusum tail), so the
+# whole cusum path is exact longs; argmax via one orderBy-limit over
+# the tiny daily relation.
+@register(
+    "q_cusum_changepoint",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mean_rev FROM daily
+    ), cusum AS (
+      SELECT day, rev,
+             SUM(rev - mean_rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM daily CROSS JOIN m
+    )
+    SELECT day AS changepoint_day, CAST(c AS BIGINT) AS cusum_micros,
+           CAST(ABS(c) AS BIGINT) AS abs_cusum_micros
+    FROM cusum ORDER BY ABS(c) DESC, day LIMIT 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev"))
+    m = daily.agg(
+        F.expr("CAST(SUM(rev) DIV COUNT(*) AS BIGINT)").alias("mean_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        F.sum(F.col("rev") - F.col("mean_rev")).over(w).alias("c"),
+    )
+    return (
+        cusum.orderBy(F.abs(F.col("c")).desc(), F.col("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("c").cast("long").alias("cusum_micros"),
+            F.abs(F.col("c")).cast("long").alias("abs_cusum_micros"),
+        )
+    )
