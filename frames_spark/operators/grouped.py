@@ -94,3 +94,52 @@ def asof_join_cogroup(
         .cogroup(right.groupBy(key))
         .applyInPandas(fn, schema)
     )
+
+
+def holt_per_key(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    beta: float,
+    level_out: str = "level",
+    trend_out: str = "trend",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per key in
+    event-time order — the trend-aware sibling of ewma_per_key and
+    the same legitimate-pandas case (row t needs row t-1's OUTPUTS).
+
+      l_0 = x_0, b_0 = 0
+      l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+      b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    The Python loop performs EXACTLY these IEEE double ops in this
+    order, which is what makes the recursive-CTE oracle bit-stable
+    (same recurrence, same operand order, no FMA contraction).
+    """
+    if not (0 < alpha <= 1 and 0 < beta <= 1):
+        raise ValueError("alpha and beta must be in (0, 1]")
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    schema = f"{fields}, {level_out} double, {trend_out} double"
+
+    def fn(pdf):
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        xs = pdf[value].to_numpy(dtype="float64")
+        levels, trends = [], []
+        lev, tr = (xs[0] if len(xs) else 0.0), 0.0
+        levels.append(lev)
+        trends.append(tr)
+        for x in xs[1:]:
+            prev = lev
+            lev = alpha * x + (1 - alpha) * (lev + tr)
+            tr = beta * (lev - prev) + (1 - beta) * tr
+            levels.append(lev)
+            trends.append(tr)
+        pdf[level_out] = levels
+        pdf[trend_out] = trends
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema)

@@ -9008,3 +9008,52 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("c")).cast("long").alias("abs_cusum_micros"),
         )
     )
+
+
+# Holt double exponential smoothing of monthly revenue per supplier
+# (operators/grouped.py holt_per_key) — order-recursive with TWO
+# coupled states, the applyInPandas case, with a FULL recursive-CTE
+# oracle: both engines run the identical IEEE recurrence in the
+# identical operand order. Monthly sums enter as exact-int-derived
+# doubles (int64 -> double is exact below 2^53), so the recursion
+# inputs are bit-equal before the first step.
+@register(
+    "q_holt",
+    f"""
+    WITH RECURSIVE monthly AS (
+      SELECT l_suppkey,
+             CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
+             CAST(CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice')})
+                  AS BIGINT) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), base AS (
+      SELECT l_suppkey, m, rev,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY m) AS rn
+      FROM monthly
+    ), rec AS (
+      SELECT l_suppkey, m, rev, rn, rev AS level, CAST(0 AS DOUBLE) AS trend
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.l_suppkey, b.m, b.rev, b.rn,
+             0.5 * b.rev + (1 - 0.5) * (r.level + r.trend),
+             0.3 * ((0.5 * b.rev + (1 - 0.5) * (r.level + r.trend)) - r.level)
+               + (1 - 0.3) * r.trend
+      FROM base b JOIN rec r ON b.l_suppkey = r.l_suppkey AND b.rn = r.rn + 1
+    )
+    SELECT l_suppkey, m, rev, level, trend FROM rec
+    """,
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.grouped import holt_per_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_suppkey", F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        F.sum(_micros(F.col("l_extendedprice")))
+        .cast("double")
+        .alias("rev")
+    )
+    return holt_per_key(
+        monthly, "l_suppkey", "m", "rev", alpha=0.5, beta=0.3
+    )

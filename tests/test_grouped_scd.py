@@ -82,3 +82,33 @@ def test_edit1_pairs_finds_deletions_substitutions(spark):
     assert ("spak", "spark") in got       # deletion
     assert ("spak", "sparc") not in got   # distance 2
     assert all(a < b for a, b in got)
+
+
+def test_holt_per_key_recurrence(spark):
+    """Hand-checked Holt recurrence on a tiny series."""
+    from frames_spark.operators.grouped import holt_per_key
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)], ["k", "t", "x"]
+    )
+    rows = {
+        r["t"]: (r["level"], r["trend"])
+        for r in holt_per_key(df, "k", "t", "x", alpha=0.5, beta=0.3).collect()
+    }
+    assert rows[1] == (10.0, 0.0)
+    l2 = 0.5 * 20.0 + 0.5 * (10.0 + 0.0)
+    b2 = 0.3 * (l2 - 10.0) + 0.7 * 0.0
+    assert rows[2] == (l2, b2)
+    l3 = 0.5 * 30.0 + 0.5 * (l2 + b2)
+    b3 = 0.3 * (l3 - l2) + 0.7 * b2
+    assert rows[3] == (l3, b3)
+
+
+def test_holt_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from frames_spark.operators.grouped import holt_per_key
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["k", "t", "x"])
+    with _pytest.raises(ValueError):
+        holt_per_key(df, "k", "t", "x", alpha=0.0, beta=0.5)
