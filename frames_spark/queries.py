@@ -9057,3 +9057,86 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_per_key(
         monthly, "l_suppkey", "m", "rev", alpha=0.5, beta=0.3
     )
+
+
+# Poisson bootstrap replicate means (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google 2012): the
+# DISTRIBUTED bootstrap — resampling with replacement is impossible
+# across partitions, but per-row Poisson(1) weights are iid-close and
+# embarrassingly parallel. Weights here are DETERMINISTIC (inverse-
+# CDF lookup on a per-(row, replicate) md5 hash), so the replicate
+# estimates are layout-invariant and fully oracle-checkable. All 20
+# replicate sums fuse into ONE aggregate pass; the unpivot at the end
+# touches a 1-row relation.
+_BOOT_B = 20
+# cumulative Poisson(1) thresholds on a 0..9999 hash: P(X<=k)*10000
+_POIS = (3678, 7357, 9196, 9809, 9962, 9993, 9998)
+
+
+def _boot_w_sql(b: int) -> str:
+    inner = "concat(CAST(o_orderkey AS VARCHAR), '#', '" + str(b) + "')"
+    h = f"({hash60_sql(inner, seed='boot')} % 10000)"
+    conds = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"(CASE {conds} ELSE {len(_POIS)} END)"
+
+
+@register(
+    "q_poisson_bootstrap",
+    f"""
+    WITH sums AS (
+      SELECT
+        {", ".join(
+            f"SUM({_boot_w_sql(b)} * {_MICROS_SQL.format(expr='o_totalprice')}) AS s_{b}, "
+            f"SUM({_boot_w_sql(b)}) AS n_{b}"
+            for b in range(_BOOT_B)
+        )}
+      FROM orders
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(FLOOR(s * 1.0 / n + 0.5) AS BIGINT) AS mean_micros
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT {b} AS b, CAST(s_{b} AS BIGINT) AS s, CAST(n_{b} AS BIGINT) AS n FROM sums"
+          for b in range(_BOOT_B)
+      )}
+    )
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.hashing import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    micros = _micros(F.col("o_totalprice"))
+
+    def w(b: int):
+        h = hash60(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(f"#{b}")
+            ),
+            seed="boot",
+        ) % 10000
+        expr = F.when(h < _POIS[0], 0)
+        for k, t in enumerate(_POIS[1:], start=1):
+            expr = expr.when(h < t, k)
+        return expr.otherwise(len(_POIS))
+
+    aggs = []
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(w(b) * micros).alias(f"s_{b}"))
+        aggs.append(F.sum(w(b)).alias(f"n_{b}"))
+    sums = o.agg(*aggs)
+    stack = ", ".join(
+        f"{b}L, CAST(s_{b} AS BIGINT), CAST(n_{b} AS BIGINT)"
+        for b in range(_BOOT_B)
+    )
+    long = sums.selectExpr(
+        f"stack({_BOOT_B}, {stack}) AS (b, s, n)"
+    )
+    return long.select(
+        "b",
+        F.floor(F.col("s") * 1.0 / F.col("n") + 0.5)
+        .cast("long")
+        .alias("mean_micros"),
+    )

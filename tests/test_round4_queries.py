@@ -635,3 +635,26 @@ def test_gap_fill_semantics(spark, sf_dir):
             )
             lo, hi = sorted((prev_obs, next_obs))
             assert lo - 1 <= r["interp_micros"] <= hi + 1
+
+
+def test_poisson_bootstrap_replicates(spark, sf_dir):
+    """Replicate means must scatter AROUND the true mean with the
+    bootstrap's characteristic spread (not collapse to it, not fly
+    off), and be layout-invariant by construction (hash weights)."""
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["q_poisson_bootstrap"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev("o_totalprice").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    se = stats["sd"] / stats["n"] ** 0.5 * 1e6
+    mu = stats["mu"] * 1e6
+    means = [r["mean_micros"] for r in rows]
+    # every replicate within 5 standard errors; spread within [se/5, 5se]
+    assert all(abs(m - mu) < 5 * se for m in means)
+    spread = max(means) - min(means)
+    assert se / 5 < spread < 10 * se
