@@ -7964,6 +7964,10 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(_micros(F.col("l_extendedprice"))).alias("rev_micros")
     )
+    # per_part is shuffle-fed — stage the range exchange so both
+    # prefix-sum branches see one evaluation (caught live on
+    # q_mann_whitney at sf0.1: unstaged, the branches' partition ids
+    # diverged and corrupted offsets)
     cum = grouped_prefix_sum(
         per_part,
         [],
@@ -7971,6 +7975,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_micros",
         cum_col="cum_rev",
         total_col="total",
+        stage=True,
     )
     cls = (
         F.when(5 * F.col("cum_rev") <= 4 * F.col("total"), "A")
@@ -9139,4 +9144,100 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s") * 1.0 / F.col("n") + 0.5)
         .cast("long")
         .alias("mean_micros"),
+    )
+
+
+# Mann-Whitney U (rank-sum) test: do AUTOMOBILE and BUILDING orders
+# draw from the same price distribution? Midranks are computed from
+# the per-distinct-value counts via the two-phase prefix sum
+# (grouped_prefix_sum) — no per-row global ranking, no single-task
+# sort — and doubled (2*midrank is integral), so U is EXACT integer
+# arithmetic end to end; the normal-approximation z (tie correction
+# omitted, standard large-n form) is one double expression at the
+# end, micros-quantized.
+@register(
+    "q_mann_whitney",
+    f"""
+    WITH seg AS (
+      SELECT c_mktsegment AS g, {_MICROS_SQL.format(expr='o_totalprice')} AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ), vals AS (
+      SELECT v, COUNT(*) AS cnt,
+             SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS cnt_a
+      FROM seg GROUP BY v
+    ), cum AS (
+      SELECT v, cnt, cnt_a,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM vals
+    ), tots AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt) - SUM(cnt_a) AS BIGINT) AS nb
+      FROM vals
+    ), r AS (
+      SELECT CAST(SUM(cnt_a * (2 * (c - cnt) + cnt + 1)) AS BIGINT) AS r2_a
+      FROM cum
+    )
+    SELECT na, nb, CAST(r2_a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(FLOOR(
+             (r2_a - na * (na + 1) - na * 1.0 * nb)
+             / (2.0 * sqrt(na * 1.0 * nb * (na + nb + 1) / 12.0))
+             * 1000000 + 0.5) AS BIGINT) AS z_micros
+    FROM r CROSS JOIN tots
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            _micros(F.col("o_totalprice")).alias("v"),
+        )
+    )
+    vals = seg.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("g") == "AUTOMOBILE", 1).otherwise(0)).alias(
+            "cnt_a"
+        ),
+    )
+    # vals is shuffle-fed (groupBy output): the prefix sum's two
+    # branches must observe ONE evaluation of the range exchange, so
+    # stage it (see grouped_rank's determinism requirement)
+    cum = grouped_prefix_sum(vals, [], ["v"], "cnt", cum_col="c", stage=True)
+    tots = vals.agg(
+        F.sum("cnt_a").alias("na"),
+        (F.sum("cnt") - F.sum("cnt_a")).alias("nb"),
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("cnt_a")
+            * (2 * (F.col("c") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("r2_a")
+    )
+    u2 = F.col("r2_a") - F.col("na") * (F.col("na") + 1)
+    z = (
+        (u2 - F.col("na") * 1.0 * F.col("nb"))
+        / (
+            2.0
+            * F.sqrt(
+                F.col("na")
+                * 1.0
+                * F.col("nb")
+                * (F.col("na") + F.col("nb") + 1)
+                / 12.0
+            )
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(tots))
+        .select(
+            "na",
+            "nb",
+            u2.cast("long").alias("u2_a"),
+            _micros(z).alias("z_micros"),
+        )
     )

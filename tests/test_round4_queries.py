@@ -658,3 +658,11 @@ def test_poisson_bootstrap_replicates(spark, sf_dir):
     assert all(abs(m - mu) < 5 * se for m in means)
     spread = max(means) - min(means)
     assert se / 5 < spread < 10 * se
+
+
+def test_mann_whitney_sanity(spark, sf_dir):
+    r = QUERIES["q_mann_whitney"](spark, sf_dir).collect()[0]
+    # U is bounded by na*nb (doubled form by 2*na*nb)
+    assert 0 <= r["u2_a"] <= 2 * r["na"] * r["nb"]
+    # same-distribution synthetic segments: |z| should be modest
+    assert abs(r["z_micros"]) < 5_000_000
