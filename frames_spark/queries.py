@@ -9241,3 +9241,86 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             _micros(z).alias("z_micros"),
         )
     )
+
+
+# Pairwise Pearson correlation MATRIX over lineitem's numeric columns
+# in ONE fused aggregate pass: all 4 first moments, 4 second moments
+# and 6 cross moments are sums in the same map-side-combined agg
+# (Catalyst fuses them into one traversal — the Frames fused-fold
+# idiom at matrix width). Moments accumulate in DECIMAL(38)/HUGEINT
+# exact integers (micros-quantized inputs); each correlation is the
+# exact-moments expression over the 1-row relation, unpivoted via
+# stack.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_corr_matrix",
+    f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+        {", ".join(f"SUM(CAST({_MICROS_SQL.format(expr=c)} AS HUGEINT)) AS s_{i}" for i, c in enumerate(_CORR_COLS))},
+        {", ".join(f"SUM(CAST({_MICROS_SQL.format(expr=c)} AS HUGEINT) * {_MICROS_SQL.format(expr=c)}) AS ss_{i}" for i, c in enumerate(_CORR_COLS))},
+        {", ".join(f"SUM(CAST({_MICROS_SQL.format(expr=a)} AS HUGEINT) * {_MICROS_SQL.format(expr=b)}) AS sp_{i}_{j}" for i, a in enumerate(_CORR_COLS) for j, b in enumerate(_CORR_COLS) if i < j)}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"CAST(FLOOR((n * sp_{i}_{j} - s_{i} * s_{j}) "
+        f"/ sqrt(CAST(n * ss_{i} - s_{i} * s_{i} AS DOUBLE)) "
+        f"/ sqrt(CAST(n * ss_{j} - s_{j} * s_{j} AS DOUBLE)) "
+        f"* 1000000 + 0.5) AS BIGINT) AS corr_micros FROM m"
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )}
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cols = {i: _micros(F.col(c)) for i, c in enumerate(_CORR_COLS)}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in cols:
+        aggs.append(F.sum(cols[i].cast(dec)).alias(f"s_{i}"))
+        aggs.append(F.sum(cols[i].cast(dec) * cols[i]).alias(f"ss_{i}"))
+    for i in cols:
+        for j in cols:
+            if i < j:
+                aggs.append(
+                    F.sum(cols[i].cast(dec) * cols[j]).alias(f"sp_{i}_{j}")
+                )
+    m = li.agg(*aggs)
+    outs = []
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i < j:
+                num = (
+                    F.col("n").cast(dec) * F.col(f"sp_{i}_{j}")
+                    - F.col(f"s_{i}") * F.col(f"s_{j}")
+                )
+                va = (
+                    F.col("n").cast(dec) * F.col(f"ss_{i}")
+                    - F.col(f"s_{i}") * F.col(f"s_{i}")
+                ).cast("double")
+                vb = (
+                    F.col("n").cast(dec) * F.col(f"ss_{j}")
+                    - F.col(f"s_{j}") * F.col(f"s_{j}")
+                ).cast("double")
+                outs.append(
+                    m.select(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.floor(
+                            num.cast("double") / F.sqrt(va) / F.sqrt(vb)
+                            * 1000000
+                            + 0.5
+                        )
+                        .cast("long")
+                        .alias("corr_micros"),
+                    )
+                )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -666,3 +666,17 @@ def test_mann_whitney_sanity(spark, sf_dir):
     assert 0 <= r["u2_a"] <= 2 * r["na"] * r["nb"]
     # same-distribution synthetic segments: |z| should be modest
     assert abs(r["z_micros"]) < 5_000_000
+
+
+def test_corr_matrix_bounds(spark, sf_dir):
+    rows = QUERIES["q_corr_matrix"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1_000_001 <= r["corr_micros"] <= 1_000_001
+    # price correlates positively with quantity (price = qty * unit)
+    pq = next(
+        r
+        for r in rows
+        if {r["col_a"], r["col_b"]} == {"l_quantity", "l_extendedprice"}
+    )
+    assert pq["corr_micros"] > 500_000
