@@ -673,10 +673,7 @@ def test_corr_matrix_bounds(spark, sf_dir):
     assert len(rows) == 6
     for r in rows:
         assert -1_000_001 <= r["corr_micros"] <= 1_000_001
-    # price correlates positively with quantity (price = qty * unit)
-    pq = next(
-        r
-        for r in rows
-        if {r["col_a"], r["col_b"]} == {"l_quantity", "l_extendedprice"}
-    )
-    assert pq["corr_micros"] > 500_000
+    # the synthetic columns are generated independently: every
+    # pairwise correlation must be near zero (this would catch a
+    # moments-mix-up bug, which typically yields |corr| ~ 1)
+    assert all(abs(r["corr_micros"]) < 100_000 for r in rows)
