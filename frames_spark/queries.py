@@ -9324,3 +9324,94 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# Spearman rank correlation (quantity vs price) with EXACT MIDRANKS —
+# heavy ties (50 distinct quantities) make the tie-broken row-number
+# form wrong, so both columns get midranks from their per-distinct-
+# value counts via the staged prefix sum; doubled midranks stay
+# integral, the Pearson-on-ranks moments accumulate in
+# DECIMAL(38)/HUGEINT, and one double expression closes it. Rank
+# tables join back by VALUE (the tiny quantity table broadcasts;
+# AQE picks the strategy for the price table).
+@register(
+    "q_spearman",
+    f"""
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             {_MICROS_SQL.format(expr='l_extendedprice')} AS y
+      FROM lineitem
+    ), vx AS (
+      SELECT x, COUNT(*) AS cnt FROM rows_ GROUP BY x
+    ), rx AS (
+      SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+               + cnt + 1 AS mr2
+      FROM vx
+    ), vy AS (
+      SELECT y, COUNT(*) AS cnt FROM rows_ GROUP BY y
+    ), ry AS (
+      SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+               + cnt + 1 AS mr2
+      FROM vy
+    ), ranked AS (
+      SELECT rx.mr2 AS a, ry.mr2 AS b
+      FROM rows_ JOIN rx USING (x) JOIN ry USING (y)
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+             SUM(CAST(a AS HUGEINT) * a) AS saa,
+             SUM(CAST(b AS HUGEINT) * b) AS sbb,
+             SUM(CAST(a AS HUGEINT) * b) AS sab
+      FROM ranked
+    )
+    SELECT CAST(FLOOR(
+             CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+             / sqrt(CAST(n * sbb - sb * sb AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS rho_micros,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        _micros(F.col("l_extendedprice")).alias("y"),
+    )
+
+    def midranks(df, col):
+        vals = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = grouped_prefix_sum(
+            vals, [], [col], "cnt", cum_col="c", stage=True
+        )
+        return cum.select(
+            col,
+            (2 * (F.col("c") - F.col("cnt")) + F.col("cnt") + 1).alias(
+                "mr2"
+            ),
+        )
+
+    rx = midranks(rows_, "x").withColumnRenamed("mr2", "a")
+    ry = midranks(rows_, "y").withColumnRenamed("mr2", "b")
+    ranked = rows_.join(F.broadcast(rx), "x").join(ry, "y")
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a").cast(dec)).alias("sa"),
+        F.sum(F.col("b").cast(dec)).alias("sb"),
+        F.sum(F.col("a").cast(dec) * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast(dec) * F.col("b")).alias("sbb"),
+        F.sum(F.col("a").cast(dec) * F.col("b")).alias("sab"),
+    )
+    num = (F.col("n").cast(dec) * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    va = (F.col("n").cast(dec) * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    vb = (F.col("n").cast(dec) * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        F.floor(num / F.sqrt(va) / F.sqrt(vb) * 1000000 + 0.5)
+        .cast("long")
+        .alias("rho_micros"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -677,3 +677,34 @@ def test_corr_matrix_bounds(spark, sf_dir):
     # pairwise correlation must be near zero (this would catch a
     # moments-mix-up bug, which typically yields |corr| ~ 1)
     assert all(abs(r["corr_micros"]) < 100_000 for r in rows)
+
+
+def test_spearman_matches_scipy_free_reference(spark, sf_dir):
+    """Midrank Spearman == numpy-computed reference (rankdata-style
+    average ranks) on the same data."""
+    import numpy as np
+
+    r = QUERIES["q_spearman"](spark, sf_dir).collect()[0]
+    li = duckdb.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT) x,
+                   CAST(FLOOR(l_extendedprice*1000000+0.5) AS BIGINT) y
+            FROM read_parquet('{sf_dir}/lineitem.parquet')"""
+    ).fetchnumpy()
+    x, y = li["x"].astype(np.int64), li["y"].astype(np.int64)
+
+    def avg_rank(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    ra, rb = avg_rank(x), avg_rank(y)
+    rho = np.corrcoef(ra, rb)[0, 1]
+    assert abs(r["rho_micros"] / 1e6 - rho) < 2e-6
