@@ -9415,3 +9415,93 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rho_micros"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+# Welch's t-test + Cohen's d between two customer segments' order
+# prices: one fused aggregate computes both groups' exact decimal
+# moments (count/sum/sum-of-squares); the t statistic, Welch-
+# Satterthwaite degrees of freedom and the effect size are double
+# expressions over the 1-row relation, micros-quantized.
+@register(
+    "q_welch_ttest",
+    f"""
+    WITH seg AS (
+      SELECT c_mktsegment AS g,
+             CAST({_MICROS_SQL.format(expr='o_totalprice')} AS HUGEINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ), m AS (
+      SELECT
+        SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS nb,
+        SUM(CASE WHEN g = 'AUTOMOBILE' THEN v ELSE 0 END) AS sa,
+        SUM(CASE WHEN g = 'BUILDING' THEN v ELSE 0 END) AS sb,
+        SUM(CASE WHEN g = 'AUTOMOBILE' THEN v * v ELSE 0 END) AS saa,
+        SUM(CASE WHEN g = 'BUILDING' THEN v * v ELSE 0 END) AS sbb
+      FROM seg
+    ), v AS (
+      SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             sa * 1.0 / na AS ma, sb * 1.0 / nb AS mb,
+             CAST(saa - sa * 1.0 / na * sa AS DOUBLE) / (na - 1) AS va,
+             CAST(sbb - sb * 1.0 / nb * sb AS DOUBLE) / (nb - 1) AS vb
+      FROM m
+    )
+    SELECT na, nb,
+           CAST(FLOOR((ma - mb) / sqrt(va / na + vb / nb) * 1000000 + 0.5)
+                AS BIGINT) AS t_micros,
+           CAST(FLOOR(pow(va / na + vb / nb, 2)
+                / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
+                * 1000 + 0.5) AS BIGINT) AS df_millis,
+           CAST(FLOOR((ma - mb)
+                / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+                * 1000000 + 0.5) AS BIGINT) AS cohen_d_micros
+    FROM v
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    seg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            _micros(F.col("o_totalprice")).cast(dec).alias("v"),
+        )
+    )
+    is_a = F.col("g") == "AUTOMOBILE"
+    m = seg.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(is_a, F.col("v")).otherwise(F.lit(0).cast(dec))).alias("sa"),
+        F.sum(F.when(~is_a, F.col("v")).otherwise(F.lit(0).cast(dec))).alias("sb"),
+        F.sum(F.when(is_a, F.col("v") * F.col("v")).otherwise(F.lit(0).cast(dec))).alias("saa"),
+        F.sum(F.when(~is_a, F.col("v") * F.col("v")).otherwise(F.lit(0).cast(dec))).alias("sbb"),
+    )
+    ma = F.col("sa") * 1.0 / F.col("na")
+    mb = F.col("sb") * 1.0 / F.col("nb")
+    va = (F.col("saa") - F.col("sa") * 1.0 / F.col("na") * F.col("sa")).cast(
+        "double"
+    ) / (F.col("na") - 1)
+    vb = (F.col("sbb") - F.col("sb") * 1.0 / F.col("nb") * F.col("sb")).cast(
+        "double"
+    ) / (F.col("nb") - 1)
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(va / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(vb / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    pooled = F.sqrt(
+        ((F.col("na") - 1) * va + (F.col("nb") - 1) * vb)
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = (ma - mb) / pooled
+    return m.select(
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        _micros(t).alias("t_micros"),
+        F.floor(df * 1000 + 0.5).cast("long").alias("df_millis"),
+        _micros(d).alias("cohen_d_micros"),
+    )

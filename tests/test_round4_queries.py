@@ -708,3 +708,13 @@ def test_spearman_matches_scipy_free_reference(spark, sf_dir):
     ra, rb = avg_rank(x), avg_rank(y)
     rho = np.corrcoef(ra, rb)[0, 1]
     assert abs(r["rho_micros"] / 1e6 - rho) < 2e-6
+
+
+def test_welch_ttest_sanity(spark, sf_dir):
+    r = QUERIES["q_welch_ttest"](spark, sf_dir).collect()[0]
+    # same-distribution synthetic segments: modest t, tiny effect
+    assert abs(r["t_micros"]) < 5_000_000
+    assert abs(r["cohen_d_micros"]) < 500_000
+    # Welch df is bounded by na+nb-2 and above min(na,nb)-1
+    df = r["df_millis"] / 1000
+    assert min(r["na"], r["nb"]) - 1 <= df <= r["na"] + r["nb"] - 2
