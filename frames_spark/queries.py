@@ -9505,3 +9505,98 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(df * 1000 + 0.5).cast("long").alias("df_millis"),
         _micros(d).alias("cohen_d_micros"),
     )
+
+
+# Odds ratio (2x2): does AUTOMOBILE segment membership change the
+# odds of a big order? Exact cell counts in one fused aggregate;
+# the OR and its log-SE close over the 1-row relation (Woolf
+# interval), micros-quantized.
+@register(
+    "q_odds_ratio",
+    """
+    WITH cells AS (
+      SELECT
+        SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                  AND o_totalprice >= 200000 THEN 1 ELSE 0 END) AS a,
+        SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                  AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS b,
+        SUM(CASE WHEN c_mktsegment <> 'AUTOMOBILE'
+                  AND o_totalprice >= 200000 THEN 1 ELSE 0 END) AS c,
+        SUM(CASE WHEN c_mktsegment <> 'AUTOMOBILE'
+                  AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS d
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(FLOOR(a * 1.0 * d / nullif(b * 1.0 * c, 0) * 1000000 + 0.5)
+                AS BIGINT) AS odds_ratio_micros,
+           CAST(FLOOR(sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d) * 1000000 + 0.5)
+                AS BIGINT) AS log_se_micros
+    FROM cells
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    auto = F.col("c_mktsegment") == "AUTOMOBILE"
+    big = F.col("o_totalprice") >= 200000
+    cells = j.agg(
+        F.sum(F.when(auto & big, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(auto & ~big, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~auto & big, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~auto & ~big, 1).otherwise(0)).alias("d"),
+    )
+    orr = (
+        F.col("a")
+        * 1.0
+        * F.col("d")
+        / F.nullif(F.col("b") * 1.0 * F.col("c"), F.lit(0.0))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return cells.select(
+        "a", "b", "c", "d",
+        _micros(orr).alias("odds_ratio_micros"),
+        _micros(se).alias("log_se_micros"),
+    )
+
+
+# Repeat-purchase rate: of users who purchased at all, how many
+# purchased on 2+ DISTINCT days — the repeat-behavior KPI. The
+# distinct (user, day) collapse comes first; two counts over the
+# per-user relation close it.
+@register(
+    "q_repeat_purchase",
+    """
+    WITH pd AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+      SELECT user_id, COUNT(*) AS n_days FROM pd GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN n_days >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(FLOOR(SUM(CASE WHEN n_days >= 2 THEN 1 ELSE 0 END) * 1.0
+                / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS repeat_rate_micros
+    FROM per_user
+    """,
+)
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pd_ = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    per_user = pd_.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    repeat = F.sum(F.when(F.col("n_days") >= 2, 1).otherwise(0))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        repeat.alias("n_repeat"),
+        _micros(repeat * 1.0 / F.count(F.lit(1))).alias(
+            "repeat_rate_micros"
+        ),
+    )
