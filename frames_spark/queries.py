@@ -9600,3 +9600,77 @@ def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_rate_micros"
         ),
     )
+
+
+# Zipf exponent of the corpus token distribution: OLS slope of
+# ln(freq) on ln(rank) — the one-number summary of vocabulary shape
+# (natural text ~ -1). Ranks ride the STAGED two-phase rank over the
+# shuffle-fed vocabulary relation (millions of tokens at corpus
+# scale — never a single-task window); both ln()s are micros-
+# quantized before the exact decimal moment sums (libm guard), and
+# the slope closes as one double expression.
+@register(
+    "q_zipf",
+    """
+    WITH vocab AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),
+              '\\s+', ' ', 'g')), ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM vocab
+    ), pts AS (
+      SELECT CAST(FLOOR(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(freq) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT) AS zipf_slope_micros
+    FROM m
+    """,
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = grouped_rank(
+        vocab,
+        [],
+        [F.col("freq").desc(), F.col("tok")],
+        rank_col="rnk",
+        count_col="_n",
+        stage=True,
+    )
+    pts = ranked.select(
+        _micros(F.log("rnk")).alias("x"),
+        _micros(F.log("freq")).alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.floor(num / den * 1000000 + 0.5).cast("long").alias(
+            "zipf_slope_micros"
+        ),
+    )

@@ -718,3 +718,11 @@ def test_welch_ttest_sanity(spark, sf_dir):
     # Welch df is bounded by na+nb-2 and above min(na,nb)-1
     df = r["df_millis"] / 1000
     assert min(r["na"], r["nb"]) - 1 <= df <= r["na"] + r["nb"] - 2
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    r = QUERIES["q_zipf"](spark, sf_dir).collect()[0]
+    # frequency decays with rank: slope strictly negative, and not
+    # absurdly steep for a ~100-word synthetic vocabulary
+    assert -5_000_000 < r["zipf_slope_micros"] < 0
+    assert r["n_tokens"] > 10
