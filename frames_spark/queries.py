@@ -9674,3 +9674,48 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope_micros"
         ),
     )
+
+
+# Audience overlap from STORED sketches: |week1 ∩ week4| estimated by
+# inclusion-exclusion over HLL unions (|A| + |B| - |A∪B|) — the
+# sketch-algebra answer when only the per-window parts exist and the
+# raw events are long gone. Rows-only (sketch bytes are engine-
+# specific); tests pin the estimate within tolerance of the exact
+# overlap, witnessing the algebra end-to-end.
+@register("q_sketch_overlap")
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import sketch_parts
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    lo = ev.agg(F.min(wk).alias("w0"))
+    tagged = ev.crossJoin(F.broadcast(lo)).withColumn(
+        "wk_idx", F.datediff(wk, F.col("w0")).cast("long") / 7
+    )
+    parts = sketch_parts(
+        tagged.filter(F.col("wk_idx").isin(0.0, 3.0)),
+        ["wk_idx"],
+        "user_id",
+        lgk=14,
+    )
+    a = parts.filter(F.col("wk_idx") == 0.0).select(
+        F.hll_sketch_estimate("sketch").alias("n_a")
+    )
+    b = parts.filter(F.col("wk_idx") == 3.0).select(
+        F.hll_sketch_estimate("sketch").alias("n_b")
+    )
+    u = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_union")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            F.col("n_a").cast("long").alias("n_week1"),
+            F.col("n_b").cast("long").alias("n_week4"),
+            F.col("n_union").cast("long").alias("n_union"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+            .cast("long")
+            .alias("overlap_est"),
+        )
+    )

@@ -66,3 +66,30 @@ def test_sketch_wau_close_to_exact(spark, sf_dir):
     assert set(exact) == set(est)
     for day, wau in exact.items():
         assert abs(est[day] - wau) / wau < 0.05, (day, est[day], wau)
+
+
+def test_sketch_overlap_within_tolerance(spark, sf_dir):
+    """Inclusion-exclusion over HLL unions lands within a few percent
+    of the exact week1 ∩ week4 user overlap (differences of estimates
+    compound error — tolerance is looser than single-sketch bounds)."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.queries import QUERIES
+    from frames_spark.sources.tables import load_table
+
+    r = QUERIES["q_sketch_overlap"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    w0 = ev.agg(F.min(wk)).collect()[0][0]
+    users = (
+        ev.select(
+            "user_id", F.datediff(wk, F.lit(w0)).alias("d")
+        )
+        .filter(F.col("d").isin(0, 21))
+        .distinct()
+    )
+    a = {r2["user_id"] for r2 in users.filter(F.col("d") == 0).collect()}
+    b = {r2["user_id"] for r2 in users.filter(F.col("d") == 21).collect()}
+    exact = len(a & b)
+    assert abs(r["overlap_est"] - exact) <= max(3, 0.1 * exact)
+    assert abs(r["n_week1"] - len(a)) <= max(2, 0.05 * len(a))
