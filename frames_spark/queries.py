@@ -9719,3 +9719,56 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_est"),
         )
     )
+
+
+# Herfindahl-Hirschman concentration of supplier revenue within each
+# part type — the market-concentration standard (HHI > 2500 =
+# concentrated). One fact aggregate on (type, supplier); shares
+# square inside exact decimals against the per-type total (window
+# over the tiny type x supplier relation), one double division per
+# type at the end; share^2 terms are quantized BEFORE the sum so
+# partition order can't drift the total.
+@register(
+    "q_hhi",
+    f"""
+    WITH rev AS (
+      SELECT p_type, l_suppkey,
+             CAST(SUM({_MICROS_SQL.format(expr='l_extendedprice')}) AS HUGEINT)
+               AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT p_type, r, SUM(r) OVER (PARTITION BY p_type) AS t FROM rev
+    )
+    SELECT p_type,
+           CAST(SUM(CAST(FLOOR(CAST(r AS DOUBLE) / CAST(t AS DOUBLE)
+                          * CAST(r AS DOUBLE) / CAST(t AS DOUBLE)
+                * 10000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS hhi_micropoints
+    FROM tot GROUP BY p_type
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(_micros(F.col("l_extendedprice"))).cast(dec).alias("r"))
+    )
+    w = Window.partitionBy("p_type")
+    tot = rev.select(
+        "p_type", "r", F.sum("r").over(w).alias("t")
+    )
+    # per-term quantization BEFORE the sum: summing raw share^2
+    # doubles would drift with partition order (the standard micros
+    # rule); 1e10 scale = HHI micro-points on the 0..10000 scale
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return tot.groupBy("p_type").agg(
+        F.sum(
+            F.floor(share * share * 10_000_000_000 + 0.5).cast("long")
+        ).alias("hhi_micropoints")
+    )

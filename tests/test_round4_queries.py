@@ -726,3 +726,11 @@ def test_zipf_slope_negative(spark, sf_dir):
     # absurdly steep for a ~100-word synthetic vocabulary
     assert -5_000_000 < r["zipf_slope_micros"] < 0
     assert r["n_tokens"] > 10
+
+
+def test_hhi_bounds(spark, sf_dir):
+    rows = QUERIES["q_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in micro-points on the 0..10000 scale
+        assert 0 < r["hhi_micropoints"] <= 10_000 * 1_000_000
