@@ -9772,3 +9772,69 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(share * share * 10_000_000_000 + 0.5).cast("long")
         ).alias("hhi_micropoints")
     )
+
+
+# Weekday-adjusted daily revenue: divide each day by its day-of-week
+# seasonal index (mean-of-weekday / grand mean) — the de-seasonalized
+# series trend analyses want. Both the daily series and the 7-row
+# index are aggregates; the adjustment joins the tiny index back
+# broadcast; index and adjusted values are micros-quantized ratios of
+# exact integers.
+@register(
+    "q_seasonal_adjust",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             dayofweek(o_orderdate) AS dow,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ), idx AS (
+      SELECT dow,
+             CAST(FLOOR(
+               (SUM(rev) * 1.0 / COUNT(*))
+               / ((SELECT SUM(rev) FROM daily) * 1.0
+                  / (SELECT COUNT(*) FROM daily))
+               * 1000000 + 0.5) AS BIGINT) AS index_micros
+      FROM daily GROUP BY dow
+    )
+    SELECT day, rev,
+           index_micros,
+           CAST(FLOOR(rev * 1000000.0 / index_micros + 0.5) AS BIGINT)
+             AS adj_rev_micros
+    FROM daily JOIN idx USING (dow)
+    """,
+)
+def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # align numbering with DuckDB dayofweek (see q_weekday_profile) —
+    # here dow is only a JOIN key, so any consistent numbering works,
+    # but the column is part of the grouping on both sides
+    dow = F.dayofweek(F.col("o_orderdate")) - 1
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        dow.alias("dow"),
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev"))
+    grand = daily.agg(
+        F.sum("rev").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    idx = (
+        daily.groupBy("dow")
+        .agg(F.sum("rev").alias("d_sum"), F.count(F.lit(1)).alias("d_n"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "dow",
+            _micros(
+                (F.col("d_sum") * 1.0 / F.col("d_n"))
+                / (F.col("g_sum") * 1.0 / F.col("g_n"))
+            ).alias("index_micros"),
+        )
+    )
+    return daily.join(F.broadcast(idx), "dow").select(
+        "day",
+        "rev",
+        "index_micros",
+        F.floor(F.col("rev") * 1000000.0 / F.col("index_micros") + 0.5)
+        .cast("long")
+        .alias("adj_rev_micros"),
+    )

@@ -734,3 +734,15 @@ def test_hhi_bounds(spark, sf_dir):
     for r in rows:
         # HHI in micro-points on the 0..10000 scale
         assert 0 < r["hhi_micropoints"] <= 10_000 * 1_000_000
+
+
+def test_seasonal_adjust_preserves_scale(spark, sf_dir):
+    rows = QUERIES["q_seasonal_adjust"](spark, sf_dir).collect()
+    assert rows
+    raw = sum(r["rev"] for r in rows)
+    adj = sum(r["adj_rev_micros"] for r in rows)
+    # de-seasonalizing redistributes but roughly preserves total mass
+    assert abs(adj - raw) / raw < 0.05
+    # indices straddle 1.0
+    idx = {r["index_micros"] for r in rows}
+    assert min(idx) < 1_000_000 < max(idx)
