@@ -9800,8 +9800,8 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, rev,
            index_micros,
-           CAST(FLOOR(rev * 1000000.0 / index_micros + 0.5) AS BIGINT)
-             AS adj_rev_micros
+           CAST((CAST(rev AS HUGEINT) * 1000000 + index_micros // 2)
+                // index_micros AS BIGINT) AS adj_rev_micros
     FROM daily JOIN idx USING (dow)
     """,
 )
@@ -9830,11 +9830,16 @@ def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("index_micros"),
         )
     )
+    # PURE integer rounding division on both engines: rev * 1e6
+    # overflows the double mantissa at sf0.1 daily sums, and DuckDB
+    # parses 1000000.0 as DECIMAL — mixed float/decimal arithmetic
+    # diverged by 1 micro on boundary rows (caught at sf0.1)
     return daily.join(F.broadcast(idx), "dow").select(
         "day",
         "rev",
         "index_micros",
-        F.floor(F.col("rev") * 1000000.0 / F.col("index_micros") + 0.5)
-        .cast("long")
-        .alias("adj_rev_micros"),
+        F.expr(
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 1000000 "
+            "+ index_micros DIV 2) DIV index_micros AS BIGINT)"
+        ).alias("adj_rev_micros"),
     )
