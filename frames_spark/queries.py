@@ -9843,3 +9843,89 @@ def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "+ index_micros DIV 2) DIV index_micros AS BIGINT)"
         ).alias("adj_rev_micros"),
     )
+
+
+# Heaps' law exponent: vocabulary size vs corpus size in doc order —
+# the companion corpus law to q_zipf (natural text: V ~ k*N^beta,
+# beta ~ 0.4-0.8). First occurrences come from one min-doc-per-token
+# aggregate (never a scan of history per doc); both cumulative series
+# ride the STAGED prefix sum over the per-doc relation; the log-log
+# OLS closes in exact decimal moments over micros-quantized lns.
+@register(
+    "q_heaps",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ), firsts AS (
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dummy_tok
+      FROM toks GROUP BY tok
+    ), new_per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_new FROM firsts GROUP BY doc_id
+    ), series AS (
+      SELECT p.doc_id,
+             SUM(p.n_toks) OVER (ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
+             SUM(coalesce(n.n_new, 0)) OVER (ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+      FROM per_doc p LEFT JOIN new_per_doc n ON p.doc_id = n.doc_id
+    ), pts AS (
+      SELECT CAST(FLOOR(ln(cum_toks) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(cum_vocab) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM series
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT) AS heaps_beta_micros
+    FROM m
+    """,
+)
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    base = per_doc.join(new_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    s1 = grouped_prefix_sum(
+        base, [], ["doc_id"], "n_toks", cum_col="cum_toks", stage=True
+    )
+    series = grouped_prefix_sum(
+        s1, [], ["doc_id"], "n_new", cum_col="cum_vocab", stage=True
+    )
+    pts = series.select(
+        _micros(F.log("cum_toks")).alias("x"),
+        _micros(F.log("cum_vocab")).alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(num / den * 1000000 + 0.5).cast("long").alias(
+            "heaps_beta_micros"
+        ),
+    )

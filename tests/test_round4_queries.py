@@ -746,3 +746,11 @@ def test_seasonal_adjust_preserves_scale(spark, sf_dir):
     # indices straddle 1.0
     idx = {r["index_micros"] for r in rows}
     assert min(idx) < 1_000_000 < max(idx)
+
+
+def test_heaps_beta_in_unit_interval(spark, sf_dir):
+    r = QUERIES["q_heaps"](spark, sf_dir).collect()[0]
+    # sublinear vocabulary growth: 0 < beta < 1 (closed small
+    # synthetic vocab pushes beta low, but never negative or >= 1)
+    assert 0 < r["heaps_beta_micros"] < 1_000_000
+    assert r["n_docs"] > 0
