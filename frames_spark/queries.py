@@ -9929,3 +9929,118 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_beta_micros"
         ),
     )
+
+
+# Lorenz curve (revenue share by customer decile) — the plot behind
+# q_gini_revenue. Deciles come from the two-phase rank's arithmetic
+# (ntile_from_rank); per-decile micros sums are exact; shares divide
+# against a 1-row total broadcast.
+@register(
+    "q_lorenz_points",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS spend
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT spend, NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile
+      FROM per_cust
+    ), tot AS (SELECT SUM(spend) AS t FROM per_cust)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(spend) AS BIGINT) AS spend_micros,
+           CAST(FLOOR(SUM(spend) * 1.0 / t * 1000000 + 0.5) AS BIGINT)
+             AS share_micros
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, t
+    """,
+)
+def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_micros(F.col("o_totalprice"))).alias("spend")
+    )
+    ranked = grouped_rank(
+        per_cust,
+        [],
+        ["spend", "o_custkey"],
+        rank_col="rn",
+        count_col="n",
+        stage=True,  # per_cust is shuffle-fed
+    )
+    decile = ntile_from_rank(F.col("rn"), F.col("n"), 10)
+    tot = per_cust.agg(F.sum("spend").alias("t"))
+    return (
+        ranked.select(decile.alias("decile"), "spend")
+        .groupBy("decile")
+        .agg(F.sum("spend").alias("spend_micros"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "spend_micros",
+            _micros(F.col("spend_micros") * 1.0 / F.col("t")).alias(
+                "share_micros"
+            ),
+        )
+    )
+
+
+# PMI collocations: adjacent token pairs that co-occur far above
+# chance — classic phrase extraction. Bigrams build POSITIONALLY in
+# the scan stage (zip of the token array with its tail — no
+# posexplode self-join, same trick as q_bigram_logprob); unigram
+# marginals join back; PMI = ln(N * n_ab / (n_a * n_b)) over exact
+# longs, micros-quantized; min-count filter keeps the tail noise out.
+@register(
+    "q_collocations",
+    f"""
+    WITH toks AS (
+      SELECT {_TOKENS_SQL} AS ts FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_zip(ts[1:-2], ts[2:-1])) AS bg FROM toks
+    ), bg AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n_ab
+      FROM bigrams GROUP BY 1, 2
+    ), uni AS (
+      SELECT unnest(ts) AS w FROM toks
+    ), uc AS (
+      SELECT w, COUNT(*) AS n FROM uni GROUP BY w
+    ), tot AS (SELECT SUM(n) AS t FROM uc)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(FLOOR(ln(t * 1.0 * n_ab / (u1.n * 1.0 * u2.n)) * 1000000
+                + 0.5) AS BIGINT) AS pmi_micros
+    FROM bg JOIN uc u1 ON u1.w = w1 JOIN uc u2 ON u2.w = w2 CROSS JOIN tot
+    WHERE n_ab >= 10
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    ts = text_fns.tokens(F.col("text"))
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.size(ts) - 1),
+                F.slice(ts, 2, F.size(ts) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    bg = bigrams.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    uc = docs.select(F.explode(ts).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = uc.agg(F.sum("n").alias("t"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    pmi = F.log(
+        F.col("t") * 1.0 * F.col("n_ab") / (F.col("n1") * 1.0 * F.col("n2"))
+    )
+    return (
+        bg.filter(F.col("n_ab") >= 10)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", _micros(pmi).alias("pmi_micros"))
+    )

@@ -754,3 +754,20 @@ def test_heaps_beta_in_unit_interval(spark, sf_dir):
     # synthetic vocab pushes beta low, but never negative or >= 1)
     assert 0 < r["heaps_beta_micros"] < 1_000_000
     assert r["n_docs"] > 0
+
+
+def test_lorenz_points_monotone_shares(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_lorenz_points"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["share_micros"] for r in rows]
+    # deciles ordered by spend: shares non-decreasing, sum to ~1
+    assert shares == sorted(shares)
+    assert abs(sum(shares) - 1_000_000) <= 10
+
+
+def test_collocations_min_count(spark, sf_dir):
+    rows = QUERIES["q_collocations"](spark, sf_dir).collect()
+    assert rows and all(r["n_ab"] >= 10 for r in rows)
