@@ -10044,3 +10044,118 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_ab", _micros(pmi).alias("pmi_micros"))
     )
+
+
+# Decile lift table: users ranked into spend deciles, heavy-buyer
+# rate per decile vs the base rate — the targeting-model evaluation
+# standard. Per-user rollup first; deciles from the STAGED two-phase
+# rank; rates and lift divide exact longs, micros-quantized.
+@register(
+    "q_decile_lift",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS spend,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 10 THEN 1 ELSE 0 END AS heavy
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT spend, heavy,
+             NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+      FROM per_user
+    ), base AS (
+      SELECT SUM(heavy) * 1.0 / COUNT(*) AS base_rate FROM per_user
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(heavy) AS BIGINT) AS n_heavy,
+           CAST(FLOOR(SUM(heavy) * 1.0 / COUNT(*) / base_rate * 1000000
+                + 0.5) AS BIGINT) AS lift_micros
+    FROM ranked CROSS JOIN base
+    GROUP BY decile, base_rate
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_p, _micros(F.col("value"))).otherwise(0)
+        ).alias("spend"),
+        F.when(F.sum(F.when(is_p, 1).otherwise(0)) >= 10, 1)
+        .otherwise(0)
+        .alias("heavy"),
+    )
+    ranked = grouped_rank(
+        per_user,
+        [],
+        [F.col("spend").desc(), F.col("user_id")],
+        rank_col="rn",
+        count_col="n",
+        stage=True,
+    )
+    decile = ntile_from_rank(F.col("rn"), F.col("n"), 10)
+    base = per_user.agg(
+        (F.sum("heavy") * 1.0 / F.count(F.lit(1))).alias("base_rate")
+    )
+    return (
+        ranked.select(decile.alias("decile"), "heavy")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("heavy").alias("n_heavy"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n_users",
+            "n_heavy",
+            _micros(
+                F.col("n_heavy") * 1.0 / F.col("n_users") / F.col("base_rate")
+            ).alias("lift_micros"),
+        )
+    )
+
+
+# Corpus token entropy + effective vocabulary (exp H) — "how many
+# tokens does this corpus really use": the one-number diversity
+# summary next to q_zipf/q_heaps. p ln p terms over exact counts,
+# nano-quantized before the sum; exp stays at the caller's edge
+# (effective vocab reported as H itself plus the plain count).
+@register(
+    "q_token_entropy",
+    f"""
+    WITH uc AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ), tot AS (SELECT SUM(n) AS t, COUNT(*) AS v FROM uc)
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(t AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(-(n * 1.0 / t) * ln(n * 1.0 / t)
+                * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS entropy_nanos_sum
+    FROM uc CROSS JOIN tot
+    GROUP BY t, v
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    uc = docs.select(
+        F.explode(text_fns.tokens(F.col("text"))).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
+    p = F.col("n") * 1.0 / F.col("t")
+    term = F.floor(-p * F.log(p) * 1_000_000_000 + 0.5).cast("long")
+    return (
+        uc.crossJoin(F.broadcast(tot))
+        .groupBy("t", "v")
+        .agg(F.sum(term).alias("entropy_nanos_sum"))
+        .select(
+            F.col("v").cast("long").alias("vocab_size"),
+            F.col("t").cast("long").alias("n_tokens"),
+            "entropy_nanos_sum",
+        )
+    )

@@ -771,3 +771,28 @@ def test_lorenz_points_monotone_shares(spark, sf_dir):
 def test_collocations_min_count(spark, sf_dir):
     rows = QUERIES["q_collocations"](spark, sf_dir).collect()
     assert rows and all(r["n_ab"] >= 10 for r in rows)
+
+
+def test_decile_lift_top_heavy(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_decile_lift"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    # decile 1 = top spenders: lift must be >= the bottom decile's
+    assert rows[0]["lift_micros"] >= rows[-1]["lift_micros"]
+    # weighted average lift over deciles ~ 1.0
+    tot_users = sum(r["n_users"] for r in rows)
+    wavg = sum(r["lift_micros"] * r["n_users"] for r in rows) / tot_users
+    assert abs(wavg - 1_000_000) < 20_000
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    r = QUERIES["q_token_entropy"](spark, sf_dir).collect()[0]
+    import math
+
+    h = r["entropy_nanos_sum"] / 1e9
+    # 0 <= H <= ln(vocab)
+    assert 0 < h <= math.log(r["vocab_size"]) + 1e-6
+    # effective vocab can't exceed the actual vocab
+    assert math.exp(h) <= r["vocab_size"] + 1
