@@ -10159,3 +10159,77 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nanos_sum",
         )
     )
+
+
+# Where does a $200k order sit in each segment's distribution?
+# Percentile-of-value WITHOUT any ranking: one conditional aggregate
+# per group (count below / total) — the O(1)-extra-work dual of the
+# quantile queries, exact longs, micros-quantized ratio.
+@register(
+    "q_value_percentile",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(FLOOR(SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END)
+                * 1.0 / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+             AS percentile_micros
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    below = F.sum(
+        F.when(F.col("o_totalprice") < 200000, 1).otherwise(0)
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            below.alias("n_below"),
+            _micros(below * 1.0 / F.count(F.lit(1))).alias(
+                "percentile_micros"
+            ),
+        )
+    )
+
+
+# Calendar heatmap grid: (week index, day-of-week) event counts +
+# micros revenue — the report.histogram feed for activity calendars.
+# One map-side-combined groupBy on two derived integers.
+@register(
+    "q_calendar_heatmap",
+    """
+    WITH b AS (SELECT MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS w0
+               FROM events)
+    SELECT CAST(date_diff('day', w0, CAST(date_trunc('week', ts) AS TIMESTAMP))
+                // 7 AS BIGINT) AS week_idx,
+           CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM events CROSS JOIN b
+    GROUP BY 1, 2
+    """,
+)
+def q_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    b = ev.agg(F.min(wk).alias("w0"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), w0) DIV 7 AS BIGINT)"
+            ).alias("week_idx"),
+            (F.dayofweek(F.col("ts")) - 1).cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).alias("value_micros"),
+        )
+    )

@@ -796,3 +796,17 @@ def test_token_entropy_bounds(spark, sf_dir):
     assert 0 < h <= math.log(r["vocab_size"]) + 1e-6
     # effective vocab can't exceed the actual vocab
     assert math.exp(h) <= r["vocab_size"] + 1
+
+
+def test_value_percentile_consistency(spark, sf_dir):
+    rows = QUERIES["q_value_percentile"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["n_below"] <= r["n"]
+        assert 0 <= r["percentile_micros"] <= 1_000_000
+
+
+def test_calendar_heatmap_conserves(spark, sf_dir):
+    rows = QUERIES["q_calendar_heatmap"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert all(0 <= r["dow"] <= 6 and r["week_idx"] >= 0 for r in rows)
