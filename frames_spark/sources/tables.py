@@ -65,7 +65,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API."""
-    for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every star-schema table as a temp view (through the
+    same footer-probing loader, so timestamp normalization applies) —
+    the two-line setup for an ad-hoc `spark.sql` session:
+
+        register_views(spark, sf_dir)
+        spark.sql("SELECT ... FROM orders JOIN customer ON ...")
+
+    Returns the view names created."""
+    names = []
+    for t in TABLE_NAMES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names
