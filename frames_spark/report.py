@@ -145,3 +145,46 @@ def report(sections: dict[str, str]) -> str:
         parts.append(body)
         parts.append("")
     return "\n".join(parts).rstrip() + "\n"
+
+
+def heatmap(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    value_col: str,
+    limit: int = 400,
+) -> str:
+    """Text heatmap of an aggregated (row, col, value) grid — the
+    calendar/activity-matrix renderer (pairs with q_calendar_heatmap).
+    Input must already be reduced; cells shade by value quartile."""
+    shades = " ░▒▓█"
+    rows = df.select(row_col, col_col, value_col).take(limit + 1)
+    rows = _check_small(rows, "heatmap")
+    if len(rows) > limit:
+        raise ValueError(f"heatmap input exceeds {limit} cells; aggregate coarser")
+    if not rows:
+        return "(empty)"
+    vals = sorted(float(r[2]) for r in rows)
+    lo, hi = vals[0], vals[-1]
+    span = (hi - lo) or 1.0
+    grid: dict = {}
+    for r, c, v in rows:
+        grid[(r, c)] = float(v)
+    rkeys = sorted({r for r, _ in grid})
+    ckeys = sorted({c for _, c in grid})
+    label_w = max(len(str(r)) for r in rkeys)
+    out = []
+    for r in rkeys:
+        cells = "".join(
+            shades[
+                min(
+                    len(shades) - 1,
+                    1 + int((grid[(r, c)] - lo) / span * (len(shades) - 2)),
+                )
+            ]
+            if (r, c) in grid
+            else " "
+            for c in ckeys
+        )
+        out.append(f"{str(r):<{label_w}}  {cells}")
+    return "\n".join(out)

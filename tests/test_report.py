@@ -82,3 +82,21 @@ def test_daily_revenue_report_end_to_end(spark, sf_dir):
     s = report.sparkline(monthly, "m", "rev")
     assert 12 <= len(s) <= 200
     assert set(s) <= set("▁▂▃▄▅▆▇█")
+
+
+def test_heatmap_renders_grid(spark, sf_dir):
+    from frames_spark.queries import QUERIES
+
+    grid = QUERIES["q_calendar_heatmap"](spark, sf_dir)
+    out = report.heatmap(grid, "week_idx", "dow", "n_events")
+    lines = out.splitlines()
+    assert len(lines) == grid.select("week_idx").distinct().count()
+    assert all(set(ln.split(None, 1)[1]) <= set(" ░▒▓█") for ln in lines if " " in ln)
+
+
+def test_heatmap_refuses_fact_scale(spark, sf_dir):
+    import pytest as _pytest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with _pytest.raises(ValueError, match="aggregate coarser"):
+        report.heatmap(li, "l_orderkey", "l_linenumber", "l_quantity", limit=50)
