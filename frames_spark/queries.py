@@ -10233,3 +10233,60 @@ def q_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_micros(F.col("value"))).alias("value_micros"),
         )
     )
+
+
+# Tukey-fence outlier share per segment: the boxplot rule (outside
+# [q1 - 1.5 IQR, q3 + 1.5 IQR]) as a data-quality gate. Grouped
+# quartiles in exact micros (percentile over integers interpolates
+# bit-identically in both engines), fences in exact integer halves
+# (x2 scaling avoids fractional micros), broadcast back onto one
+# conditional aggregate per segment.
+@register(
+    "q_tukey_outliers",
+    f"""
+    WITH j AS (
+      SELECT c_mktsegment AS g, {_MICROS_SQL.format(expr='o_totalprice')} AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), q AS (
+      SELECT g,
+             CAST(2 * quantile_cont(v, 0.25) AS BIGINT) AS q1_2,
+             CAST(2 * quantile_cont(v, 0.75) AS BIGINT) AS q3_2
+      FROM j GROUP BY g
+    )
+    SELECT g AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN 2 * v < q1_2 - 3 * (q3_2 - q1_2) / 2
+                          OR 2 * v > q3_2 + 3 * (q3_2 - q1_2) / 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM j JOIN q USING (g)
+    GROUP BY g
+    """,
+)
+def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("g"),
+        _micros(F.col("o_totalprice")).alias("v"),
+    )
+    q = j.groupBy("g").agg(
+        (2 * F.expr("percentile(v, 0.25)")).cast("long").alias("q1_2"),
+        (2 * F.expr("percentile(v, 0.75)")).cast("long").alias("q3_2"),
+    )
+    iqr3_2 = 3 * (F.col("q3_2") - F.col("q1_2")) / 2
+    is_out = (2 * F.col("v") < F.col("q1_2") - iqr3_2) | (
+        2 * F.col("v") > F.col("q3_2") + iqr3_2
+    )
+    return (
+        j.join(F.broadcast(q), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias("c_mktsegment"), "n", "n_outliers"
+        )
+    )

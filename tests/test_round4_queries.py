@@ -810,3 +810,11 @@ def test_calendar_heatmap_conserves(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert sum(r["n_events"] for r in rows) == ev.count()
     assert all(0 <= r["dow"] <= 6 and r["week_idx"] >= 0 for r in rows)
+
+
+def test_tukey_outliers_reasonable(spark, sf_dir):
+    rows = QUERIES["q_tukey_outliers"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # boxplot outliers are a small minority by construction
+        assert 0 <= r["n_outliers"] < 0.2 * r["n"]
