@@ -10290,3 +10290,63 @@ def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("c_mktsegment"), "n", "n_outliers"
         )
     )
+
+
+# Revenue time-concentration: how many of the busiest days carry 80%
+# of all revenue (the "effective season length"). Daily sums ordered
+# descending through the STAGED prefix sum; the answer is the first
+# rank whose cumulative share clears 80% — an exact-integer filter
+# (5*cum >= 4*total), one orderBy-limit over the tiny daily relation.
+@register(
+    "q_days_to_80pct",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT day, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(rev) OVER () AS t,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, day) AS rn
+      FROM daily
+    )
+    SELECT CAST(MIN(rn) AS BIGINT) AS days_to_80pct,
+           CAST(MIN(t) AS BIGINT) AS total_micros,
+           CAST(COUNT(*) AS BIGINT) AS qualifying_days
+    FROM cum WHERE 5 * c >= 4 * t
+    """,
+)
+def q_days_to_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev"))
+    cum = grouped_prefix_sum(
+        daily,
+        [],
+        [F.col("rev").desc(), F.col("day")],
+        "rev",
+        cum_col="c",
+        total_col="t",
+        stage=True,  # daily is shuffle-fed
+    )
+    ranked = grouped_rank(
+        daily,
+        [],
+        [F.col("rev").desc(), F.col("day")],
+        rank_col="rn",
+        count_col="_n",
+        stage=True,
+    ).select("day", "rn")
+    return (
+        cum.join(ranked, "day")
+        .filter(5 * F.col("c") >= 4 * F.col("t"))
+        .agg(
+            F.min("rn").cast("long").alias("days_to_80pct"),
+            F.min("t").cast("long").alias("total_micros"),
+            F.count(F.lit(1)).alias("qualifying_days"),
+        )
+    )

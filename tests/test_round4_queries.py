@@ -818,3 +818,16 @@ def test_tukey_outliers_reasonable(spark, sf_dir):
     for r in rows:
         # boxplot outliers are a small minority by construction
         assert 0 <= r["n_outliers"] < 0.2 * r["n"]
+
+
+def test_days_to_80pct_bounds(spark, sf_dir):
+    r = QUERIES["q_days_to_80pct"](spark, sf_dir).collect()[0]
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("date_trunc('day', o_orderdate)")
+        .distinct()
+        .count()
+    )
+    # 80% of revenue needs at least ~60% of uniform days, at most all
+    assert 0 < r["days_to_80pct"] <= n_days
+    assert r["qualifying_days"] == n_days - r["days_to_80pct"] + 1
