@@ -69,6 +69,38 @@ def outer_join(left, right, on):
     return join(left, right, on, "full")
 
 
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    bounded: bool = False,
+) -> DataFrame:
+    """Fact-to-dimension join with a 100 TB-safe broadcast stance.
+
+    A forced ``F.broadcast()`` hint bypasses Spark's size check: the
+    plan attempts the broadcast at ANY size and OOMs rather than
+    demoting to a shuffle join. That is fine for relations whose row
+    count is bounded by SCHEMA (region=5, nation=25, post-aggregation
+    survivor sets, 1-row scalar stats) and fatal for dimensions that
+    grow with the corpus (customer/part/supplier under TPC-H
+    semantics are ~TBs at the 100 TB target).
+
+    - ``bounded=False`` (default, for SF-scaled dims): NO hint. AQE
+      broadcasts when the dim's runtime size fits
+      ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a
+      shuffle join when it doesn't — same plan as a hint at test SF,
+      graceful degradation at cluster SF.
+    - ``bounded=True`` (schema-bounded relations only): forced hint,
+      saving AQE the size estimation.
+
+    ``on`` is a join Column expression or USING-style name list, as
+    in ``DataFrame.join``. Enforced repo-wide by the plan advisor's
+    BROADCAST_SCALED rule (plans/advisor.py).
+    """
+    return fact.join(F.broadcast(dim) if bounded else dim, on, how)
+
+
 def semi_join(left, right, on):
     """Membership filter — ships only keys, never right payload."""
     right, keys = _prep(left, right, on)

@@ -34,6 +34,36 @@ from pyspark.sql import functions as F
 __all__ = ["grouped_rank", "grouped_prefix_sum", "ntile_from_rank"]
 
 
+def _auto_stage(df: DataFrame, stage: bool | None) -> bool:
+    """Resolve the staging decision for a two-branch consumer.
+
+    The ranked branch and the histogram branch both consume one
+    repartitionByRange exchange; correctness requires both branches
+    to observe IDENTICAL partition ids. That holds when the input is
+    a deterministic scan (ReuseExchange sees one subtree), but the
+    moment the input plan itself contains an Exchange — a shuffle
+    join, an aggregation, or a broadcast that AQE may demote to a
+    shuffle at scale — each branch can independently re-plan the
+    upstream exchange (AQE re-optimizes per stage) and the two
+    branches silently disagree on ``spark_partition_id``. This has
+    corrupted ranks live three times (q_rfm, q_mann_whitney at
+    sf0.1, and two latent join-fed callers), always passing at small
+    SF by luck, so the default is now AUTO: localCheckpoint whenever
+    the input's physical plan contains any Exchange. Callers may
+    still force ``stage=True`` (nondeterministic upstreams that plan
+    exchange-free, e.g. sample()/rand()) or ``stage=False`` (input
+    proven deterministic AND exchange-free).
+    """
+    if stage is not None:
+        return stage
+    try:
+        from frames_spark.plans.explain import formatted_plan
+
+        return "Exchange" in formatted_plan(df)
+    except Exception:
+        return True  # un-inspectable plan: stage, never risk ranks
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -41,7 +71,7 @@ def grouped_rank(
     num_partitions: int | None = None,
     rank_col: str = "rn",
     count_col: str = "group_cnt",
-    stage: bool = False,
+    stage: bool | None = None,
 ) -> DataFrame:
     """df + [rank_col, count_col]: exact 1-based row_number within each
     group under ORDER BY order_cols, and the group's total row count.
@@ -58,19 +88,22 @@ def grouped_rank(
     sampling seed) guarantees both branches observe identical
     partition ids. A NONdeterministic upstream (sample(), rand()
     columns, non-deterministic UDFs) can be re-evaluated differently
-    per branch and silently corrupt ranks — such callers must pass
-    ``stage=True``, which localCheckpoints the partitioned relation so
-    it is computed exactly once.
+    per branch and silently corrupt ranks; so can a shuffle-fed
+    upstream under AQE re-planning. ``stage=None`` (default)
+    auto-stages whenever the input plan contains an Exchange (see
+    ``_auto_stage``); staging localCheckpoints the partitioned
+    relation so it is computed exactly once.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     order_exprs = [as_col(c) for c in order_cols]
     keys = [*[as_col(c) for c in group_cols], *order_exprs]
+    do_stage = _auto_stage(df, stage)
     part = df.repartitionByRange(n, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
-    if stage:
+    if do_stage:
         part = part.localCheckpoint(eager=False)
     wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
     ranked = part.withColumn("_lrn", F.row_number().over(wloc))
@@ -122,7 +155,7 @@ def grouped_prefix_sum(
     num_partitions: int | None = None,
     cum_col: str = "cum",
     total_col: str = "group_total",
-    stage: bool = False,
+    stage: bool | None = None,
 ) -> DataFrame:
     """df + [cum_col, total_col]: exact inclusive running sum of
     ``value_col`` within each group under ORDER BY order_cols, plus
@@ -134,19 +167,21 @@ def grouped_prefix_sum(
     this keeps parallelism at num_partitions x |groups|.
 
     Same determinism requirement as grouped_rank (both branches must
-    observe one evaluation of the range exchange); pass stage=True
-    for nondeterministic upstreams. Use integer/decimal value columns
-    — float partial sums would make the offsets partition-dependent.
+    observe one evaluation of the range exchange); ``stage=None``
+    auto-stages on any Exchange in the input plan (``_auto_stage``).
+    Use integer/decimal value columns — float partial sums would make
+    the offsets partition-dependent.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     order_exprs = [as_col(c) for c in order_cols]
     keys = [*[as_col(c) for c in group_cols], *order_exprs]
+    do_stage = _auto_stage(df, stage)
     part = df.repartitionByRange(n, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
-    if stage:
+    if do_stage:
         part = part.localCheckpoint(eager=False)
     wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
     local = part.withColumn("_lcum", F.sum(value_col).over(wloc))

@@ -23,6 +23,19 @@ gates the registered queries:
 - ROW_PYTHON_UDF       row-at-a-time BatchEvalPython in the plan; the
                        10-100x-slower path vs Arrow/pandas or JVM
                        expressions.
+- BROADCAST_SCALED     a FORCED broadcast hint (ResolvedHint in the
+                       analyzed logical plan) whose subtree scans an
+                       SF-scaled table with nothing bounding its row
+                       count in between. Hints bypass Spark's size
+                       check, so at the 100 TB target the broadcast
+                       is attempted anyway and OOMs instead of
+                       demoting to a shuffle join. Bounded shapes are
+                       accepted: an Aggregate, a Limit, a
+                       Deduplicate, or a Filter pinning the table's
+                       id/key column to literals (an explicit query
+                       set). Scaled dims must go through
+                       operators.joins.dim_join (un-hinted; AQE
+                       broadcasts when the runtime size fits).
 
 Each finding is (code, detail). An empty list is the passing grade.
 """
@@ -34,9 +47,84 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-from frames_spark.plans.explain import formatted_plan
+from frames_spark.plans.explain import analyzed_plan, formatted_plan
 
 __all__ = ["Finding", "advise", "assert_clean"]
+
+# One signature column per table whose row count grows linearly with
+# the corpus (TPC-H scaled tables + the LLM-pipeline fact tables).
+# A leaf Relation in the analyzed plan lists the parquet file's own
+# columns, so seeing one of these names identifies the scan.
+_SCALED_SIGNATURES = (
+    "c_custkey",
+    "p_partkey",
+    "s_suppkey",
+    "o_orderkey",
+    "l_orderkey",
+    "event_id",
+    "doc_id",
+    "vec_id",
+)
+
+# Logical nodes that bound the broadcast side's cardinality no matter
+# how large the underlying scan is.
+_BOUNDING_NODES = ("Aggregate [", "GlobalLimit", "LocalLimit", "Deduplicate")
+
+# A Filter that pins the scan's id/key column to literals (IN-list,
+# equality, or a small upper bound) is an explicit query set — e.g.
+# ANN query vectors `vec_id < 3` — bounded by the literal, not by SF.
+_BOUNDED_FILTER = re.compile(
+    r"Filter .*(?:%s)#\d+L?(?:\)|\s)*\s(?:IN \(|<=? |= )" % "|".join(_SCALED_SIGNATURES)
+)
+
+
+def _node_depth(line: str) -> int:
+    """Start offset of the node name in a Spark plan tree line — the
+    tree prefix is drawn from ':', ' ', '+', '-'."""
+    m = re.match(r"^[:\s+\-]*", line)
+    return m.end()
+
+
+def _broadcast_scaled_findings(df: DataFrame) -> list[Finding]:
+    findings: list[Finding] = []
+    lines = analyzed_plan(df).splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        depth = _node_depth(line)
+        subtree = []
+        for child in lines[i + 1 :]:
+            if _node_depth(child) <= depth:
+                break
+            subtree.append(child)
+        bounded = any(
+            any(node in ln for node in _BOUNDING_NODES)
+            or ("Filter" in ln and _BOUNDED_FILTER.search(ln))
+            for ln in subtree
+        )
+        if bounded:
+            continue
+        hit = next(
+            (
+                sig
+                for ln in subtree
+                if "Relation" in ln
+                for sig in _SCALED_SIGNATURES
+                if f"{sig}#" in ln
+            ),
+            None,
+        )
+        if hit:
+            findings.append(
+                Finding(
+                    "BROADCAST_SCALED",
+                    f"forced broadcast hint over SF-scaled scan ({hit} "
+                    "table) with no bounding Aggregate/Limit/Filter — "
+                    "OOMs at cluster scale; use dim_join (un-hinted, "
+                    "AQE-sized) instead",
+                )
+            )
+    return findings
 
 
 @dataclass(frozen=True)
@@ -195,6 +283,8 @@ def advise(df: DataFrame, max_scan_cols: int = 24) -> list[Finding]:
                 "a pandas UDF (Arrow)",
             )
         )
+
+    findings.extend(_broadcast_scaled_findings(df))
 
     return findings
 

@@ -18,6 +18,15 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """Analyzed LOGICAL plan string — the only plan where broadcast
+    hints are still visible as ResolvedHint nodes (the physical plan
+    shows BroadcastHashJoin whether the broadcast was forced by a
+    hint or chosen by AQE's size estimate, which is exactly the
+    distinction the BROADCAST_SCALED advisor rule needs)."""
+    return df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan

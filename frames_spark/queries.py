@@ -319,7 +319,9 @@ _ORDER_STATS_SQL = """
 """
 
 
-# innerJoin (Joins.hs:56) — merged USING key, broadcast dim side.
+# innerJoin (Joins.hs:56) — merged USING key. customer is SF-scaled,
+# so the dim side stays UN-hinted: AQE broadcasts while it fits and
+# demotes to shuffle at cluster scale (forced hints OOM instead).
 @register(
     "q_join_inner",
     """
@@ -330,9 +332,7 @@ _ORDER_STATS_SQL = """
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    joined = join_ops.inner_join(
-        o, c, [("o_custkey", "c_custkey")], broadcast_right=True
-    )
+    joined = join_ops.inner_join(o, c, [("o_custkey", "c_custkey")])
     return joined.select(
         "o_custkey", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
@@ -621,9 +621,8 @@ def q_zip_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    joined = join_ops.inner_join(
-        o, c, [("o_custkey", "c_custkey")], broadcast_right=True
-    )
+    # customer is SF-scaled: un-hinted join, AQE sizes the broadcast.
+    joined = join_ops.inner_join(o, c, [("o_custkey", "c_custkey")])
     top = win_ops.topk_per_group(
         joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
         ["c_mktsegment"],
@@ -1965,7 +1964,7 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        join_ops.dim_join(orders, cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev).cast("double") / 1000000).alias("revenue"))
@@ -2473,7 +2472,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev["rev_micros"] == mx["__mx"])
-        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .join(sup, rev["l_suppkey"] == sup["s_suppkey"])
         .select("s_suppkey", "s_name", "rev_micros")
     )
 
@@ -2515,7 +2514,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     return (
-        li.join(F.broadcast(small_parts), li["l_partkey"] == small_parts["p_partkey"])
+        join_ops.dim_join(li, small_parts, li["l_partkey"] == small_parts["p_partkey"])
         .join(pa, li["l_partkey"] == pa["pa_partkey"])
         .filter(
             5 * F.col("l_quantity").cast("long") * F.col("n_li") < F.col("sum_qty")
@@ -2557,7 +2556,7 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select("c_name", "o_orderkey", "o_orderdate", "sum_qty")
     )
 
@@ -3082,7 +3081,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cells = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        join_ops.dim_join(o, c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("o_orderpriority").alias("a"), F.col("c_mktsegment").alias("b")
         )
@@ -3270,7 +3269,9 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
     # nation filter applied BEFORE joining: customer/supplier prune
-    # to the two nations, then broadcast against the facts
+    # to the two nations via a broadcast of the 25-row nation table
+    # (schema-bounded), then join the facts UN-hinted — the pruned
+    # dims still scale with SF, so AQE sizes those broadcasts
     cust = (
         load_table(spark, sf_dir, "customer")
         .join(
@@ -3296,8 +3297,8 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation",
@@ -3629,9 +3630,11 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer/supplier scale with SF: un-hinted, AQE-sized joins;
+        # nation (25 rows, schema-bounded) keeps the forced hint
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
@@ -3667,7 +3670,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(rev).alias("revenue_micros"))
         .orderBy(F.desc("revenue_micros"), "c_custkey")
@@ -3961,7 +3964,7 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     seg = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        join_ops.dim_join(o, c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev_micros"))
     )
@@ -4281,11 +4284,11 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     joined = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
     )
     is_n1 = F.col("supp_nation") == "NATION_1"
@@ -4366,7 +4369,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     vol = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(
             F.date_trunc("month", F.col("l_shipdate")).alias("month"),
             F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)).alias("pv"),
@@ -4406,8 +4409,8 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
@@ -4443,7 +4446,7 @@ def q_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .filter(cond)
         .agg(
             F.sum(vol).alias("revenue_micros"),
@@ -4498,7 +4501,7 @@ def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        dominated.join(F.broadcast(supp), dominated["suppkey"] == supp["s_suppkey"])
+        dominated.join(supp, dominated["suppkey"] == supp["s_suppkey"])
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated"))
     )
@@ -4554,7 +4557,7 @@ def q_sole_delayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
-        per_order.join(F.broadcast(supp), per_order["late_supp"] == supp["s_suppkey"])
+        per_order.join(supp, per_order["late_supp"] == supp["s_suppkey"])
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_sole_late"))
     )
@@ -4968,8 +4971,8 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
@@ -5350,12 +5353,15 @@ def q_knn_label_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 100), "vec_id", "embedding", k=10
     )
     labels = emb.select("vec_id", "label")
+    # labels is the SF-scaled embeddings projection: both joins stay
+    # un-hinted; AQE broadcasts the genuinely small side (knn /
+    # pred ≈ |query set| rows) at runtime.
     votes = (
         knn.join(
-            F.broadcast(labels.select(
+            labels.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("label").alias("n_label"),
-            )),
+            ),
             "neighbor_id",
         )
         .groupBy("query_id", "n_label")
@@ -5370,9 +5376,7 @@ def q_knn_label_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
     return (
         pred.join(
-            F.broadcast(labels.select(
-                F.col("vec_id").alias("query_id"), "label"
-            )),
+            labels.select(F.col("vec_id").alias("query_id"), "label"),
             "query_id",
         )
         .groupBy("label")
@@ -6474,7 +6478,7 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     # rank on exact integer micros, never rounded doubles — the tie
     # CLASSES must agree bit-for-bit across engines for RANK parity
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -6524,7 +6528,7 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     nat = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -6960,7 +6964,7 @@ def q_group_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     joined = o.join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        c, F.col("o_custkey") == F.col("c_custkey")
     ).select("c_mktsegment", "o_totalprice", "o_orderkey")
     ranked = grouped_rank(
         joined,
@@ -8332,7 +8336,7 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     joined = o.join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        c, F.col("o_custkey") == F.col("c_custkey")
     ).select("c_mktsegment", "o_totalprice", "o_orderkey")
     ranked = grouped_rank(
         joined,
@@ -9191,7 +9195,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     seg = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
         .select(
             F.col("c_mktsegment").alias("g"),
@@ -9463,7 +9467,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     dec = "decimal(38,0)"
     seg = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
         .select(
             F.col("c_mktsegment").alias("g"),
@@ -9538,7 +9542,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     auto = F.col("c_mktsegment") == "AUTOMOBILE"
     big = F.col("o_totalprice") >= 200000
     cells = j.agg(
@@ -9755,7 +9759,7 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     dec = "decimal(38,0)"
     rev = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "l_suppkey")
         .agg(F.sum(_micros(F.col("l_extendedprice"))).cast(dec).alias("r"))
     )
@@ -10186,7 +10190,7 @@ def q_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_totalprice") < 200000, 1).otherwise(0)
     )
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -10266,7 +10270,7 @@ def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     j = o.join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        c, F.col("o_custkey") == F.col("c_custkey")
     ).select(
         F.col("c_mktsegment").alias("g"),
         _micros(F.col("o_totalprice")).alias("v"),

@@ -72,6 +72,51 @@ def test_row_udf_flagged(spark, sf_dir):
     assert "ROW_PYTHON_UDF" in _codes(bad)
 
 
+def test_broadcast_scaled_flagged(spark, sf_dir):
+    """A forced broadcast hint over an SF-scaled dim (customer grows
+    with the corpus) OOMs at cluster scale — flagged."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bad = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert "BROADCAST_SCALED" in _codes(bad)
+    # scale-proportional filters don't bound it either
+    bad2 = o.join(
+        F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+        o.o_custkey == c.c_custkey,
+    )
+    assert "BROADCAST_SCALED" in _codes(bad2)
+
+
+def test_broadcast_scaled_accepts_bounded_shapes(spark, sf_dir):
+    """Schema-bounded relations keep their hints: nation (25 rows),
+    post-aggregation survivor sets, and id-pinned query sets."""
+    from frames_spark.operators.joins import dim_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # un-hinted dim_join: AQE sizes it — clean
+    assert "BROADCAST_SCALED" not in _codes(
+        dim_join(o, c, o.o_custkey == c.c_custkey)
+    )
+    # bounded table (nation) force-hinted — clean
+    assert "BROADCAST_SCALED" not in _codes(
+        dim_join(c, n, c.c_nationkey == n.n_nationkey, bounded=True)
+    )
+    # post-aggregation survivor set — clean
+    stats = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    assert "BROADCAST_SCALED" not in _codes(
+        o.join(F.broadcast(stats), "o_custkey")
+    )
+    # id-pinned query set over a scaled table — clean
+    qs = emb.filter(F.col("vec_id") < 5)
+    assert "BROADCAST_SCALED" not in _codes(
+        emb.crossJoin(F.broadcast(qs.select(F.col("embedding").alias("q"))))
+    )
+
+
 def test_registered_queries_pass_the_gate(spark, sf_dir):
     """The engine's own flagship plans clear the advisor."""
     from frames_spark.queries import QUERIES

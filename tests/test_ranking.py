@@ -134,3 +134,52 @@ def test_grouped_prefix_sum_plan_is_distributed(spark, sf_dir):
         grouped_prefix_sum(o, [], ["cents", "o_orderkey"], "cents")
     )
     assert "spark_partition_id" in plan.lower()
+
+
+def test_auto_stage_detects_shuffle_fed_input(spark, sf_dir):
+    """stage=None (default) localCheckpoints exchange-fed inputs and
+    leaves plain scans unstaged — the structural fix for the
+    silent-rank-corruption trap (two consumer branches of the range
+    exchange disagreeing on partition ids under AQE re-planning)."""
+    from frames_spark.operators.ranking import _auto_stage
+
+    o = load_table(spark, sf_dir, "orders")
+    # plain deterministic scan: no Exchange, no staging needed
+    assert _auto_stage(o.select("o_orderkey", "o_totalprice"), None) is False
+    # aggregation output: shuffle-fed, must stage
+    agg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    assert _auto_stage(agg, None) is True
+    # join output (the shape that corrupted q_rfm / q_mann_whitney
+    # live): must stage whether the join broadcasts or shuffles
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    assert _auto_stage(j, None) is True
+    # explicit override still wins both ways
+    assert _auto_stage(j, False) is False
+    assert _auto_stage(o, True) is True
+
+
+def test_grouped_rank_correct_over_shuffle_fed_input(spark, sf_dir):
+    """Join-fed input WITHOUT an explicit stage flag still yields
+    exact ranks (the auto-stage path, verdict r4 item 2)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    got = {
+        (r.o_orderkey, r.rn)
+        for r in grouped_rank(
+            j, ["c_mktsegment"], ["o_totalprice", "o_orderkey"]
+        ).collect()
+    }
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    want = {
+        (r.o_orderkey, r.rn)
+        for r in j.select(
+            "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
