@@ -95,6 +95,31 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_kernel() -> float:
+    """Best-of-3 seconds for a FIXED CPU-bound kernel (~130 MB of
+    sha256), run before and after the query loop.
+
+    This box shows 3-9x co-tenant swings; a slow window inflates
+    every query by a similar factor and can fake a >2x pin breach on
+    untouched code (r4's q1 entry adjudicated to noise only via a
+    manual retime session). The kernel makes that machine-detectable
+    in the artifact itself: compare calib_before/after_sec against
+    BASELINE.md's calib_sec — a ratio well above 1 means the whole
+    window ran slow and per-query ratios should be read against it."""
+    import hashlib
+
+    block = b"\x5a" * 65536
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(2000):
+            h.update(block)
+        h.hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     spark = get_spark("frames_spark_bench")
     # warmup: JVM + parquet footer caches
@@ -105,6 +130,7 @@ def main() -> None:
     # best-of-3 by default: this box shows 3-9x co-tenant swings on
     # identical plans; two reps still leaves occasional double-hits
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    calib_before = calibration_kernel()
     times: dict[str, float | None] = {}
     for name, fn in BENCH_QUERIES.items():
         # Per-query isolation: one broken query must cost one null entry,
@@ -130,6 +156,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    calib_after = calibration_kernel()
     ok_times = [t for t in times.values() if t is not None]
     out = {
         "metric": "total_bench_seconds",
@@ -138,6 +165,8 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
         "failed": sorted(n for n, t in times.items() if t is None),
+        "calib_before_sec": calib_before,
+        "calib_after_sec": calib_after,
     }
 
     # Per-query delta vs the pinned BASELINE.md numbers (the 2x gate's
@@ -154,6 +183,12 @@ def main() -> None:
         tot_now = sum(times[n] for n in common)
         tot_base = sum(base["queries"][n] for n in common)
         out["vs_baseline"] = round(tot_now / tot_base, 3) if tot_base else None
+    if base and base.get("calib_sec"):
+        # >1 means the box ran slower than when the pins were taken;
+        # per-query breach adjudication divides by this first.
+        out["box_noise_factor"] = round(
+            max(calib_before, calib_after) / base["calib_sec"], 2
+        )
     print(json.dumps(out))
 
 

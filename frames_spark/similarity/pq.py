@@ -218,8 +218,12 @@ def pq_topk(
             dist.alias("approx_dist"),
         )
     )
+    # Zero vectors carry NULL codes (documented _unit pass-through) and
+    # hence NULL approx_dist; Spark ASC is NULLS FIRST, which would
+    # seat every zero-vector corpus row at rank 1 of every shortlist.
+    # nulls_last keeps them out of the top-k unless nothing real fits.
     w = Window.partitionBy("query_id").orderBy(
-        "approx_dist", "neighbor_id"
+        F.asc_nulls_last("approx_dist"), "neighbor_id"
     )
     shortlist = rerank if (rerank and corpus is not None) else k
     top = (
@@ -415,7 +419,10 @@ def ivfpq_topk(
             dist.alias("approx_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    # NULL approx_dist (zero-vector codes) sorts last, as in pq_topk.
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("approx_dist"), "neighbor_id"
+    )
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= rerank)

@@ -146,6 +146,36 @@ def sanitize_name(name: str) -> str:
     return cleaned
 
 
+def dedupe_names(names: list[str]) -> list[str]:
+    """Disambiguate post-sanitization collisions with _2, _3, ...
+    suffixes.
+
+    ``sanitize_name`` maps distinct headers like ``a!`` and ``a?``
+    both to ``a``; left alone, the DataFrame carries duplicate column
+    names and breaks on the first select-by-name. The reference
+    refuses to redefine an existing identifier for the same reason
+    (reference: test/Overlap.hs:8-12 — managers.csv/employees.csv
+    overlap); on Spark we keep every column and suffix instead. The
+    suffixed name is itself collision-checked (a header literally
+    named ``a_2`` won't be clobbered)."""
+    seen: dict[str, int] = {}
+    taken = set(names)
+    out = []
+    for n in names:
+        if n not in seen:
+            seen[n] = 1
+            out.append(n)
+            continue
+        k = seen[n] + 1
+        while f"{n}_{k}" in taken:
+            k += 1
+        seen[n] = k
+        cand = f"{n}_{k}"
+        taken.add(cand)
+        out.append(cand)
+    return out
+
+
 def _cell_type_ex(cell: str, customs: list[ColumnType]) -> str:
     s = cell.strip()
     if s == "":
@@ -192,7 +222,7 @@ def infer_schema(
     if not rows:
         raise ValueError(f"empty CSV: {path}")
     if header:
-        names = [sanitize_name(c) for c in rows[0]]
+        names = dedupe_names([sanitize_name(c) for c in rows[0]])
         data = rows[1:]
     else:
         width = len(rows[0])

@@ -377,11 +377,18 @@ def append_histogram_increment(
     exactly-once contract for non-transactional sinks (same pattern
     as the foreachBatch order sink; read side merges by summation and
     is oblivious to the extra partition column)."""
+    # Floor-division binning: Spark's integer DIV truncates toward
+    # zero, which would collapse negative values into a double-width
+    # bin straddling 0 and flip read_quantiles' bin-lower-bound
+    # estimate into an upper bound for negative bins. pmod is always
+    # non-negative, so (v - pmod(v, W)) DIV W is exact floor(v / W)
+    # for any sign.
+    micros = f"CAST(FLOOR({value} * 1000000 + 0.5) AS BIGINT)"
     parts = (
         batch.groupBy(
             F.window(ts, window).alias("w"),
             F.expr(
-                f"CAST(FLOOR({value} * 1000000 + 0.5) AS BIGINT) "
+                f"({micros} - pmod({micros}, {bin_width_micros})) "
                 f"DIV {bin_width_micros}"
             ).alias("bin"),
         )

@@ -110,6 +110,24 @@ def test_sanitize_names(spark):
     assert fcsv.sanitize_name("2024 rev") == "c2024_rev"
 
 
+def test_colliding_headers_deduped(spark, csv_dir):
+    """Distinct headers that sanitize to the same identifier (a!, a?)
+    must not produce duplicate column names (reference:
+    test/Overlap.hs:8-12 refuses to redefine an identifier; we keep
+    both columns, suffixed) — and both stay selectable by name."""
+    p = str(csv_dir / "collide.csv")
+    with open(p, "w") as f:
+        f.write("a!,a?,b\n1,2,x\n3,4,y\n")
+    df = fcsv.read_csv(spark, p)
+    assert df.columns == ["a", "a_2", "b"]
+    rows = {r.b: r for r in df.select("a", "a_2", "b").collect()}
+    assert rows["x"].a == 1 and rows["x"].a_2 == 2
+    assert rows["y"].a == 3 and rows["y"].a_2 == 4
+    # a pre-existing a_2 header is not clobbered by the suffixing
+    assert fcsv.dedupe_names(["a", "a", "a_2"]) == ["a", "a_3", "a_2"]
+    assert fcsv.dedupe_names(["a", "a", "a"]) == ["a", "a_2", "a_3"]
+
+
 def test_multiline_quoted_records(spark, csv_dir):
     """RFC-4180 embedded newlines inside quoted fields (reference:
     test/Spec.hs:217 rejects test/data/multiline.csv — we parse it)

@@ -177,3 +177,23 @@ def test_ivfpq_codes_partitioned_on_save(spark, sf_dir, tmp_path):
         "PartitionFilters"
     )[1][:200]
     assert probe.count() > 0
+
+
+def test_zero_vector_corpus_row_not_rank_one(spark, sf_dir):
+    """A zero vector encodes to NULL codes -> NULL approx_dist; with
+    default ASC (NULLS FIRST) ordering it would take rank 1 in EVERY
+    query's ADC shortlist. nulls_last ordering keeps it out of the
+    no-rerank top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * dim, "z")], "vec_id long, embedding array<double>, label string"
+    )
+    corpus = emb.unionByName(zero)
+    cb = fit_pq(emb, "vec_id", "embedding", m=16, k=32)
+    codes = encode_pq(corpus, "vec_id", "embedding", cb)
+    q = emb.filter(F.col("vec_id") < 3)
+    top = pq_topk(codes, cb, q, "vec_id", "embedding", k=10).collect()
+    assert top, "no results"
+    assert all(r["neighbor_id"] != 999999 for r in top)
+    assert all(r["approx_dist"] is not None for r in top)

@@ -297,3 +297,38 @@ def test_histogram_parts_streaming_exactly_once(spark, sf_dir, tmp_path):
     assert all(r[1] == n_total + extra for r in after_replace)
     if len(seen) == 1:
         assert after_replace == before
+
+
+def test_histogram_sink_negative_values_floor_binned(spark, tmp_path):
+    """Integer DIV truncates toward zero, which used to collapse all
+    of (-width, width) into one double-width bin and turn the
+    bin-lower-bound quantile estimate into an UPPER bound for
+    negative values. Floor binning keeps est_lo <= exact < est_lo +
+    width for every sign."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from frames_spark.sources.sink import (
+        append_histogram_increment,
+        read_quantiles,
+    )
+
+    vals = [v / 10.0 for v in range(-500, 500)]  # -50.0 .. 49.9
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:00:00", v) for v in vals], "ts string, value double"
+    ).select(F.col("ts").cast("timestamp"), "value")
+    path = str(tmp_path / "neg_hist")
+    width = 10_000_000  # 10-unit-micros bins spanning negatives
+    append_histogram_increment(ev, path, "value", bin_width_micros=width)
+    got = {
+        r["p"]: r["est_lo_micros"]
+        for r in read_quantiles(
+            spark, path, [0.1, 0.5, 0.9], bin_width_micros=width
+        ).collect()
+    }
+    svals = sorted(vals)
+    n = len(svals)
+    for p in (0.1, 0.5, 0.9):
+        exact = svals[math.ceil(p * n) - 1] * 1e6
+        assert got[p] <= exact < got[p] + width, (p, got[p], exact)
