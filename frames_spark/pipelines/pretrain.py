@@ -51,6 +51,7 @@ def clean_corpus(
     persist: bool = True,
     redact_pii: bool = False,
     keep_text: bool = False,
+    excise_repeats: int | None = None,
 ) -> DataFrame:
     """The cleaned corpus: (id, n_tokens) for every surviving doc —
     plus the (post-redaction) text when ``keep_text``.
@@ -76,7 +77,7 @@ def clean_corpus(
     unique, pairs = _gated_unique_pairs(
         docs, id_col, text_col, min_tokens, max_punct, lang,
         shingle_n, num_hashes, bands, rows_per_band, persist,
-        redact_pii=redact_pii,
+        redact_pii=redact_pii, excise_repeats=excise_repeats,
     )
     near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = unique.join(near_dups, id_col, "left_anti")
@@ -99,12 +100,18 @@ def _gated_unique_pairs(
     rows_per_band: int,
     persist: bool,
     redact_pii: bool = False,
+    excise_repeats: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-4 shared by both dedup policies: (unique corpus,
     near-dup candidate pairs). With ``redact_pii`` the text is
     scrubbed (functions/redact.py) BEFORE fingerprinting/dedup, so
     two docs differing only in their PII dedup together — the order
-    production pipelines use."""
+    production pipelines use. With ``excise_repeats=n`` the
+    substring-level dedup (dedup/substring.py, Lee et al. 2022
+    ExactSubstr semantics at n-token granularity) rewrites the text
+    BEFORE the gates, so boilerplate-heavy docs are judged on their
+    unique content — ExactSubstr-then-docdedup, the production
+    order."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
@@ -112,6 +119,12 @@ def _gated_unique_pairs(
         from frames_spark.functions.redact import redact
 
         docs = docs.withColumn(text_col, redact(F.col(text_col)))
+    if excise_repeats:
+        from frames_spark.dedup.substring import excise_repeated_ngrams
+
+        docs = excise_repeated_ngrams(
+            docs, id_col, text_col, n=excise_repeats
+        ).select(F.col(id_col), F.col("clean_text").alias(text_col))
     text = F.col(text_col)
     gated = (
         spread(docs)

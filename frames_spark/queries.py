@@ -1185,6 +1185,25 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sf0.1-feasible witness for q_dedup_embed: the SAME operator with the
+# SAME parameters (4 planes x 16 tables, the configuration whose
+# full-corpus oracle is quadratic-in-bucket and so excluded from the
+# 10x sweep) over a deterministic vec_id < 2000 subset + perturbed
+# copies — the subset keeps the oracle's in-bucket expansion bounded
+# at EVERY scale factor, so the dual-SF sweep covers this
+# configuration with no exclusions.
+_EMB_SMALL_SQL = _emb_corpus_sql("WHERE vec_id < 2000")
+
+
+@register("q_dedup_embed_small", _emb_lsh_oracle(4, 16, 4000, _EMB_SMALL_SQL))
+def q_dedup_embed_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return embed_ops.near_dup_pairs_lsh(
+        _with_perturbed_copies(emb), "vec_id", "embedding",
+        threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+    )
+
+
 # Quantitative recall witness for the LSH dedup path: on a fixed
 # deterministic subset (vec_id < 200 plus their perturbed copies),
 # compare the LSH pair set against the EXACT all-pairs threshold
@@ -10354,3 +10373,57 @@ def q_days_to_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("qualifying_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (Lee et al. 2022 ExactSubstr semantics
+# at fixed span granularity): every non-first occurrence of a
+# corpus-wide repeated 8-token span is excised from its document.
+# The Spark shape is the inverted-index ladder (dedup/substring.py);
+# the oracle mirrors it span-for-span, rebuilding each document with
+# a coverage anti-join + ordered string_agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q_substring_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i+1:i+8], ' ')) AS h,
+             doc_id * 1000000 + i AS okey
+      FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    canon AS (
+      SELECT h, COUNT(*) AS c, MIN(okey) AS first_key
+      FROM grams GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    dups AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN canon c USING (h)
+      WHERE g.okey <> c.first_key
+    ),
+    tok_rows AS (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    covered AS (
+      SELECT DISTINCT r.doc_id, r.i
+      FROM tok_rows r JOIN dups d
+        ON d.doc_id = r.doc_id AND r.i BETWEEN d.pos AND d.pos + 7
+    )
+    SELECT r.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(c.i) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.i IS NULL THEN r.tok END, ' ' ORDER BY r.i), '') AS clean_text
+    FROM tok_rows r LEFT JOIN covered c ON c.doc_id = r.doc_id AND c.i = r.i
+    GROUP BY r.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.dedup.substring import excise_repeated_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_repeated_ngrams(docs, "doc_id", "text", n=8, min_count=2)

@@ -1,0 +1,93 @@
+"""Integer-headroom audit for the exact-moment stats family.
+
+The moment formulations (corr matrix, Spearman, Welch, autocorr,
+anomaly z-scores) accumulate micros-quantized values in
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB). r4's q_autocorr fix showed
+an int64 intermediate can hide in such a pipeline and wrap silently
+at a scale-factor jump. This audit amplifies the value columns by
+1000x — pushing every product/sum to the magnitudes an sf1+ corpus
+produces (micros ~1e14, per-row products ~1e28, n*S combinations
+within a factor of ~3 of the DECIMAL(38) ceiling) — and asserts the
+Spark result still matches the DuckDB oracle bit-for-bit. Any
+lingering BIGINT intermediate overflows at the very first amplified
+product and (ANSI mode) raises rather than matching.
+
+Known bound, verified here to RAISE not wrap: the n*S_ij closing
+combination exceeds DECIMAL(38) at roughly sf100 row counts x full
+price magnitudes; ANSI mode turns that into an explicit error, never
+a silent wrap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from frames_spark.queries import ORACLES, QUERIES
+
+AMPLIFIED = {
+    "lineitem": {"l_extendedprice": 1000},
+    "orders": {"o_totalprice": 1000},
+    "events": {"value": 1000},
+    "customer": {},
+    "nation": {},
+}
+
+STATS_QUERIES = [
+    "q_corr_matrix",
+    "q_spearman",
+    "q_welch_ttest",
+    "q_autocorr",
+    "q_anomaly_days",
+]
+
+
+@pytest.fixture(scope="module")
+def stress_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stress_sf")
+    for table, amps in AMPLIFIED.items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        for col, k in amps.items():
+            df = df.withColumn(col, F.col(col) * k)
+        df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{table}.parquet"))
+    return str(out)
+
+
+def _close(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@pytest.mark.parametrize("qname", STATS_QUERIES)
+def test_stats_headroom_at_amplified_magnitudes(spark, stress_dir, qname):
+    sdf = QUERIES[qname](spark, stress_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(r[c] for c in scols) for r in sdf.collect()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    con = duckdb.connect()
+    for t in AMPLIFIED:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{stress_dir}/{t}.parquet/*.parquet')"
+        )
+    res = con.sql(ORACLES[qname])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    orows = sorted(
+        [tuple(r[i] for i in order) for r in res.fetchall()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert sorted(res.columns) == scols
+    assert len(srows) == len(orows), (len(srows), len(orows))
+    for sr, orow in zip(srows, orows):
+        assert all(_close(a, b) for a, b in zip(sr, orow)), (qname, sr, orow)
