@@ -10427,3 +10427,647 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return excise_repeated_ngrams(docs, "doc_id", "text", n=8, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Conditional entropy of the event-transition process: H(next | cur)
+# per current event type — how predictable the next step is (the
+# information-theoretic refinement of q_transitions' raw matrix).
+# Transition counts are one lead-window pass + one map-side-combined
+# groupBy; entropy terms are nano-quantized per transition BEFORE the
+# sum (the q_token_entropy idiom — partition-order float drift cannot
+# reach the artifact).
+# ---------------------------------------------------------------------------
+@register(
+    "q_cond_entropy",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (SELECT cur, SUM(n) AS t FROM cnt GROUP BY cur)
+    SELECT c.cur,
+           CAST(t.t AS BIGINT) AS n_trans,
+           CAST(SUM(CAST(FLOOR(-(n * 1.0 / t.t) * ln(n * 1.0 / t.t)
+                * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS entropy_nanos_sum
+    FROM cnt c JOIN tot t ON c.cur = t.cur
+    GROUP BY c.cur, t.t
+    """,
+)
+def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("t"))
+    p = F.col("n") * 1.0 / F.col("t")
+    term = F.floor(-p * F.log(p) * 1_000_000_000 + 0.5).cast("long")
+    # tot is one row per event type — schema-bounded broadcast
+    return (
+        cnt.join(F.broadcast(tot), "cur")
+        .groupBy("cur", "t")
+        .agg(F.sum(term).alias("entropy_nanos_sum"))
+        .select(
+            "cur",
+            F.col("t").cast("long").alias("n_trans"),
+            F.col("entropy_nanos_sum").cast("long").alias("entropy_nanos_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) of daily event arrivals per type:
+# var/mean of the observed-day counts — 1 for a Poisson process,
+# larger = bursty traffic. Exact integer moments in DECIMAL(38)/
+# HUGEINT, closed by the pure integer rounding division (the
+# q_seasonal_adjust idiom — no float in the artifact at all).
+# Defined over OBSERVED days (days with >= 1 event of the type).
+# ---------------------------------------------------------------------------
+@register(
+    "q_burstiness",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, COUNT(*) AS d,
+             SUM(CAST(c AS HUGEINT)) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(d AS BIGINT) AS n_days,
+           CAST(s1 AS BIGINT) AS n_events,
+           CAST(((d * s2 - s1 * s1) * 1000000 + (d * s1) // 2)
+                // (d * s1) AS BIGINT) AS fano_micros
+    FROM m
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.col("c").cast(dec)).alias("s1"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("d").cast("long").alias("n_days"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(((CAST(d AS DECIMAL(38,0)) * s2 - s1 * s1) * 1000000 "
+            "+ (CAST(d AS DECIMAL(38,0)) * s1) DIV 2) "
+            "DIV (CAST(d AS DECIMAL(38,0)) * s1) AS BIGINT)"
+        ).alias("fano_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-of-magnitude histogram of order values: log-scale binning
+# WITHOUT ln() — the bin is the digit count of the integer part
+# (exact and portable; a power-of-ten boundary value can never flip
+# bins on float rounding, the trap a floor(log10(x)) formulation
+# carries). One map-side-combined groupBy on a derived integer.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hist_log",
+    f"""
+    SELECT LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) AS digits,
+           COUNT(*) AS n,
+           CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+             AS sum_micros
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_hist_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        F.length(F.floor(F.col("o_totalprice")).cast("long").cast("string"))
+        .cast("long")
+        .alias("digits")
+    )
+    return o.groupBy(digits).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("o_totalprice"))).alias("sum_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: median of all pairwise slopes of the daily
+# revenue series. The pair relation is bounded by the CALENDAR (d
+# days -> d(d-1)/2 pairs), not by SF, so the inequality self-join and
+# the global median rank never touch fact-scale data; the slope is
+# one IEEE division of exact integer micros by exact day deltas
+# (identical operands both engines -> bit-stable double).
+# ---------------------------------------------------------------------------
+@register(
+    "q_theil_sen",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT a.day AS da, b.day AS db,
+             CAST(b.rev - a.rev AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON b.day > a.day
+    ), ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rn,
+             COUNT(*) OVER () AS np
+      FROM pairs
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           slope AS slope_micros_per_day
+    FROM ranked WHERE rn = (np + 1) // 2
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev"))
+    a = daily.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        "da",
+        "db",
+        (
+            (F.col("rb") - F.col("ra")).cast("double")
+            / F.datediff("db", "da").cast("double")
+        ).alias("slope"),
+    )
+    # bounded relation: d(d-1)/2 rows regardless of SF — the global
+    # window is over calendar-sized input (aggregate upstream)
+    w = Window.orderBy("slope", "da", "db")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope").alias("slope_micros_per_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands on daily revenue: 7-day trailing mean +/- 2 sigma,
+# flagged entirely in EXACT integer arithmetic — the band test
+# (x - s/n)^2 > 4 sigma^2 multiplies out to (n x - s)^2 > 4(n ss - s^2),
+# so no division, no sqrt, no float ever enters the artifact. Whole
+# currency units (micros DIV 1e6) keep every product far inside
+# DECIMAL(38)/HUGEINT through sf1e6 daily sums. The trailing window
+# runs over the calendar-bounded daily aggregate only.
+# ---------------------------------------------------------------------------
+@register(
+    "q_bollinger",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               // 1000000 AS rev_units
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT day, rev_units,
+             COUNT(*) OVER win AS n_win,
+             SUM(CAST(rev_units AS HUGEINT)) OVER win AS s,
+             SUM(CAST(rev_units AS HUGEINT) * rev_units) OVER win AS ss
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, rev_units,
+           CAST(n_win AS BIGINT) AS n_win,
+           (CAST(n_win AS HUGEINT) * rev_units - s < 0 AND
+            (CAST(n_win AS HUGEINT) * rev_units - s)
+              * (CAST(n_win AS HUGEINT) * rev_units - s)
+              > 4 * (n_win * ss - s * s)) AS is_low,
+           (CAST(n_win AS HUGEINT) * rev_units - s > 0 AND
+            (CAST(n_win AS HUGEINT) * rev_units - s)
+              * (CAST(n_win AS HUGEINT) * rev_units - s)
+              > 4 * (n_win * ss - s * s)) AS is_high
+    FROM w
+    """,
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.expr(
+            f"CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT) "
+            "DIV 1000000"
+        ).alias("rev_units")
+    )
+    win = Window.orderBy("day").rowsBetween(-6, 0)
+    dec = "decimal(38,0)"
+    w = daily.select(
+        "day",
+        "rev_units",
+        F.count(F.lit(1)).over(win).alias("n_win"),
+        F.sum(F.col("rev_units").cast(dec)).over(win).alias("s"),
+        F.sum(F.col("rev_units").cast(dec) * F.col("rev_units")).over(win).alias("ss"),
+    )
+    dev = F.col("n_win").cast(dec) * F.col("rev_units") - F.col("s")
+    band = 4 * (F.col("n_win").cast(dec) * F.col("ss") - F.col("s") * F.col("s"))
+    return w.select(
+        "day",
+        "rev_units",
+        F.col("n_win").cast("long").alias("n_win"),
+        ((dev < 0) & (dev * dev > band)).alias("is_low"),
+        ((dev > 0) & (dev * dev > band)).alias("is_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction: top-3 terms by tf x idf where idf
+# is micros-quantized ONCE per term in the vocabulary relation
+# (floor(ln(N/df) * 1e6 + 0.5)) — the score tf * idf_micros is then
+# an exact integer, so the per-doc ranking is bit-stable across
+# engines. Differs from q_tfidf (top-1 by raw (tf, df) order): this
+# is the scored extraction a search/indexing pipeline ships.
+# ---------------------------------------------------------------------------
+@register(
+    "q_doc_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE term <> '' GROUP BY term
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    idf AS (
+      SELECT term, df,
+             CAST(FLOOR(ln(nd * 1.0 / df) * 1000000 + 0.5) AS BIGINT)
+               AS idf_micros
+      FROM df CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf_micros AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.idf_micros DESC,
+                                         tf.term) AS rk
+      FROM tf JOIN idf USING (term)
+    ) WHERE rk <= 3
+    """,
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(text_fns.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    idf = df_.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.floor(F.log(F.col("nd") * 1.0 / F.col("df")) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("idf_micros"),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_micros")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.col("score").cast("long").alias("score"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank movers: customers whose revenue RANK changed most between 1995
+# and 1996 — the leaderboard-delta analysis. Per-year ranks ride the
+# two-phase distributed rank (never a single-task global window over
+# per-customer rollups); the yearly relations then equi-join on
+# customer and the top movers come off a TakeOrdered (orderBy+limit),
+# which is a per-partition top-k + driver merge, not a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q_topk_movers",
+    f"""
+    WITH yearly AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_custkey, yr,
+             ROW_NUMBER() OVER (PARTITION BY yr
+                                ORDER BY rev DESC, o_custkey) AS rn
+      FROM yearly
+    )
+    SELECT a.o_custkey AS c_custkey,
+           CAST(a.rn AS BIGINT) AS rank_1995,
+           CAST(b.rn AS BIGINT) AS rank_1996,
+           CAST(a.rn - b.rn AS BIGINT) AS rank_delta
+    FROM ranked a JOIN ranked b ON a.o_custkey = b.o_custkey
+    WHERE a.yr = 1995 AND b.yr = 1996
+    ORDER BY ABS(a.rn - b.rn) DESC, a.o_custkey
+    LIMIT 10
+    """,
+)
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    yearly = (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1995, 1996))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev"))
+    )
+    ranked = grouped_rank(
+        yearly, ["yr"], [F.col("rev").desc(), F.col("o_custkey")], rank_col="rn"
+    ).select("o_custkey", "yr", "rn")
+    a = ranked.filter(F.col("yr") == 1995).select(
+        F.col("o_custkey").alias("c_custkey"), F.col("rn").alias("rank_1995")
+    )
+    b = ranked.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("c_custkey"), F.col("rn").alias("rank_1996")
+    )
+    return (
+        a.join(b, "c_custkey")
+        .select(
+            "c_custkey",
+            "rank_1995",
+            "rank_1996",
+            (F.col("rank_1995") - F.col("rank_1996")).alias("rank_delta"),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped skewness (Fisher g1) of order values per segment: third
+# standardized moment from ONE fused aggregate of exact cents
+# moments (n, sum x, sum x^2, sum x^3 in DECIMAL(38)/HUGEINT —
+# cents keep sum(x^3) inside 38 digits through sf100). The closing
+# g1 = (n^2 m3) / (n m2)^1.5 combination runs in DOUBLE over the
+# exact integer aggregates with an identical expression tree on both
+# engines, micros-quantized at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "q_group_skewness",
+    """
+    WITH m AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s3
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / CAST(n AS DOUBLE)
+             / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5)
+             * 1000000 + 0.5) AS BIGINT) AS skew_micros
+    FROM m
+    """,
+)
+def q_group_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    m = (
+        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", cents.alias("x"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("s1"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("s2"),
+            F.sum(F.col("x").cast(dec) * F.col("x") * F.col("x")).alias("s3"),
+        )
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    num = (
+        d("n") * d("n") * d("s3")
+        - 3.0 * d("n") * d("s1") * d("s2")
+        + 2.0 * d("s1") * d("s1") * d("s1")
+    )
+    g1 = num / d("n") / F.pow(d("n") * d("s2") - d("s1") * d("s1"), 1.5)
+    return m.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.floor(g1 * 1_000_000 + 0.5).cast("long").alias("skew_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source drift vs the corpus: KL(p_source || p_corpus) over unigram
+# distributions — the mixture-quality diagnostic a corpus curator
+# watches per ingest source. All counts exact; each term's
+# p_s * ln(p_s / p_c) contribution is nano-quantized BEFORE the sum
+# (per-term quantization: partition-order float drift cannot reach
+# the artifact), and the source totals join back onto the
+# vocabulary-sized relation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_kl_source",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS n FROM tok
+      WHERE term <> '' GROUP BY source, term
+    ), ct AS (
+      SELECT term, SUM(n) AS ct FROM st GROUP BY term
+    ), stot AS (
+      SELECT source, SUM(n) AS ns FROM st GROUP BY source
+    ), tot AS (SELECT SUM(n) AS nc FROM st)
+    SELECT st.source,
+           CAST(stot.ns AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(
+             (st.n * 1.0 / stot.ns)
+             * ln((st.n * 1.0 / stot.ns) / (ct.ct * 1.0 / tot.nc))
+             * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nanos_sum
+    FROM st
+    JOIN ct USING (term)
+    JOIN stot USING (source)
+    CROSS JOIN tot
+    GROUP BY st.source, stot.ns
+    """,
+)
+def q_kl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(text_fns.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    ct = st.groupBy("term").agg(F.sum("n").alias("ct"))
+    stot = st.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = st.agg(F.sum("n").alias("nc"))
+    ps = F.col("n") * 1.0 / F.col("ns")
+    pc = F.col("ct") * 1.0 / F.col("nc")
+    term = F.floor(ps * F.log(ps / pc) * 1_000_000_000 + 0.5).cast("long")
+    # ct joins on the vocabulary relation (un-hinted, AQE-sized);
+    # stot/tot are per-source / 1-row aggregates — bounded broadcasts
+    return (
+        st.join(ct, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns")
+        .agg(F.sum(term).alias("kl_nanos_sum"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.col("kl_nanos_sum").cast("long").alias("kl_nanos_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across ALL market segments (the k-group
+# generalization of q_mann_whitney): doubled midranks come from the
+# per-distinct-value counts via the two-phase prefix sum — no per-row
+# global ranking anywhere — and every rank sum, the H numerator terms
+# (R2_g^2 DIV 4n_g, exact integer division: deterministic on both
+# engines) and the tie-correction sum are exact DECIMAL(38)/HUGEINT
+# integers. Only the final H / tie-corrected H close in double,
+# micros-quantized. Headroom: R2_g^2 stays inside 38 digits through
+# ~sf1000 row counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q_kruskal_wallis",
+    f"""
+    WITH seg AS (
+      SELECT c_mktsegment AS g, {_MICROS_SQL.format(expr='o_totalprice')} AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), gv AS (
+      SELECT g, v, COUNT(*) AS cgv FROM seg GROUP BY g, v
+    ), vals AS (
+      SELECT v, SUM(cgv) AS cnt FROM gv GROUP BY v
+    ), cum AS (
+      SELECT v, cnt, SUM(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM vals
+    ), mr AS (
+      SELECT v, 2 * (c - cnt) + cnt + 1 AS mr2 FROM cum
+    ), rg AS (
+      SELECT g, SUM(CAST(cgv AS HUGEINT) * mr2) AS r2,
+             SUM(CAST(cgv AS HUGEINT)) AS ng
+      FROM gv JOIN mr USING (v) GROUP BY g
+    ), terms AS (
+      SELECT SUM((r2 * r2) // (4 * ng)) AS s,
+             SUM(ng) AS n, COUNT(*) AS k
+      FROM rg
+    ), ties AS (
+      SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum FROM vals
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(FLOOR(
+             (12.0 * CAST(s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000 + 0.5) AS BIGINT)
+             AS h_micros,
+           CAST(FLOOR(
+             (12.0 * CAST(s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS h_tie_micros
+    FROM terms CROSS JOIN ties
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.ranking import grouped_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dec = "decimal(38,0)"
+    seg = join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("g"),
+        _micros(F.col("o_totalprice")).alias("v"),
+    )
+    gv = seg.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cgv"))
+    vals = gv.groupBy("v").agg(F.sum("cgv").alias("cnt"))
+    # vals is shuffle-fed; grouped_prefix_sum auto-stages (ranking.py)
+    cum = grouped_prefix_sum(vals, [], ["v"], "cnt", cum_col="c")
+    mr = cum.select(
+        "v", (2 * (F.col("c") - F.col("cnt")) + F.col("cnt") + 1).alias("mr2")
+    )
+    rg = (
+        gv.join(mr, "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("cgv").cast(dec) * F.col("mr2")).alias("r2"),
+            F.sum(F.col("cgv").cast(dec)).alias("ng"),
+        )
+    )
+    terms = rg.agg(
+        F.sum(F.expr("(r2 * r2) DIV (4 * ng)")).alias("s"),
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("cnt").cast(dec) * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tsum")
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    h = (
+        12.0 * d("s") / (d("n") * (d("n") + 1.0))
+        - 3.0 * (d("n") + 1.0)
+    )
+    tie_c = 1.0 - d("tsum") / (d("n") * d("n") * d("n") - d("n"))
+    return terms.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.floor(h * 1_000_000 + 0.5).cast("long").alias("h_micros"),
+        F.floor(h / tie_c * 1_000_000 + 0.5).cast("long").alias("h_tie_micros"),
+    )

@@ -249,11 +249,16 @@ def test_key_skew_values(spark, sf_dir):
 def test_group_median_two_phase_plan(spark, sf_dir):
     """The grouped median must ride the two-phase distributed rank —
     a 5-value PARTITION BY window over the fact table caps the sort
-    at 5 tasks at any cluster size."""
+    at 5 tasks at any cluster size. The rank's partition-id column
+    appears either as the live spark_partition_id() expression
+    (unstaged path) or as the staged _pid column read back off the
+    auto-stage localCheckpoint (join-fed inputs stage by default
+    since round 5 — see operators/ranking.py _auto_stage)."""
     from frames_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(QUERIES["q_group_median_scalable"](spark, sf_dir))
-    assert "spark_partition_id" in plan.lower()
+    staged = "_pid#" in plan and "localCheckpoint" in plan
+    assert "spark_partition_id" in plan.lower() or staged
 
 
 def test_group_median_matches_duckdb(spark, sf_dir):
