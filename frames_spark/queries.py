@@ -11071,3 +11071,342 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(h * 1_000_000 + 0.5).cast("long").alias("h_micros"),
         F.floor(h / tie_c * 1_000_000 + 0.5).cast("long").alias("h_tie_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality metric: Mean Reciprocal Rank of the bucketed LSH path
+# against the exact nearest neighbor — the retrieval-eval companion
+# to q_embed_lsh_recall (recall measures the pair SET; MRR measures
+# where the true neighbor LANDS in the ranked list). BOTH sides are
+# modeled in the oracle (exact top-1 as the brute-force join, LSH
+# top-10 via the deterministic-plane reproduction), and the
+# reciprocal ranks are exact integers (1e6 DIV rank), so the metric
+# VALUE is driver-checkable, not just pinned.
+# ---------------------------------------------------------------------------
+_ANN_MRR_ORACLE = f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e * c.e) AS dot
+      FROM fixed q JOIN fixed c ON q.i = c.i AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id AS true_nn FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                 neighbor_id) AS rn
+        FROM bf_dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON neighbor_id = nc.vec_id
+      ) WHERE rn = 1
+    ),
+    planes(p, i, c) AS (VALUES {{planes}}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    lsh_dots AS (
+      SELECT query_id, neighbor_id, SUM(a.e * b.e) AS dot
+      FROM pairs
+      JOIN fixed a ON a.vec_id = query_id
+      JOIN fixed b ON b.vec_id = neighbor_id AND b.i = a.i
+      GROUP BY query_id, neighbor_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id, rn AS rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                 neighbor_id) AS rn
+        FROM lsh_dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON neighbor_id = nc.vec_id
+      ) WHERE rn <= 10
+    ),
+    rr AS (
+      SELECT e.query_id,
+             COALESCE(MAX(CASE WHEN l.neighbor_id = e.true_nn
+                                THEN 1000000 // l.rank END), 0) AS rrm
+      FROM exact e LEFT JOIN lsh l ON l.query_id = e.query_id
+      GROUP BY e.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rrm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST((SUM(rrm) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mrr_micros
+    FROM rr
+"""
+
+
+@register("q_ann_mrr", _ANN_MRR_ORACLE.format(planes=_ANN_PLANES_VALUES))
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact1 = ann_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=1).select(
+        "query_id", F.col("neighbor_id").alias("true_nn")
+    )
+    lsh10 = ann_ops.lsh_topk(
+        emb, q, "vec_id", "embedding", k=10, num_planes=4
+    ).select("query_id", "neighbor_id", "rank")
+    rr = (
+        exact1.join(lsh10, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("neighbor_id") == F.col("true_nn"),
+                        F.expr("1000000 DIV rank"),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("rrm")
+        )
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rrm") > 0, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.expr(
+            "CAST((SUM(rrm) + COUNT(*) DIV 2) DIV COUNT(*) AS BIGINT)"
+        ).alias("mrr_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between daily revenue and daily order count
+# (28-day trailing window): is growth volume-driven or ticket-size-
+# driven, day by day? The window runs over the calendar-bounded daily
+# aggregate only; moments accumulate exactly (units x counts in
+# DECIMAL(38)/HUGEINT) and close in one double expression with
+# nullif guards for zero-variance windows (ANSI mode raises on /0).
+# ---------------------------------------------------------------------------
+@register(
+    "q_rolling_corr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               // 1000000 AS x,
+             COUNT(*) AS y
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT day, x, y,
+             COUNT(*) OVER win AS n,
+             SUM(CAST(x AS HUGEINT)) OVER win AS sx,
+             SUM(CAST(y AS HUGEINT)) OVER win AS sy,
+             SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) OVER win AS syy,
+             SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_win,
+           CAST(FLOOR(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 0.0)
+             / nullif(sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+             * 1000000 + 0.5) AS BIGINT) AS corr_micros
+    FROM w
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.expr(
+            f"CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT) "
+            "DIV 1000000"
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-27, 0)
+    dec = "decimal(38,0)"
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(F.col("x").cast(dec)).over(win).alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(win).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).over(win).alias("sxy"),
+    )
+    nd = F.col("n").cast(dec)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    vy = F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return w.select(
+        "day",
+        F.col("n").cast("long").alias("n_win"),
+        F.floor(
+            num / F.nullif(vx, F.lit(0.0)) / F.nullif(vy, F.lit(0.0)) * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("corr_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty per document: what fraction of a doc's 8-token
+# spans exists NOWHERE else in the corpus? The inverse diagnostic of
+# q_substring_dedup's excision (and the per-doc refinement of
+# q_boilerplate's corpus score) — a curator sorts ascending to find
+# templated/boilerplate docs. Same span-hash inverted index, one
+# map-side-combined shuffle; docs shorter than 8 tokens report NULL
+# novelty (no spans to judge).
+# ---------------------------------------------------------------------------
+@register(
+    "q_gram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+      FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    freq AS (SELECT h, COUNT(*) AS c FROM grams GROUP BY h),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM grams g JOIN freq f USING (h)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(FLOOR(p.n_unique * 1.0 / p.n_grams * 1000000 + 0.5) AS BIGINT)
+             AS novelty_micros
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """,
+)
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.expr("filter(split(text, ' +'), x -> x != '')").alias("_toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 8 THEN "
+                "transform(sequence(0, size(_toks) - 8), "
+                "i -> md5(concat_ws(' ', slice(_toks, i + 1, 8)))) "
+                "ELSE array() END"
+            )
+        ).alias("h"),
+    )
+    freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        grams.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+        F.floor(
+            F.col("n_unique") * 1.0 / F.col("n_grams") * 1_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("novelty_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile per label: mean / spread of L2 norms — the
+# first sanity check on an embedding table (un-normalized vectors,
+# collapsed clusters and scale drift between labels all show up
+# here). Norms are micros-quantized per ROW from the exact
+# fixed-point squared norm (identical integer operand -> identical
+# sqrt double on both engines), then the per-label moments are exact
+# integers closed by rounding division / one sqrt.
+# ---------------------------------------------------------------------------
+@register(
+    "q_embed_norm_stats",
+    """
+    WITH n2s AS (
+      SELECT label,
+             (SELECT SUM(e * e) FROM (
+                SELECT CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS e
+                FROM unnest(embedding) AS u(x)
+              )) AS n2
+      FROM embeddings
+    ), norms AS (
+      SELECT label,
+             CAST(FLOOR(sqrt(CAST(n2 AS DOUBLE)) / 1048576 * 1000000 + 0.5)
+                  AS BIGINT) AS nm
+      FROM n2s
+    ), m AS (
+      SELECT label, COUNT(*) AS n,
+             SUM(CAST(nm AS HUGEINT)) AS s1,
+             SUM(CAST(nm AS HUGEINT) * nm) AS s2
+      FROM norms GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           CAST((s1 + n // 2) // n AS BIGINT) AS mean_norm_micros,
+           CAST(FLOOR(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                      / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+             AS std_norm_micros
+    FROM m
+    """,
+)
+def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = core_ops.spread(load_table(spark, sf_dir, "embeddings"))
+    n2 = F.expr(
+        "aggregate(transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, e) -> acc + e * e)"
+    )
+    nm = F.floor(
+        F.sqrt(n2.cast("double")) / 1048576 * 1_000_000 + 0.5
+    ).cast("long")
+    dec = "decimal(38,0)"
+    m = emb.select("label", nm.alias("nm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("nm").cast(dec)).alias("s1"),
+        F.sum(F.col("nm").cast(dec) * F.col("nm")).alias("s2"),
+    )
+    return m.select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST((s1 + CAST(n AS DECIMAL(38,0)) DIV 2) "
+            "DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("mean_norm_micros"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n").cast(dec) * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double")
+            )
+            / F.col("n").cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("std_norm_micros"),
+    )
