@@ -88,6 +88,11 @@ BENCH_QUERIES = {
     "abc_analysis": Q.q_abc_analysis,
     "funnel_windowed": Q.q_funnel_windowed,
     "pipeline_product": Q.q_pipeline_product,
+    "substring_dedup": Q.q_substring_dedup,
+    "gram_novelty": Q.q_gram_novelty,
+    "kruskal_wallis": Q.q_kruskal_wallis,
+    "doc_keywords": Q.q_doc_keywords,
+    "theil_sen": Q.q_theil_sen,
 }
 
 
