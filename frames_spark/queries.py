@@ -11605,3 +11605,100 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(z * 1_000_000 + 0.5).cast("long").alias("z_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test on daily revenue (the rank-based
+# complement to q_cusum_changepoint's mean-shift scan): with doubled
+# midranks mr2, U_t = sum_{i<=t} mr2_i - t(n+1) is EXACT integer for
+# every prefix t, K = max |U_t| picks the split, and only the
+# approximate significance p ~ 2 exp(-6K^2/(n^3+n^2)) closes in
+# double. Midranks come from the value-table prefix sum; the U_t
+# series is a second prefix sum over the calendar-bounded day order.
+# ---------------------------------------------------------------------------
+@register(
+    "q_pettitt",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ), vals AS (
+      SELECT rev, COUNT(*) AS cnt FROM daily GROUP BY rev
+    ), cumv AS (
+      SELECT rev, cnt, SUM(cnt) OVER (ORDER BY rev
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM vals
+    ), mr AS (
+      SELECT rev, 2 * (c - cnt) + cnt + 1 AS mr2 FROM cumv
+    ), seq AS (
+      SELECT d.day,
+             ROW_NUMBER() OVER (ORDER BY d.day) AS t,
+             SUM(mr.mr2) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smr2,
+             COUNT(*) OVER () AS n
+      FROM daily d JOIN mr ON d.rev = mr.rev
+    ), u AS (
+      SELECT day, t, smr2 - t * (n + 1) AS u2, n FROM seq WHERE t < n
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(ABS(u2) AS BIGINT) AS k2_stat,
+           day AS changepoint_day,
+           CAST(FLOOR(
+             2.0 * exp(-6.0 * (CAST(u2 AS DOUBLE) / 2.0)
+                       * (CAST(u2 AS DOUBLE) / 2.0)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS p_micros
+    FROM u
+    ORDER BY ABS(u2) DESC, day
+    LIMIT 1
+    """,
+)
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from frames_spark.operators.ranking import grouped_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_micros(F.col("o_totalprice"))).alias("rev"))
+    vals = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("cnt"))
+    cumv = grouped_prefix_sum(vals, [], ["rev"], "cnt", cum_col="c")
+    mr = cumv.select(
+        "rev", (2 * (F.col("c") - F.col("cnt")) + F.col("cnt") + 1).alias("mr2")
+    )
+    # the day sequence is calendar-bounded: plain windows over the
+    # joined daily relation (aggregate upstream exempts the advisor)
+    wday = Window.orderBy("day")
+    seq = (
+        daily.join(mr, "rev")
+        .select(
+            "day",
+            F.row_number().over(wday).alias("t"),
+            F.sum("mr2")
+            .over(wday.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("smr2"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+    )
+    u = seq.filter(F.col("t") < F.col("n")).select(
+        "day",
+        (F.col("smr2") - F.col("t") * (F.col("n") + 1)).alias("u2"),
+        "n",
+    )
+    uh = F.col("u2").cast("double") / 2.0
+    nn = F.col("n").cast("double")
+    p = 2.0 * F.exp(-6.0 * uh * uh / (nn * nn * nn + nn * nn))
+    return (
+        u.select(
+            F.col("n").cast("long").alias("n_days"),
+            F.abs(F.col("u2")).cast("long").alias("k2_stat"),
+            F.col("day").alias("changepoint_day"),
+            F.floor(p * 1_000_000 + 0.5).cast("long").alias("p_micros"),
+        )
+        .orderBy(F.desc("k2_stat"), "changepoint_day")
+        .limit(1)
+    )
