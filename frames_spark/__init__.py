@@ -45,8 +45,10 @@ from frames_spark.operators.core import (
     take_rows,
     zip_frames,
 )
+from frames_spark.dedup.substring import excise_repeated_ngrams
 from frames_spark.operators.joins import (
     anti_join,
+    dim_join,
     inner_join,
     join,
     left_join,
@@ -54,6 +56,7 @@ from frames_spark.operators.joins import (
     right_join,
     semi_join,
 )
+from frames_spark.sources.feather import read_feather, write_feather_shards
 from frames_spark.operators.melt import melt, pivot
 from frames_spark.operators.missing import drop_missing, fill_defaults, keep_missing
 from frames_spark.operators.rangejoin import interval_concurrency, range_join
@@ -94,7 +97,7 @@ __all__ = [
     # joins
     "join", "inner_join", "left_join", "right_join", "outer_join",
     "semi_join", "anti_join", "asof_join", "range_join",
-    "salted_join", "salted_sum_count",
+    "salted_join", "salted_sum_count", "dim_join",
     # reshape / categorical / missing
     "melt", "pivot", "categories", "encode", "one_hot",
     "fill_defaults", "drop_missing", "keep_missing",
@@ -114,9 +117,10 @@ __all__ = [
     "scd2_collapse", "ewma_per_key",
     # scale sinks / sources
     "read_binary_dir", "append_rollup_increment", "read_rollup",
-    "write_clustered", "compact",
+    "write_clustered", "compact", "read_feather", "write_feather_shards",
     # training-corpus mechanics
     "chunk_text", "pack_docs", "contaminated_docs", "redact",
+    "excise_repeated_ngrams",
     # dataset regression testing
     "table_diff", "schema_diff",
 ]
