@@ -11702,3 +11702,257 @@ def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k2_stat"), "changepoint_day")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-group sampling: 10 docs per source by md5 hash
+# order — the reproducible "eyeball sample" every corpus review
+# starts with (and the per-stratum variant of q_sample_hash). The
+# per-source ranks ride the two-phase distributed rank, never a
+# fact-scale PARTITION BY window, and the hash order makes the
+# sample invariant to file layout and ingestion order.
+# ---------------------------------------------------------------------------
+@register(
+    "q_sample_per_source",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = grouped_rank(
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        ),
+        ["source"],
+        ["_h", "doc_id"],
+        rank_col="rn",
+    )
+    return ranked.filter(F.col("rn") <= 10).select("source", "doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Token coverage curve point: how many vocabulary entries cover 90%
+# of all token occurrences? The tokenizer-budget question (same
+# staged two-phase rank + prefix-sum machinery as q_days_to_80pct,
+# over the vocabulary relation in frequency order) with an exact
+# integer 90% gate — no float thresholds.
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_coverage",
+    f"""
+    WITH uc AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ), ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn,
+             SUM(n) OVER (ORDER BY n DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER () AS total,
+             COUNT(*) OVER () AS vocab
+      FROM uc
+    )
+    SELECT CAST(MIN(rn) AS BIGINT) AS vocab_90pct,
+           CAST(MIN(vocab) AS BIGINT) AS vocab_size,
+           CAST(MIN(total) AS BIGINT) AS n_tokens
+    FROM ranked WHERE 10 * cum >= 9 * total
+    """,
+)
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.ranking import grouped_prefix_sum
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    uc = (
+        docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # one staged partitioning serves BOTH the rank and the running
+    # sum (vocab relation is shuffle-fed: auto-staged)
+    cum = grouped_prefix_sum(
+        uc, [], [F.col("n").desc(), "tok"], "n",
+        cum_col="cum", total_col="total",
+    )
+    ranked = grouped_rank(
+        cum, [], [F.col("n").desc(), "tok"], rank_col="rn", count_col="vocab"
+    )
+    return ranked.filter(10 * F.col("cum") >= 9 * F.col("total")).agg(
+        F.min("rn").cast("long").alias("vocab_90pct"),
+        F.min("vocab").cast("long").alias("vocab_size"),
+        F.min("total").cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent of daily revenue (rescaled-range analysis): is the
+# series mean-reverting (H < 0.5), random-walk (0.5) or trending
+# (H > 0.5)? For block sizes w in {8,16,32,64,128}, each block's
+# R/S collapses to R_scaled / sqrt(D) where BOTH operands are exact
+# integers (R_scaled = range of w*cumsum_t - t*blocksum, D = w*sum
+# x^2 - (sum x)^2) — so every block's ratio is one deterministic
+# double op; block ratios are micros-quantized, averaged with
+# integer rounding division per w, and the final log-log OLS slope
+# runs over 5 nano-quantized points. Whole-unit values keep all
+# products inside DECIMAL(38)/HUGEINT through sf1000. Constant
+# blocks (D = 0) are excluded identically on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hurst",
+    f"""
+    WITH daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, x FROM (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+                 // 1000000 AS x
+        FROM orders GROUP BY 1
+      )
+    ), sizes(w) AS (VALUES (8),(16),(32),(64),(128)),
+    blocks AS (
+      SELECT w, (t - 1) // w AS blk, (t - 1) % w + 1 AS i, x
+      FROM daily CROSS JOIN sizes
+      WHERE (t - 1) // w < (SELECT COUNT(*) FROM daily) // w
+    ), bs AS (
+      SELECT w, blk,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM blocks GROUP BY w, blk
+    ), z AS (
+      SELECT b.w, b.blk,
+             b.w * SUM(CAST(b.x AS HUGEINT)) OVER (PARTITION BY b.w, b.blk
+               ORDER BY b.i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - b.i * bs.sx AS wz
+      FROM blocks b JOIN bs ON b.w = bs.w AND b.blk = bs.blk
+    ), rs AS (
+      SELECT z.w, z.blk,
+             CAST(FLOOR(
+               CAST(MAX(z.wz) - MIN(z.wz) AS DOUBLE)
+               / sqrt(CAST(bs.w * bs.sxx - bs.sx * bs.sx AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS rs_micros
+      FROM z JOIN bs ON z.w = bs.w AND z.blk = bs.blk
+      WHERE bs.w * bs.sxx - bs.sx * bs.sx > 0
+      GROUP BY z.w, z.blk, bs.w, bs.sxx, bs.sx
+    ), pts AS (
+      SELECT w,
+             CAST((SUM(CAST(rs_micros AS HUGEINT)) + COUNT(*) // 2)
+                  // COUNT(*) AS BIGINT) AS avg_rs_micros
+      FROM rs GROUP BY w
+    ), terms AS (
+      SELECT COUNT(*) AS k,
+             SUM(CAST(FLOOR(ln(w) * 1000000000 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(ln(avg_rs_micros / 1000000.0) * 1000000000 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(FLOOR(ln(w) * ln(w) * 1000000000 + 0.5) AS BIGINT)) AS sxx,
+             SUM(CAST(FLOOR(ln(w) * ln(avg_rs_micros / 1000000.0) * 1000000000 + 0.5) AS BIGINT)) AS sxy
+      FROM pts
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(k AS BIGINT) AS n_scales,
+           CAST(FLOOR(
+             (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000000.0)
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0)
+             * 1000000 + 0.5) AS BIGINT) AS hurst_micros
+    FROM terms
+    """,
+)
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(
+            F.expr(
+                f"CAST(SUM({_MICROS_SQL.format(expr='o_totalprice')}) AS BIGINT) "
+                "DIV 1000000"
+            ).alias("x")
+        )
+        .select(F.row_number().over(Window.orderBy("day")).alias("t"), "x")
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    sizes = daily.sparkSession.createDataFrame([(w,) for w in (8, 16, 32, 64, 128)], "w int")
+    blocks = (
+        daily.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.expr("(t - 1) DIV w < n_days DIV w"))
+        .select(
+            "w",
+            F.expr("(t - 1) DIV w").alias("blk"),
+            F.expr("(t - 1) % w + 1").alias("i"),
+            "x",
+        )
+    )
+    bs = blocks.groupBy("w", "blk").agg(
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    wcum = (
+        Window.partitionBy("w", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    z = (
+        blocks.withColumn("_cum", F.sum(F.col("x").cast(dec)).over(wcum))
+        .join(bs, ["w", "blk"])
+        .select(
+            "w",
+            "blk",
+            "sx",
+            "sxx",
+            (F.col("w").cast(dec) * F.col("_cum") - F.col("i") * F.col("sx")).alias("wz"),
+        )
+    )
+    d_var = F.col("w").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    rs = (
+        z.groupBy("w", "blk", "sx", "sxx")
+        .agg(F.max("wz").alias("mx"), F.min("wz").alias("mn"))
+        .filter(d_var > 0)
+        .select(
+            "w",
+            F.floor(
+                (F.col("mx") - F.col("mn")).cast("double")
+                / F.sqrt(d_var.cast("double"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("rs_micros"),
+        )
+    )
+    pts = rs.groupBy("w").agg(
+        F.expr(
+            "CAST((SUM(CAST(rs_micros AS DECIMAL(38,0))) + COUNT(*) DIV 2) "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("avg_rs_micros")
+    )
+    lw = F.log(F.col("w").cast("double"))
+    ly = F.log(F.col("avg_rs_micros") / 1_000_000.0)
+    q = lambda c: F.floor(c * 1_000_000_000 + 0.5).cast("long")  # noqa: E731
+    terms = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(q(lw)).alias("sx"),
+        F.sum(q(ly)).alias("sy"),
+        F.sum(q(lw * lw)).alias("sxx"),
+        F.sum(q(lw * ly)).alias("sxy"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    slope = (d("k") * d("sxy") - d("sx") * d("sy") / 1e9) / (
+        d("k") * d("sxx") - d("sx") * d("sx") / 1e9
+    )
+    return terms.crossJoin(F.broadcast(nd)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_scales"),
+        F.floor(slope * 1_000_000 + 0.5).cast("long").alias("hurst_micros"),
+    )
