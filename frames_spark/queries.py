@@ -11956,3 +11956,85 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_scales"),
         F.floor(slope * 1_000_000 + 0.5).cast("long").alias("hurst_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END eval-corpus preparation (pipelines/evalprep.py): quality
+# gate -> shingle decontamination against the benchmark set (doc_id <
+# 20 plays the benchmark suite) -> content-hash train/val split ->
+# context-window chunking. Every stage reuses an already-oracled
+# operator, and the whole composition has one nested-CTE SQL oracle —
+# the eval-data twin of q_pipeline_clean / q_pipeline_product.
+# ---------------------------------------------------------------------------
+_EVALPREP_ORACLE = f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20
+    ),
+    bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 20
+    ),
+    gated AS (
+      SELECT doc_id, text FROM corp WHERE len({_TOKENS_SQL}) >= 10
+    ),
+    corp_sh AS ({{sh_corp}}),
+    bench_sh AS ({{sh_bench}}),
+    contam AS (
+      SELECT DISTINCT doc FROM (
+        SELECT c.doc AS doc, b.doc AS bd
+        FROM corp_sh c JOIN bench_sh b ON c.shingle = b.shingle
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      )
+    ),
+    clean AS (
+      SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc FROM contam)
+    ),
+    labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {{split_pred}} THEN 'val' ELSE 'train' END AS split
+      FROM clean
+    ),
+    chunked AS (
+      SELECT doc_id, split,
+             unnest(list_transform(
+               range(1, greatest(len({_TOKENS_SQL}), 1) + 1, 40),
+               s -> {{{{'idx': CAST((s - 1) / 40 AS BIGINT),
+                      'toks': list_slice({_TOKENS_SQL}, s, s + 49)}}}}
+             )) AS c
+      FROM labeled
+    )
+    SELECT doc_id, split, c.idx AS chunk_idx,
+           md5(array_to_string(c.toks, ' ')) AS chunk_fp,
+           len(c.toks) AS n_chunk_tokens
+    FROM chunked WHERE len(c.toks) > 0
+"""
+
+
+@register(
+    "q_pipeline_evalprep",
+    _EVALPREP_ORACLE.format(
+        sh_corp=_SHINGLES_SQL.format(
+            tokens="list_slice(" + _TOKENS_SQL + ", 1, len(" + _TOKENS_SQL + "))",
+            corpus="SELECT * FROM gated",
+        ),
+        sh_bench=_SHINGLES_SQL.format(
+            tokens="list_slice(" + _TOKENS_SQL + ", 1, len(" + _TOKENS_SQL + "))",
+            corpus="SELECT * FROM bench",
+        ),
+        split_pred=sample_ops.hash_sample_sql("doc_id", 0.1, seed="split"),
+    ),
+)
+def q_pipeline_evalprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.pipelines.evalprep import prepare_eval_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_eval_corpus(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        min_tokens=10,
+        shingle_n=3,
+        min_shared=3,
+        val_fraction=0.1,
+        max_tokens=50,
+        overlap=10,
+        seed="split",
+    )

@@ -86,3 +86,69 @@ def test_excise_matches_python_reference(spark, token_lists):
     }
     want = _py_excise(docs, n=3)
     assert got == want
+
+
+# --- two-phase ranking ----------------------------------------------------
+
+frame_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),       # group (few values)
+        st.integers(min_value=0, max_value=3),  # order key (heavy ties)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(frame_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_grouped_rank_and_prefix_sum_match_window_reference(spark, rows):
+    """grouped_rank / grouped_prefix_sum == the naive window forms on
+    random heavily-tied inputs (ties broken by the unique id, as the
+    strict-total-order contract requires)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from frames_spark.operators.ranking import grouped_prefix_sum, grouped_rank
+
+    data = [(i, g, k) for i, (g, k) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, k long")
+    got_rank = {
+        r["id"]: (r["rn"], r["cnt"])
+        for r in grouped_rank(
+            df, ["g"], ["k", "id"], num_partitions=4,
+            rank_col="rn", count_col="cnt",
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k", "id")
+    wc = Window.partitionBy("g")
+    want_rank = {
+        r["id"]: (r["rn"], r["cnt"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        ).collect()
+    }
+    assert got_rank == want_rank
+
+    got_cum = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in grouped_prefix_sum(
+            df, ["g"], ["k", "id"], "k", num_partitions=4,
+            cum_col="cum", total_col="tot",
+        ).collect()
+    }
+    want_cum = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in df.select(
+            "id",
+            F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+            F.sum("k").over(wc).alias("tot"),
+        ).collect()
+    }
+    assert got_cum == want_cum
