@@ -1,0 +1,127 @@
+"""BPE tokenizer training, Spark-first.
+
+Byte-pair-encoding training is the canonical "needs the whole
+corpus" preprocessing job: count adjacent symbol pairs, merge the
+most frequent pair, repeat. The classical implementation is a
+single-node loop over a word-count dictionary; at 100 TB the
+dictionary IS the distributed relation.
+
+Spark shape:
+- the corpus collapses to the WORD-COUNT relation once (one
+  map-side-combined shuffle); every subsequent step touches only
+  this vocabulary relation, whose size is corpus-sublinear;
+- pair counting is a scan-stage transform+explode over each word's
+  symbol array, weighted by word count — one aggregation per merge;
+- the winning pair comes back to the driver as ONE row per
+  iteration (count desc, pair asc tie-break: deterministic across
+  partitionings);
+- the merge itself is a pure-JVM left-to-right fold
+  (``F.aggregate``) over each symbol array — standard greedy BPE
+  merge semantics (after a merge the new symbol cannot re-pair with
+  the symbol it just consumed), no Python in the loop;
+- per-round ``localCheckpoint`` truncates the lineage (the k-means
+  / label-propagation precedent for iterative algorithms).
+
+Iterative training has no single-query SQL twin, so (per the
+engine's convention for iterative algorithms) correctness is
+witnessed by a differential pytest against a pure-Python BPE
+reference, and the one-step pair count IS fully oracled
+(queries.q_bpe_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frames_spark.functions.text import tokens
+
+__all__ = ["word_symbol_counts", "pair_counts", "train_bpe", "apply_merges"]
+
+
+def word_symbol_counts(
+    docs: DataFrame, text_col: str = "text", word_re: str = "^[a-z]+$"
+) -> DataFrame:
+    """(word, cnt, syms): the vocabulary relation with each word as
+    its character-symbol array. ``word_re`` restricts to plain
+    lowercase words by default (BPE over mixed-script symbols is out
+    of scope for the char-split here)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike(word_re))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(pair, n): adjacent-symbol pair frequencies over the
+    vocabulary, weighted by word count. One scan-stage expression +
+    one map-side-combined aggregation."""
+    pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _merge_expr(a: str, b: str) -> Column:
+    """Left-to-right greedy merge of adjacent (a, b) into a+b as a
+    pure-JVM fold — no string interpolation of corpus content."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    word_re: str = "^[a-z]+$",
+) -> list[tuple[str, str]]:
+    """The first ``n_merges`` BPE merges learned from the corpus, in
+    order. Stops early when no pair occurs at least twice."""
+    vocab = word_symbol_counts(docs, text_col, word_re).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b))
+        vocab = vocab.withColumn("syms", _merge_expr(a, b)).localCheckpoint()
+    return merges
+
+
+def apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    word_re: str = "^[a-z]+$",
+) -> DataFrame:
+    """(word, cnt, syms) after applying ``merges`` in training order —
+    the encode side: chained JVM folds, still zero Python per row."""
+    vocab = word_symbol_counts(docs, text_col, word_re)
+    for a, b in merges:
+        vocab = vocab.withColumn("syms", _merge_expr(a, b))
+    return vocab

@@ -12038,3 +12038,44 @@ def q_pipeline_evalprep(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap=10,
         seed="split",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training's first step, fully oracled: the top adjacent
+# character-pair frequencies over the lowercase-word vocabulary
+# (weighted by word count). The iterative trainer (functions/bpe.py
+# train_bpe) reuses exactly this relation per merge; its multi-step
+# loop is witnessed by the differential pytest against a pure-Python
+# BPE reference (tests/test_bpe.py), per the engine's convention for
+# iterative algorithms.
+# ---------------------------------------------------------------------------
+@register(
+    "q_bpe_pairs",
+    f"""
+    WITH wc AS (
+      SELECT tok AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      WHERE regexp_full_match(tok, '^[a-z]+$')
+      GROUP BY tok
+    ), pairs AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, cnt
+      FROM (SELECT string_split(word, '') AS s, cnt FROM wc),
+           unnest(range(1, greatest(len(s), 1))) AS u(i)
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.bpe import pair_counts, word_symbol_counts
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    vocab = word_symbol_counts(docs, "text")
+    return (
+        pair_counts(vocab)
+        .select("pair", F.col("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
