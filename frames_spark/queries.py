@@ -12079,3 +12079,177 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup accounting: after context-window chunking
+# (q_chunk_docs parameters), what fraction of each doc's chunks is a
+# byte-identical copy of a chunk seen earlier in the corpus?
+# Packing pipelines drop those copies — repeated-chunk mass is
+# training compute wasted on the same gradient. Canonical occurrence
+# = global min (doc_id, chunk_idx) per fingerprint; one groupBy on
+# the chunk hash, exact integers throughout.
+# ---------------------------------------------------------------------------
+@register(
+    "q_chunk_dedup",
+    f"""
+    WITH chunked AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len({_TOKENS_SQL}), 1) + 1, 40),
+               s -> {{'idx': CAST((s - 1) / 40 AS BIGINT),
+                      'toks': list_slice({_TOKENS_SQL}, s, s + 49)}}
+             )) AS c
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, c.idx AS chunk_idx,
+             md5(array_to_string(c.toks, ' ')) AS fp
+      FROM chunked WHERE len(c.toks) > 0
+    ), canon AS (
+      SELECT fp, COUNT(*) AS n, MIN(doc_id * 1000000 + chunk_idx) AS first_key
+      FROM chunks GROUP BY fp
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN k.n >= 2
+                          AND c.doc_id * 1000000 + c.chunk_idx <> k.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(FLOOR(SUM(CASE WHEN k.n >= 2
+                          AND c.doc_id * 1000000 + c.chunk_idx <> k.first_key
+                               THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                * 1000000 + 0.5) AS BIGINT) AS dup_frac_micros
+    FROM chunks c JOIN canon k USING (fp)
+    GROUP BY c.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.pipelines.chunking import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text", max_tokens=50, overlap=10).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk_text")).alias("fp"),
+        (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("okey"),
+    )
+    canon = chunks.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"), F.min("okey").alias("first_key")
+    )
+    dup = F.when(
+        (F.col("n") >= 2) & (F.col("okey") != F.col("first_key")), 1
+    ).otherwise(0)
+    return (
+        chunks.join(canon, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.floor(F.sum(dup) * 1.0 / F.count(F.lit(1)) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("dup_frac_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span length distribution: merge each doc's excised
+# 8-gram intervals (q_substring_dedup's duplicate occurrences) into
+# maximal contiguous spans — the classic gaps-and-islands pass over
+# the SPARSE duplicate-position relation (never the token stream) —
+# and histogram the merged span lengths. Long spans = whole-passage
+# boilerplate; short spans = incidental phrase reuse; curators tune
+# the excision threshold from exactly this curve.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dup_span_lengths",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i+1:i+8], ' ')) AS h,
+             doc_id * 1000000 + i AS okey
+      FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    canon AS (
+      SELECT h, COUNT(*) AS c, MIN(okey) AS first_key
+      FROM grams GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    dups AS (
+      SELECT g.doc_id, g.pos, g.pos + 7 AS pend
+      FROM grams g JOIN canon c USING (h)
+      WHERE g.okey <> c.first_key
+    ),
+    isl AS (
+      SELECT doc_id, pos, pend,
+             CASE WHEN pos > COALESCE(MAX(pend) OVER (PARTITION BY doc_id
+                    ORDER BY pos, pend
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dups
+    ),
+    grp AS (
+      SELECT doc_id, pos, pend,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos, pend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             MAX(pend) - MIN(pos) + 1 AS span_len
+      FROM grp GROUP BY doc_id, island
+    )
+    SELECT CAST(span_len AS BIGINT) AS span_len,
+           COUNT(*) AS n_spans
+    FROM spans GROUP BY span_len
+    """,
+)
+def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.expr("filter(split(text, ' +'), x -> x != '')").alias("_toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 8 THEN "
+                "transform(sequence(0, size(_toks) - 8), "
+                "i -> md5(concat_ws(' ', slice(_toks, i + 1, 8)))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "h"),
+    ).withColumn("okey", F.col("doc_id") * 1000000 + F.col("pos"))
+    canon = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("okey").alias("first_key"))
+        .filter(F.col("c") >= 2)
+    )
+    dups = (
+        grams.join(canon, "h")
+        .filter(F.col("okey") != F.col("first_key"))
+        .select("doc_id", "pos", (F.col("pos") + 7).alias("pend"))
+    )
+    # gaps-and-islands over the sparse duplicate-position relation,
+    # partitioned by doc (bounded per doc, never the token stream)
+    w = Window.partitionBy("doc_id").orderBy("pos", "pend")
+    prev_end = F.max("pend").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dups.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        (F.max("pend") - F.min("pos") + 1).alias("span_len")
+    )
+    return spans.groupBy(F.col("span_len").cast("long").alias("span_len")).agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
