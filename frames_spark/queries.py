@@ -12253,3 +12253,83 @@ def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.groupBy(F.col("span_len").cast("long").alias("span_len")).agg(
         F.count(F.lit(1)).alias("n_spans")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension quantile clipping bounds for the embedding table —
+# the preprocessing step before fixed-point quantization or PQ
+# training (outlier dimensions blow up codebook ranges). Exact
+# p1/p99 per dimension from the per-(dim, value) count relation via
+# the grouped two-phase prefix sum — never a per-row rank — with
+# integer ceil targets; the outside-mass recount joins the bounded
+# 64-row bounds relation back to the value counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q_embed_dim_clip",
+    """
+    WITH ex AS (
+      SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS e
+      FROM embeddings, range(1, 65) t(i)
+    ), vals AS (
+      SELECT i, e, COUNT(*) AS cnt FROM ex GROUP BY i, e
+    ), cum AS (
+      SELECT i, e, cnt,
+             SUM(cnt) OVER (PARTITION BY i ORDER BY e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(cnt) OVER (PARTITION BY i) AS n
+      FROM vals
+    ), bounds AS (
+      SELECT i, MIN(n) AS n,
+             MIN(CASE WHEN c >= (n + 99) // 100 THEN e END) AS p01,
+             MIN(CASE WHEN c >= (99 * n + 99) // 100 THEN e END) AS p99
+      FROM cum GROUP BY i
+    )
+    SELECT b.i AS dim, CAST(b.n AS BIGINT) AS n,
+           CAST(b.p01 AS BIGINT) AS p01_fixed,
+           CAST(b.p99 AS BIGINT) AS p99_fixed,
+           CAST(SUM(CASE WHEN v.e < b.p01 OR v.e > b.p99
+                         THEN v.cnt ELSE 0 END) AS BIGINT) AS n_outside
+    FROM bounds b JOIN vals v ON v.i = b.i
+    GROUP BY b.i, b.n, b.p01, b.p99
+    """,
+)
+def q_embed_dim_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.ranking import grouped_prefix_sum
+
+    emb = core_ops.spread(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))"
+            )
+        ).alias("i0", "e")
+    ).select((F.col("i0") + 1).alias("i"), "e")
+    vals = ex.groupBy("i", "e").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = grouped_prefix_sum(vals, ["i"], ["e"], "cnt", cum_col="c", total_col="n")
+    t1 = F.expr("(n + 99) DIV 100")
+    t99 = F.expr("(99 * n + 99) DIV 100")
+    bounds = cum.groupBy("i").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(F.col("c") >= t1, F.col("e"))).alias("p01"),
+        F.min(F.when(F.col("c") >= t99, F.col("e"))).alias("p99"),
+    )
+    return (
+        vals.join(F.broadcast(bounds), "i")
+        .groupBy(
+            F.col("i").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n"),
+            F.col("p01").cast("long").alias("p01_fixed"),
+            F.col("p99").cast("long").alias("p99_fixed"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("e") < F.col("p01")) | (F.col("e") > F.col("p99")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outside")
+        )
+    )
