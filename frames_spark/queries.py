@@ -12333,3 +12333,159 @@ def q_embed_dim_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outside")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-customer lag features: the feature-engineering pass a churn /
+# LTV model trains on — previous order value, days since previous
+# order, and the trailing-3 average — in ONE window pass partitioned
+# by the high-cardinality customer key (parallelism = |customers|,
+# the correct direction; contrast the low-cardinality windows the
+# two-phase rank exists for). Monetary trailing mean closes with the
+# pure integer rounding division.
+# ---------------------------------------------------------------------------
+@register(
+    "q_lag_features",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(prev_micros AS BIGINT) AS prev_micros,
+           CAST(gap_days AS BIGINT) AS gap_days,
+           CAST((s3 + n3 // 2) // n3 AS BIGINT) AS avg3_micros
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             LAG({_MICROS_SQL.format(expr='o_totalprice')})
+               OVER w AS prev_micros,
+             CAST(o_orderdate AS DATE)
+               - LAG(CAST(o_orderdate AS DATE)) OVER w AS gap_days,
+             SUM(CAST({_MICROS_SQL.format(expr='o_totalprice')} AS HUGEINT))
+               OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+             COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    v = _micros(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag(v).over(w).alias("prev_micros"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+        F.sum(v.cast("decimal(38,0)")).over(w3).alias("s3"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "prev_micros",
+        "gap_days",
+        F.expr(
+            "CAST((s3 + n3 DIV 2) DIV n3 AS BIGINT)"
+        ).alias("avg3_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-frequency class weights over the embedding labels — the
+# standard imbalanced-training prep (w_c = n / (k * n_c)), exact via
+# one aggregate + integer rounding division against the broadcast
+# 1-row totals.
+# ---------------------------------------------------------------------------
+@register(
+    "q_class_weights",
+    """
+    WITH c AS (
+      SELECT label, COUNT(*) AS n_c FROM embeddings GROUP BY label
+    ), t AS (SELECT SUM(n_c) AS n, COUNT(*) AS k FROM c)
+    SELECT label, CAST(n_c AS BIGINT) AS n_c,
+           CAST((n * 1000000 + (k * n_c) // 2) // (k * n_c) AS BIGINT)
+             AS weight_micros
+    FROM c CROSS JOIN t
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
+    t = c.agg(F.sum("n_c").alias("n"), F.count(F.lit(1)).alias("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n_c").cast("long").alias("n_c"),
+        F.expr(
+            "CAST((n * 1000000 + (k * n_c) DIV 2) DIV (k * n_c) AS BIGINT)"
+        ).alias("weight_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for recommender training: for each
+# of the first 50 customers, k=5 hash-derived candidate parts, with
+# actually-purchased parts anti-joined away. The hash makes negatives
+# reproducible across runs/engines/partitionings (no rand()), and
+# candidate generation is a scan-stage explode — the positives
+# anti-join is the only shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q_negative_sampling",
+    """
+    WITH users AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey <= 50
+    ), nparts AS (SELECT MAX(p_partkey) AS np FROM part),
+    cand AS (
+      SELECT c_custkey,
+             1 + CAST('0x' || substr(md5(concat('neg#',
+                   CAST(c_custkey AS VARCHAR), '-', CAST(i AS VARCHAR))), 1, 15)
+                 AS BIGINT) % np AS part_id,
+             i AS draw
+      FROM users CROSS JOIN nparts, unnest(range(1, 6)) AS u(i)
+    ), pos AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS part_id
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey <= 50
+    )
+    SELECT c.c_custkey, CAST(c.part_id AS BIGINT) AS part_id,
+           CAST(c.draw AS BIGINT) AS draw
+    FROM cand c LEFT JOIN pos p
+      ON p.c_custkey = c.c_custkey AND p.part_id = c.part_id
+    WHERE p.part_id IS NULL
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.hashing import hash60
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    users = c.select("c_custkey").distinct()
+    nparts = load_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("np")
+    )
+    key = F.concat(
+        F.col("c_custkey").cast("string"), F.lit("-"), F.col("draw").cast("string")
+    )
+    cand = (
+        users.crossJoin(F.broadcast(nparts))
+        .withColumn("draw", F.explode(F.sequence(F.lit(1), F.lit(5))))
+        .select(
+            "c_custkey",
+            (1 + hash60(key, seed="neg") % F.col("np")).alias("part_id"),
+            F.col("draw").cast("long").alias("draw"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("part_id"),
+        )
+        .distinct()
+    )
+    return cand.join(pos, ["c_custkey", "part_id"], "left_anti").select(
+        "c_custkey", F.col("part_id").cast("long").alias("part_id"), "draw"
+    )
