@@ -12489,3 +12489,146 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(pos, ["c_custkey", "part_id"], "left_anti").select(
         "c_custkey", F.col("part_id").cast("long").alias("part_id"), "draw"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary a curator publishes with
+# a training set — size, token mass, vocabulary, exact-dup rate,
+# language-mix entropy, mean length. Each figure is an established
+# exact formulation (md5 fingerprints, nano-quantized p ln p terms,
+# integer rounding division); the card is their 1-row-broadcast
+# composition, so it costs a handful of aggregates, not a new scan
+# per figure.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dataset_card",
+    f"""
+    WITH base AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+             COUNT(DISTINCT md5(text)) AS n_distinct,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+    ), vocab AS (
+      SELECT COUNT(*) AS vocab_size FROM (
+        SELECT DISTINCT tok FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+        WHERE tok <> ''
+      )
+    ), langs AS (
+      SELECT CAST(SUM(CAST(FLOOR(-(n * 1.0 / t) * ln(n * 1.0 / t)
+                * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS lang_entropy_nanos
+      FROM (SELECT lang, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS t
+            FROM documents GROUP BY lang)
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_exact_dups,
+           CAST(FLOOR((n_docs - n_distinct) * 1.0 / n_docs * 1000000 + 0.5)
+                AS BIGINT) AS dup_rate_micros,
+           lang_entropy_nanos,
+           CAST((sum_chars * 1000000 + n_docs // 2) // n_docs AS BIGINT)
+             AS mean_chars_micros
+    FROM base CROSS JOIN vocab CROSS JOIN langs
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text_fns.tokens(F.col("text")))).alias("n_tokens"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    vocab = (
+        docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    lt = lc.agg(F.sum("n").alias("t"))
+    p = F.col("n") * 1.0 / F.col("t")
+    langs = (
+        lc.crossJoin(F.broadcast(lt))
+        .agg(
+            F.sum(F.floor(-p * F.log(p) * 1_000_000_000 + 0.5).cast("long"))
+            .cast("long")
+            .alias("lang_entropy_nanos")
+        )
+    )
+    dups = F.col("n_docs") - F.col("n_distinct")
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(langs))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            dups.cast("long").alias("n_exact_dups"),
+            F.floor(dups * 1.0 / F.col("n_docs") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("dup_rate_micros"),
+            "lang_entropy_nanos",
+            F.expr(
+                "CAST((sum_chars * 1000000 + n_docs DIV 2) DIV n_docs AS BIGINT)"
+            ).alias("mean_chars_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal split boundary: the leakage-free alternative to hash
+# splits for time-series models — train on everything before the
+# exact 90th-percentile order date, evaluate after. The boundary
+# comes from the per-date count relation (calendar-bounded) with an
+# exact integer 90% gate; one conditional aggregate counts the
+# sides.
+# ---------------------------------------------------------------------------
+@register(
+    "q_time_split",
+    """
+    WITH vals AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT d, cnt,
+             SUM(cnt) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(cnt) OVER () AS n
+      FROM vals
+    ), b AS (
+      SELECT MIN(d) AS split_day FROM cum WHERE 10 * c >= 9 * n
+    )
+    SELECT split_day,
+           CAST(SUM(CASE WHEN d <= split_day THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN d > split_day THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_test
+    FROM vals CROSS JOIN b
+    GROUP BY split_day
+    """,
+)
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.ranking import grouped_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cum = grouped_prefix_sum(vals, [], ["d"], "cnt", cum_col="c", total_col="n")
+    b = cum.filter(10 * F.col("c") >= 9 * F.col("n")).agg(
+        F.min("d").alias("split_day")
+    )
+    return (
+        vals.crossJoin(F.broadcast(b))
+        .groupBy("split_day")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("split_day"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("d") > F.col("split_day"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
