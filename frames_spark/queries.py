@@ -12632,3 +12632,160 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_test"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: top-5 cosine neighbors CONSTRAINED to the query's
+# own label — the metadata-filtered search every production vector
+# store exposes (category-scoped retrieval). The filter composes
+# INSIDE the join predicate, so pruned rows never reach the distance
+# computation; exact fixed-point arithmetic as in q_ann_bruteforce.
+# ---------------------------------------------------------------------------
+_ANN_FILTERED_ORACLE = f"""
+    WITH fixed AS (
+      SELECT e.vec_id, e.label, f.i, f.e
+      FROM embeddings e JOIN ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}) f
+        ON f.vec_id = e.vec_id
+    ),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e * c.e) AS dot
+      FROM fixed q JOIN fixed c
+        ON q.i = c.i AND q.vec_id <> c.vec_id AND q.label = c.label
+      WHERE q.vec_id < 5
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+               neighbor_id) AS rank
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON neighbor_id = nc.vec_id
+    ) WHERE rank <= 5
+"""
+
+
+@register("q_ann_filtered", _ANN_FILTERED_ORACLE)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from frames_spark.dedup.embedding import _fixed
+    from frames_spark.functions.vectors import cosine_from_fixed, dot_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fixed = _fixed(emb, "vec_id", "embedding").join(
+        emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    )
+    # query-set filter applied to the BASE table (vec_id, before any
+    # alias) so it prunes ahead of the fixed-point transform — and so
+    # the advisor's bounded-filter heuristic can prove the broadcast
+    # side is an explicit id-pinned query set
+    qe = emb.filter(F.col("vec_id") < 5)
+    q = _fixed(qe, "vec_id", "embedding").join(
+        qe.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("fvec").alias("qvec"),
+        F.col("n2").alias("qn2"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        fixed.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel")) & (F.col("vid") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("qvec"), F.col("fvec")), F.col("qn2"), F.col("n2")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped excess kurtosis (Fisher g2) per segment — the tail-weight
+# companion to q_group_skewness, from ONE fused aggregate of exact
+# deci-unit moments (x quantized to tenths keeps sum(x^4) inside 38
+# digits through sf1000). The g2 combination closes in double with
+# identical expression trees on both engines, micros-quantized.
+# ---------------------------------------------------------------------------
+@register(
+    "q_group_kurtosis",
+    """
+    WITH m AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s2,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s4
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+                - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             * 1000000 - 3000000 + 0.5) AS BIGINT) AS kurtosis_micros
+    FROM m
+    """,
+)
+def q_group_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    deci = F.floor(F.col("o_totalprice") * 10 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    m = (
+        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", deci.alias("x"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("s1"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("s2"),
+            F.sum(F.col("x").cast(dec) * F.col("x") * F.col("x")).alias("s3"),
+            F.sum(
+                F.col("x").cast(dec) * F.col("x") * F.col("x") * F.col("x")
+            ).alias("s4"),
+        )
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    num = d("n") * (
+        d("n") * d("n") * d("s4")
+        - 4.0 * d("n") * d("n") * d("s1") * d("s3")
+        + 6.0 * d("n") * d("s1") * d("s1") * d("s2")
+        - 3.0 * d("s1") * d("s1") * d("s1") * d("s1")
+    )
+    m2 = d("n") * d("s2") - d("s1") * d("s1")
+    return m.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.floor(num / m2 / m2 * 1_000_000 - 3_000_000 + 0.5)
+        .cast("long")
+        .alias("kurtosis_micros"),
+    )
