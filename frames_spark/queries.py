@@ -12789,3 +12789,172 @@ def q_group_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kurtosis_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle CONTAINMENT pairs: |A∩B| / |A| — the asymmetric companion
+# to q_dedup_ngram's Jaccard. Jaccard misses subset relationships (a
+# quoted excerpt scores low because the host doc is large);
+# containment finds "A is inside B" directly, which is how quote /
+# mirror / expansion dup detection works. Same shingle inverted
+# index, ordered pairs, and a pure integer threshold gate
+# (5 n_common >= 4 |A| ⇔ containment >= 0.8).
+# ---------------------------------------------------------------------------
+@register(
+    "q_containment",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE)
+             AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc
+    WHERE 5 * n_common >= 4 * sa.n_shingles
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = jac_ops.shingle_index(_with_near_copies(docs), "doc_id", "text", 3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        sh.select(F.col("doc").alias("doc_a"), "shingle")
+        .join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), "n_shingles"), "doc_a")
+        .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall@k curve of the bucketed LSH ANN vs exact search — the third
+# leg of the ANN quality triptych (q_embed_lsh_recall: pair recall;
+# q_ann_mrr: rank position; this: cutoff sensitivity). Exact hit
+# counts, integer rounding division per k, both sides fully modeled
+# in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q_recall_at_k",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e * c.e) AS dot
+      FROM fixed q JOIN fixed c ON q.i = c.i AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                 neighbor_id) AS rn
+        FROM bf_dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON neighbor_id = nc.vec_id
+      ) WHERE rn <= 10
+    ),
+    planes(p, i, c) AS (VALUES {_ANN_PLANES_VALUES}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    lsh_dots AS (
+      SELECT query_id, neighbor_id, SUM(a.e * b.e) AS dot
+      FROM pairs
+      JOIN fixed a ON a.vec_id = query_id
+      JOIN fixed b ON b.vec_id = neighbor_id AND b.i = a.i
+      GROUP BY query_id, neighbor_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                 neighbor_id) AS rn
+        FROM lsh_dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON neighbor_id = nc.vec_id
+      ) WHERE rn <= 10
+    ),
+    ks(k) AS (VALUES (1), (5), (10)),
+    nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           CAST(COALESCE(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+           CAST((COALESCE(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1000000
+                 + (ks.k * nq.n) // 2) // (ks.k * nq.n) AS BIGINT) AS recall_micros
+    FROM ks CROSS JOIN nq
+    LEFT JOIN exact e ON e.rn <= ks.k
+    LEFT JOIN lsh l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+                    AND l.rn <= ks.k
+    GROUP BY ks.k, nq.n
+    """,
+)
+def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = ann_ops.brute_force_topk(emb, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ern")
+    )
+    lsh = ann_ops.lsh_topk(emb, q, "vec_id", "embedding", k=10, num_planes=4).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lrn")
+    )
+    nq = exact.agg(F.countDistinct("query_id").alias("n"))
+    ks = emb.sparkSession.createDataFrame([(1,), (5,), (10,)], "k long")
+    joined = exact.join(lsh, ["query_id", "neighbor_id"], "left")
+    hits = (
+        F.broadcast(ks)
+        .crossJoin(F.broadcast(nq))
+        .join(
+            joined,
+            (joined["ern"] <= F.col("k")) & (joined["lrn"] <= F.col("k")),
+            "left",
+        )
+        .groupBy("k", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("neighbor_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits")
+        )
+    )
+    return hits.select(
+        "k",
+        F.col("n").cast("long").alias("n_queries"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr(
+            "CAST((n_hits * 1000000 + (k * n) DIV 2) DIV (k * n) AS BIGINT)"
+        ).alias("recall_micros"),
+    )
