@@ -12958,3 +12958,114 @@ def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_hits * 1000000 + (k * n) DIV 2) DIV (k * n) AS BIGINT)"
         ).alias("recall_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family summary: every tier of the dedup ladder measured on
+# the SAME corpus (the near-copy-augmented set all the dedup oracles
+# share) in one row — exact-dup docs, greedy MinHash-LSH near-dup
+# drops, asymmetric containment pairs, and substring-level tokens
+# excised. The comparative rollup a curator reads before choosing
+# which tiers to enable; each figure reuses its tier's established
+# exact formulation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_summary",
+    _MH_CTES + f"""
+    , stoks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS t
+      FROM corpus
+    ),
+    sgrams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i+1:i+8], ' ')) AS h,
+             doc_id * 1000000 + i AS okey
+      FROM stoks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    scanon AS (
+      SELECT h, MIN(okey) AS fk FROM sgrams GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    sdups AS (
+      SELECT g.doc_id, g.pos FROM sgrams g JOIN scanon c USING (h)
+      WHERE g.okey <> c.fk
+    ),
+    tokrows AS (
+      SELECT doc_id, unnest(range(0, len(t))) AS i FROM stoks
+    ),
+    covered AS (
+      SELECT DISTINCT r.doc_id, r.i
+      FROM tokrows r JOIN sdups d
+        ON d.doc_id = r.doc_id AND r.i BETWEEN d.pos AND d.pos + 7
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS da, b.doc AS db, COUNT(*) AS nc
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
+           (SELECT CAST(SUM(len(t)) AS BIGINT) FROM stoks) AS n_tokens,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+            FROM corpus) AS exact_dup_docs,
+           (SELECT CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+            FROM ({_MH_PAIRS_SELECT})) AS near_dup_docs_greedy,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM inter JOIN sizes sa ON da = sa.doc
+            WHERE 5 * nc >= 4 * sa.n) AS containment_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM covered)
+             AS substring_tokens_removed
+    """,
+)
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.dedup.substring import excise_repeated_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = core_ops.spread(_with_near_copies(docs))
+    base = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+    )
+    ntok = corpus.select(
+        F.size(F.expr("filter(split(text, ' +'), x -> x != '')")).alias("nt")
+    ).agg(F.sum("nt").alias("n_tokens"))
+    sigs = mh_ops.minhash_signatures(
+        corpus, "doc_id", "text", n=3, num_hashes=_MH_K
+    )
+    near = (
+        mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+        .agg(F.countDistinct("doc_b").alias("near_dup_docs_greedy"))
+    )
+    sh = jac_ops.shingle_index(corpus, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    cont = (
+        sh.select(F.col("doc").alias("da"), "shingle")
+        .join(sh.select(F.col("doc").alias("db"), "shingle"), "shingle")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .join(sizes.select(F.col("doc").alias("da"), "n"), "da")
+        .filter(5 * F.col("nc") >= 4 * F.col("n"))
+        .agg(F.count(F.lit(1)).alias("containment_pairs"))
+    )
+    sub = excise_repeated_ngrams(corpus, "doc_id", "text", n=8).agg(
+        F.sum("n_removed").alias("substring_tokens_removed")
+    )
+    return (
+        base.crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(near))
+        .crossJoin(F.broadcast(cont))
+        .crossJoin(F.broadcast(sub))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_docs") - F.col("n_distinct"))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            F.col("near_dup_docs_greedy").cast("long").alias("near_dup_docs_greedy"),
+            F.col("containment_pairs").cast("long").alias("containment_pairs"),
+            F.col("substring_tokens_removed")
+            .cast("long")
+            .alias("substring_tokens_removed"),
+        )
+    )
