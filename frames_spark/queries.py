@@ -13069,3 +13069,64 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("substring_tokens_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy RATE of the event process: -sum p(cur,next) ln p(next|cur)
+# — the single-number predictability summary over q_cond_entropy's
+# per-state table (how many bits each step of user behavior carries).
+# Per-transition nano-quantized terms, exact integer sums.
+# ---------------------------------------------------------------------------
+@register(
+    "q_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), ct AS (SELECT cur, SUM(n) AS t FROM cnt GROUP BY cur),
+    tot AS (SELECT SUM(n) AS g FROM cnt)
+    SELECT CAST(tot.g AS BIGINT) AS n_transitions,
+           CAST(SUM(CAST(FLOOR(-(c.n * 1.0 / tot.g) * ln(c.n * 1.0 / ct.t)
+                * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS entropy_rate_nanos_sum
+    FROM cnt c JOIN ct ON c.cur = ct.cur CROSS JOIN tot
+    GROUP BY tot.g
+    """,
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ct = cnt.groupBy("cur").agg(F.sum("n").alias("t"))
+    tot = cnt.agg(F.sum("n").alias("g"))
+    term = F.floor(
+        -(F.col("n") * 1.0 / F.col("g"))
+        * F.log(F.col("n") * 1.0 / F.col("t"))
+        * 1_000_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        cnt.join(F.broadcast(ct), "cur")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("g")
+        .agg(F.sum(term).alias("entropy_rate_nanos_sum"))
+        .select(
+            F.col("g").cast("long").alias("n_transitions"),
+            F.col("entropy_rate_nanos_sum").cast("long"),
+        )
+    )
