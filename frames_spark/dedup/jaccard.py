@@ -35,6 +35,100 @@ def shingle_index(
     )
 
 
+def _rare_shingles(index: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop stop-shingles (document frequency > max_df) from the index."""
+    if max_df is None:
+        return index
+    rare = (
+        index.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return index.join(rare, "shingle", "left_semi")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ORDERED pairs (doc_a, doc_b, n_common, n_shingles_a,
+    containment = |A∩B| / |A|) over every document pair sharing at
+    least one (non-stop) shingle — the asymmetric companion to
+    :func:`jaccard_pairs` (a quoted excerpt scores high even when
+    the host document is large).
+
+    Scale shape: the shingle-explode lineage runs ONCE, candidate
+    generation is the posting-list groupBy + in-array i<j expansion
+    (never a two-sided index self-join — a boilerplate shingle shared
+    by D docs would expand to D² join rows), and the ordered mirror
+    (b,a) is produced AFTER the pair aggregation by a row-local
+    2-element explode, so the pair shuffle carries each unordered
+    pair once. ``max_df`` is the stop-shingle guard bounding every
+    posting list; always set it for production corpora.
+    """
+    return containment_pairs_from_index(
+        shingle_index(df, id_col, text_col, n), max_df=max_df
+    )
+
+
+def containment_pairs_from_index(
+    index: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """:func:`containment_pairs` over a pre-built (doc, shingle)
+    inverted index — lets one index relation feed several dedup
+    tiers (see q_dedup_summary, which persists the index once)."""
+    index = _rare_shingles(index, max_df)
+    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    postings = (
+        index.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sym = inter.join(
+        sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("sa")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("sb")),
+        "doc_b",
+    )
+    both = sym.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a"),
+                    F.col("doc_b"),
+                    F.col("n_common"),
+                    F.col("sa").alias("n_shingles_a"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    F.col("n_common"),
+                    F.col("sb").alias("n_shingles_a"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return both.withColumn(
+        "containment",
+        F.col("n_common").cast("double") / F.col("n_shingles_a").cast("double"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -44,15 +138,7 @@ def jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
-    index = shingle_index(df, id_col, text_col, n)
-    if max_df is not None:
-        rare = (
-            index.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        index = index.join(rare, "shingle", "left_semi")
+    index = _rare_shingles(shingle_index(df, id_col, text_col, n), max_df)
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     # posting-list groupBy + in-array pair expansion: the index

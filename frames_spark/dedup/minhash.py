@@ -51,7 +51,19 @@ def minhash_signatures(
     """(doc, sig_0 .. sig_{k-1}) — WIDE form: the k min-aggregates run
     in one partial-aggregated shuffle over the shingle index; no k-way
     row explosion (the long-form version shuffled k x the index)."""
-    index = shingle_index(df, id_col, text_col, n).withColumn(
+    return minhash_signatures_from_index(
+        shingle_index(df, id_col, text_col, n), num_hashes=num_hashes, fast=fast
+    )
+
+
+def minhash_signatures_from_index(
+    index: DataFrame, num_hashes: int = 16, fast: bool = False
+) -> DataFrame:
+    """Signatures from a pre-built (doc, shingle) inverted index —
+    lets one index relation feed several dedup tiers (e.g. the
+    comparative summary persists the index once for MinHash AND
+    containment instead of re-scanning the corpus per tier)."""
+    index = index.withColumn(
         "base", hash60(F.col("shingle"), seed="mh", fast=fast) % MINHASH_P
     )
     consts = [_mix_consts(i) for i in range(num_hashes)]

@@ -17,8 +17,9 @@ every step:
 1. tokenize each document (whitespace), emit every n-token span with
    its position — ~|corpus tokens| rows, one scan stage;
 2. hash spans (md5) and aggregate: corpus-wide occurrence count and
-   the global first occurrence key ``doc_id * 1e6 + pos`` — ONE
-   map-side-combining shuffle on the uniform hash key;
+   the global first occurrence ``min(struct(doc_id, pos))`` — ONE
+   map-side-combining shuffle on the uniform hash key; the struct
+   min gives a total order for any orderable id type;
 3. every occurrence of a span with count >= min_count EXCEPT the
    global first is a duplicate occurrence; its covered token
    interval ``[pos, pos+n)`` is excised from the document, keeping
@@ -32,9 +33,8 @@ shuffle): duplicate positions are collected per doc (bounded by the
 doc's own token count) and tokens are filtered with a JVM
 higher-order function.
 
-Docs are assumed < 1e6 tokens (the occurrence-key packing); the
-q_boilerplate operator (queries.py) is the DETECTION counterpart of
-this module's removal.
+The q_boilerplate operator (queries.py) is the DETECTION counterpart
+of this module's removal.
 
 Frames ref: no equivalent (beyond the reference's surface — LLM
 pipeline extension, SURVEY.md §2b).
@@ -63,7 +63,7 @@ def excise_repeated_ngrams(
     to count as repeated (2 = Lee et al.'s "appears more than
     once")."""
     toks = docs.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         F.expr(f"filter(split({text_col}, ' +'), x -> x != '')").alias("_toks"),
     )
     # span hashes with positions; sequence() would run DESCENDING for
@@ -78,17 +78,28 @@ def excise_repeated_ngrams(
                 "ELSE array() END"
             )
         ).alias("pos", "h"),
-    ).withColumn("okey", F.col("_id") * 1000000 + F.col("pos"))
+    )
+    # global first occurrence = min over struct(_id, pos): total
+    # ordering for ANY orderable id type (string ids lexicographic,
+    # numeric ids identical to the former id*1e6+pos packing) — the
+    # packed-long form silently cast non-numeric ids to NULL,
+    # detecting nothing and corrupting the returned id column.
     canon = (
         grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"), F.min("okey").alias("first_key"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("first_occ"),
+        )
         .filter(F.col("c") >= min_count)
     )
     # corpus-sized join on the uniform hash; canon is the repeated-
     # span relation (un-hinted — AQE broadcasts when it fits)
     dups = (
         grams.join(canon, "h")
-        .filter(F.col("okey") != F.col("first_key"))
+        .filter(
+            (F.col("_id") != F.col("first_occ._id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
         .select("_id", "pos")
     )
     dup_arr = dups.groupBy("_id").agg(F.collect_list("pos").alias("_dps"))

@@ -12800,11 +12800,22 @@ def q_group_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index, ordered pairs, and a pure integer threshold gate
 # (5 n_common >= 4 |A| ⇔ containment >= 0.8).
 # ---------------------------------------------------------------------------
+# Stop-shingle guard for the containment pair queries: shingles in
+# more docs than this are dropped BEFORE pair generation (bounding
+# every posting list), mirrored exactly in the oracle's HAVING gate.
+_CONTAIN_MAX_DF = 64
+
+
 @register(
     "q_containment",
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    rare AS (
+      SELECT shingle FROM shingled0 GROUP BY shingle
+      HAVING COUNT(*) <= {_CONTAIN_MAX_DF}
+    ),
+    shingled AS (SELECT s.* FROM shingled0 s JOIN rare USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
@@ -12820,28 +12831,22 @@ def q_group_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidate generation rides dedup/jaccard.py's posting-list
+    # expansion (shingle lineage once, i<j pairs aggregated once,
+    # ordered mirror via a post-agg row-local explode) with the
+    # max_df stop-shingle guard — never a raw two-sided index
+    # self-join, which a hot boilerplate shingle turns quadratic.
     docs = load_table(spark, sf_dir, "documents")
-    sh = jac_ops.shingle_index(_with_near_copies(docs), "doc_id", "text", 3)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        sh.select(F.col("doc").alias("doc_a"), "shingle")
-        .join(b, "shingle")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     return (
-        inter.join(sizes.select(F.col("doc").alias("doc_a"), "n_shingles"), "doc_a")
-        .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles"))
+        jac_ops.containment_pairs(
+            _with_near_copies(docs), "doc_id", "text", 3, max_df=_CONTAIN_MAX_DF
+        )
+        .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
         .select(
             "doc_a",
             "doc_b",
             F.col("n_common").cast("long").alias("n_common"),
-            (
-                F.col("n_common").cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("containment"),
+            "containment",
         )
     )
 
@@ -12997,10 +13002,15 @@ def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tokrows r JOIN sdups d
         ON d.doc_id = r.doc_id AND r.i BETWEEN d.pos AND d.pos + 7
     ),
-    sizes AS (SELECT doc, COUNT(*) AS n FROM shingled GROUP BY doc),
+    crare AS (
+      SELECT shingle FROM shingled GROUP BY shingle
+      HAVING COUNT(*) <= {_CONTAIN_MAX_DF}
+    ),
+    ckept AS (SELECT s.* FROM shingled s JOIN crare USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM ckept GROUP BY doc),
     inter AS (
       SELECT a.doc AS da, b.doc AS db, COUNT(*) AS nc
-      FROM shingled a JOIN shingled b
+      FROM ckept a JOIN ckept b
         ON a.shingle = b.shingle AND a.doc <> b.doc
       GROUP BY 1, 2
     )
@@ -13022,38 +13032,35 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = core_ops.spread(_with_near_copies(docs))
+    # one corpus scan for the scalar counters (docs / distinct / tokens)
     base = corpus.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+        F.sum(
+            F.size(F.expr("filter(split(text, ' +'), x -> x != '')"))
+        ).alias("n_tokens"),
     )
-    ntok = corpus.select(
-        F.size(F.expr("filter(split(text, ' +'), x -> x != '')")).alias("nt")
-    ).agg(F.sum("nt").alias("n_tokens"))
-    sigs = mh_ops.minhash_signatures(
-        corpus, "doc_id", "text", n=3, num_hashes=_MH_K
-    )
+    # ONE shingle index feeds both the MinHash and containment tiers;
+    # persisted (memory-and-disk) so the corpus is scanned and
+    # shingled once, not once per tier.
+    sh = jac_ops.shingle_index(corpus, "doc_id", "text", 3).persist()
+    sigs = mh_ops.minhash_signatures_from_index(sh, num_hashes=_MH_K)
     near = (
         mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
         .agg(F.countDistinct("doc_b").alias("near_dup_docs_greedy"))
     )
-    sh = jac_ops.shingle_index(corpus, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # containment leg reuses the repaired posting-list + max_df tier
+    # (q_containment's exact formulation — never a raw index self-join)
     cont = (
-        sh.select(F.col("doc").alias("da"), "shingle")
-        .join(sh.select(F.col("doc").alias("db"), "shingle"), "shingle")
-        .filter(F.col("da") != F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("nc"))
-        .join(sizes.select(F.col("doc").alias("da"), "n"), "da")
-        .filter(5 * F.col("nc") >= 4 * F.col("n"))
+        jac_ops.containment_pairs_from_index(sh, max_df=_CONTAIN_MAX_DF)
+        .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
         .agg(F.count(F.lit(1)).alias("containment_pairs"))
     )
     sub = excise_repeated_ngrams(corpus, "doc_id", "text", n=8).agg(
         F.sum("n_removed").alias("substring_tokens_removed")
     )
     return (
-        base.crossJoin(F.broadcast(ntok))
-        .crossJoin(F.broadcast(near))
+        base.crossJoin(F.broadcast(near))
         .crossJoin(F.broadcast(cont))
         .crossJoin(F.broadcast(sub))
         .select(

@@ -82,3 +82,55 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     }
     assert lsh_pairs <= exact_pairs  # no false positives (exact verify)
     assert len(lsh_pairs) >= 0.5 * max(len(exact_pairs), 1)
+
+
+def test_containment_pairs_match_reference_self_join(spark, sf_dir):
+    # the posting-list + post-agg mirror formulation must produce the
+    # exact pair set of the naive two-sided index self-join it replaces
+    docs = load_table(spark, sf_dir, "documents").limit(40).cache()
+    corpus = _with_near_copies(docs)
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_shingles_a)
+        for r in jaccard.containment_pairs(corpus, "doc_id", "text", 3).collect()
+    }
+    sh = jaccard.shingle_index(corpus, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ref = (
+        sh.select(F.col("doc").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .join(sizes.select(F.col("doc").alias("doc_a"), "n"), "doc_a")
+    )
+    want = {(r.doc_a, r.doc_b, r.nc, r.n) for r in ref.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_containment_max_df_drops_hot_shingle_pairs(spark):
+    hot = "x y z"  # one shingle shared by every doc
+    docs = spark.createDataFrame(
+        [(i, f"{hot} u{i} v{i} w{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    unguarded = jaccard.containment_pairs(docs, "doc_id", "text", 3)
+    assert unguarded.count() == 10 * 9  # ordered pairs via the hot shingle
+    guarded = jaccard.containment_pairs(docs, "doc_id", "text", 3, max_df=5)
+    assert guarded.count() == 0
+
+
+def test_containment_has_no_inner_join_on_shingle(spark, sf_dir):
+    # the quadratic trap: an INNER self-join of the index on the raw
+    # shingle key expands a hot shingle shared by D docs to D² rows.
+    # The posting-list form generates pairs from ONE groupBy; the only
+    # shingle-keyed join allowed is the linear LeftSemi max_df guard.
+    docs = load_table(spark, sf_dir, "documents")
+    plan = jaccard.containment_pairs(
+        _with_near_copies(docs), "doc_id", "text", 3, max_df=64
+    )._jdf.queryExecution().optimizedPlan().toString()
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Join Inner" in line and "shingle#" in line
+    ]
+    assert not bad, bad

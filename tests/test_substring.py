@@ -85,3 +85,23 @@ def test_pipeline_excise_stage(spark, sf_dir):
     t_exc = excised.agg(F.sum("n_tokens")).collect()[0][0]
     assert excised.count() > 0
     assert t_exc <= t_base
+
+
+def test_string_doc_ids_work_and_survive(spark):
+    # regression: the former id*1e6+pos packing cast non-numeric ids
+    # to NULL — no spans detected, id column NULLed. struct-min keys
+    # must detect the repeat and return the original ids untouched.
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [("doc-a", f"{shared} x y z"), ("doc-b", f"p q {shared} r")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in excise_repeated_ngrams(docs, "doc_id", "text", n=8).collect()
+    }
+    assert set(got) == {"doc-a", "doc-b"}
+    # lexicographic struct-min: doc-a holds the first occurrence
+    assert got["doc-a"]["n_removed"] == 0
+    assert got["doc-b"]["clean_text"] == "p q r"
+    assert got["doc-b"]["n_removed"] == 8
