@@ -92,38 +92,48 @@ def _broadcast_scaled_findings(df: DataFrame) -> list[Finding]:
         if "ResolvedHint" not in line or "broadcast" not in line.lower():
             continue
         depth = _node_depth(line)
-        subtree = []
+        subtree: list[tuple[int, str]] = []
         for child in lines[i + 1 :]:
-            if _node_depth(child) <= depth:
+            d = _node_depth(child)
+            if d <= depth:
                 break
-            subtree.append(child)
-        bounded = any(
-            any(node in ln for node in _BOUNDING_NODES)
-            or ("Filter" in ln and _BOUNDED_FILTER.search(ln))
-            for ln in subtree
-        )
-        if bounded:
-            continue
-        hit = next(
-            (
-                sig
-                for ln in subtree
-                if "Relation" in ln
-                for sig in _SCALED_SIGNATURES
-                if f"{sig}#" in ln
-            ),
-            None,
-        )
-        if hit:
-            findings.append(
-                Finding(
-                    "BROADCAST_SCALED",
-                    f"forced broadcast hint over SF-scaled scan ({hit} "
-                    "table) with no bounding Aggregate/Limit/Filter — "
-                    "OOMs at cluster scale; use dim_join (un-hinted, "
-                    "AQE-sized) instead",
-                )
+            subtree.append((d, child))
+        # Evaluate boundedness PER scaled Relation leaf: the bounding
+        # node must sit on the path hint -> that leaf. An any() over
+        # the whole subtree let an Aggregate/Limit on one branch of a
+        # join whitewash an unbounded SF-scaled scan on the other —
+        # a false negative for exactly the OOM this rule exists for.
+        for j, (dleaf, ln) in enumerate(subtree):
+            if "Relation" not in ln:
+                continue
+            hit = next(
+                (sig for sig in _SCALED_SIGNATURES if f"{sig}#" in ln), None
             )
+            if hit is None:
+                continue
+            # ancestor chain = upward walk with strictly decreasing
+            # tree depth (siblings' subtrees in between are skipped)
+            bounded = False
+            d = dleaf
+            for da, anc in reversed(subtree[:j]):
+                if da >= d:
+                    continue
+                d = da
+                if any(node in anc for node in _BOUNDING_NODES) or (
+                    "Filter" in anc and _BOUNDED_FILTER.search(anc)
+                ):
+                    bounded = True
+                    break
+            if not bounded:
+                findings.append(
+                    Finding(
+                        "BROADCAST_SCALED",
+                        f"forced broadcast hint over SF-scaled scan ({hit} "
+                        "table) with no bounding Aggregate/Limit/Filter "
+                        "on its path — OOMs at cluster scale; use "
+                        "dim_join (un-hinted, AQE-sized) instead",
+                    )
+                )
     return findings
 
 

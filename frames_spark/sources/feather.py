@@ -9,10 +9,12 @@ executor (one row per file, no driver collect), and an Arrow-batched
 same Arrow memory format the transfer uses, so decode is one
 zero-ish-copy pass, not a row loop.
 
-Schema is read ONCE from a single file's footer on the driver
-(pyarrow reads only the footer, not the payload) and converted via
-pyspark's own arrow-schema mapping, so the result is a fully typed
-DataFrame and downstream pruning/pushdown see real columns.
+Schema is probed ONCE from the first file, fetched through the same
+binaryFile relation (so object stores the driver OS cannot open()
+work) and converted via pyspark's own arrow-schema mapping, so the
+result is a fully typed DataFrame and downstream pruning/pushdown
+see real columns; every file is checked against the probed schema
+(names AND types) before decode.
 
 Scale notes: like every binaryFile consumer, each FILE is one task's
 unit of work — shard feather exports into many moderate files (the
@@ -56,23 +58,29 @@ def read_feather(
         .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
     )
-    first = files.select("path").limit(1).collect()
+    first = files.select("content").limit(1).collect()
     if not first:
         raise ValueError(f"no files match {glob!r} under {path}")
-    # footer-only schema probe on the driver (local/HDFS-visible path)
-    local = first[0]["path"].removeprefix("file:")
-    with open(local, "rb") as f:
-        arrow_schema = _open_ipc(f.read()).schema
+    # schema probe through the SAME binaryFile relation (Hadoop FS
+    # layer), so s3a://, hdfs://, or any store the driver OS cannot
+    # open() directly all work — pyarrow still reads only the footer
+    # of the fetched buffer
+    arrow_schema = _open_ipc(bytes(first[0]["content"])).schema
     spark_schema = from_arrow_schema(arrow_schema)
+    expect_fields = [(f.name, f.type) for f in arrow_schema]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
                 tbl = _open_ipc(bytes(content)).read_all()
-                if tbl.schema.names != arrow_schema.names:
+                # full-schema drift check (names AND types): name-only
+                # comparison let per-file type drift through and
+                # surfaced as an opaque Arrow/pandas conversion error
+                got_fields = [(f.name, f.type) for f in tbl.schema]
+                if got_fields != expect_fields:
                     raise ValueError(
-                        f"feather schema drift: {tbl.schema.names} "
-                        f"!= {arrow_schema.names}"
+                        f"feather schema drift: {got_fields} "
+                        f"!= {expect_fields}"
                     )
                 yield tbl.to_pandas()
 

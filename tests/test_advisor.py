@@ -166,3 +166,24 @@ def test_registry_wide_advisor_sweep(spark, sf_dir):
         if unexpected:
             noisy[name] = unexpected
     assert not noisy, noisy
+
+
+def test_broadcast_scaled_per_leaf_no_whitewash(spark, sf_dir):
+    """A bounding Aggregate on ONE branch of a join inside the hint
+    must not whitewash the unbounded SF-scaled scan on the OTHER
+    branch — boundedness is per scaled Relation leaf, on the path
+    between the hint and that specific scan."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # inside the hint: (aggregated customer) JOIN (raw full customer)
+    agg = c.groupBy("c_nationkey").agg(F.count("*").alias("n"))
+    raw = c.select(F.col("c_nationkey").alias("nk"), "c_custkey")
+    inner = agg.join(raw, agg.c_nationkey == raw.nk)
+    bad = o.join(F.broadcast(inner), o.o_custkey == inner.c_custkey)
+    assert "BROADCAST_SCALED" in {f.code for f in advise(bad)}
+    # sanity: the fully-bounded shape is still accepted
+    ok = o.join(
+        F.broadcast(agg), o.o_custkey == agg.c_nationkey
+    )
+    assert "BROADCAST_SCALED" not in {f.code for f in advise(ok)}

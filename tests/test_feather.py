@@ -69,3 +69,15 @@ def test_write_feather_shards_roundtrip(spark, sf_dir, tmp_path):
     assert n_shards >= 2  # 25 nations, 10 rows/shard
     back = read_feather(spark, out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_read_feather_type_drift_raises(spark, tmp_path):
+    # name-only drift checks let per-file TYPE drift through and it
+    # surfaced as an opaque Arrow/pandas conversion error downstream;
+    # the full (name, type) check must raise a clear error instead
+    a = pa.table({"k": pa.array([1, 2], pa.int64())})
+    b = pa.table({"k": pa.array(["x", "y"])})  # same name, string type
+    pf.write_feather(a, str(tmp_path / "a.feather"))
+    pf.write_feather(b, str(tmp_path / "b.feather"))
+    with pytest.raises(Exception, match="schema drift"):
+        read_feather(spark, str(tmp_path)).collect()
