@@ -2,14 +2,20 @@
 
 Marker-token counts per language over the whitespace token stream,
 argmax with a fixed precedence order for ties (en > de > fr > es >
-zh). Everything is a higher-order-function filter over the token
-array — a pure scan expression with NO explode and NO shuffle (the
-explode+groupBy formulation shuffled one row per token). Repeated
-stopwords count once per occurrence, identical to the grouped-sum
-semantics. Shared by queries.q_langid and pipelines/pretrain.
+zh). The five counts come from ONE ``aggregate()`` fold over the
+token array — a pure scan expression with NO explode and NO shuffle,
+and crucially a SINGLE evaluation of the tokenizer: the per-language
+``filter()`` formulation re-evaluated ``tokens(text)`` (a regex
+split of the full text) inside every conditional argmax branch,
+where codegen's subexpression elimination cannot hoist it (CASE
+branches evaluate lazily) and filter pushdown re-inlines any
+projected alias. In the fold, the accumulator is a lambda VARIABLE,
+so the argmax in the finish lambda references the five counts for
+free. Repeated stopwords count once per occurrence, identical to
+the grouped-sum semantics. Shared by queries.q_langid and
+pipelines/pretrain.
 
-Shared subexpressions (each score appears in several CASE branches)
-are deduplicated by codegen's subexpression elimination.
+Frames ref: no equivalent (LLM-pipeline extension, SURVEY.md §2b).
 """
 
 from __future__ import annotations
@@ -31,42 +37,80 @@ def stopword_hits(text_col: Column, lang: str) -> Column:
     ).cast("long")
 
 
-def _argmax(s: dict[str, Column]) -> Column:
+def _argmax_counts(acc: Column) -> Column:
+    """Precedence-ordered argmax over the 5-element count array —
+    ``acc`` is a bound lambda variable, so every reference is free."""
+    s = [acc[i] for i in range(len(LANGS))]
     return (
         F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
-            & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            (s[0] >= s[1]) & (s[0] >= s[2]) & (s[0] >= s[3]) & (s[0] >= s[4]),
             F.lit("en"),
         )
-        .when(
-            (s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]),
-            F.lit("de"),
-        )
-        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
-        .when(s["es"] >= s["zh"], F.lit("es"))
+        .when((s[1] >= s[2]) & (s[1] >= s[3]) & (s[1] >= s[4]), F.lit("de"))
+        .when((s[2] >= s[3]) & (s[2] >= s[4]), F.lit("fr"))
+        .when(s[3] >= s[4], F.lit("es"))
         .otherwise(F.lit("zh"))
+    )
+
+
+def _fold_counts(tokens_col: Column) -> Column:
+    """array<long> of per-language marker counts in ONE pass over the
+    token array (one 5-branch membership test per token)."""
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+
+    def merge(acc: Column, t: Column) -> Column:
+        return F.array(
+            *[
+                acc[i]
+                + F.when(t.isin(LANG_STOPWORDS[lang]), one).otherwise(zero)
+                for i, lang in enumerate(LANGS)
+            ]
+        )
+
+    return F.aggregate(
+        tokens_col, F.array(*[zero for _ in LANGS]), merge
+    )
+
+
+def predicted_lang_from_tokens(tokens_col: Column) -> Column:
+    """Argmax language over a pre-tokenized array — use when the
+    caller already carries the token array (the tokenizer then runs
+    exactly once per row for ALL its consumers)."""
+    return F.aggregate(
+        tokens_col,
+        F.array(*[F.lit(0).cast("long") for _ in LANGS]),
+        lambda acc, t: F.array(
+            *[
+                acc[i]
+                + F.when(
+                    t.isin(LANG_STOPWORDS[lang]), F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for i, lang in enumerate(LANGS)
+            ]
+        ),
+        _argmax_counts,
     )
 
 
 def predicted_lang(text_col: Column) -> Column:
     """The argmax language as a single scan expression — usable
-    directly in a filter (no join, no shuffle)."""
-    return _argmax({lang: stopword_hits(text_col, lang) for lang in LANGS})
+    directly in a filter (no join, no shuffle); tokenizes once."""
+    return predicted_lang_from_tokens(tokens(text_col))
 
 
 def language_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, score_<lang>..., predicted) per document."""
-    scores = df.select(
-        F.col(id_col),
-        *[
-            stopword_hits(F.col(text_col), lang).alias(f"score_{lang}")
-            for lang in LANGS
-        ],
+    """(id, score_<lang>..., predicted) per document — one tokenizer
+    pass and one fold per row (the count array is projected once;
+    CollapseProject keeps non-cheap multi-referenced aliases)."""
+    counted = df.select(
+        F.col(id_col), _fold_counts(tokens(F.col(text_col))).alias("_counts")
     )
-    return scores.select(
+    return counted.select(
         id_col,
-        *[f"score_{lang}" for lang in LANGS],
-        _argmax({lang: F.col(f"score_{lang}") for lang in LANGS}).alias(
-            "predicted"
-        ),
+        *[
+            F.col("_counts")[i].alias(f"score_{lang}")
+            for i, lang in enumerate(LANGS)
+        ],
+        _argmax_counts(F.col("_counts")).alias("predicted"),
     )
