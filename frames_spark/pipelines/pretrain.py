@@ -52,9 +52,15 @@ def clean_corpus(
     redact_pii: bool = False,
     keep_text: bool = False,
     excise_repeats: int | None = None,
+    strip_html: bool = False,
 ) -> DataFrame:
     """The cleaned corpus: (id, n_tokens) for every surviving doc —
     plus the (post-redaction) text when ``keep_text``.
+
+    ``strip_html`` runs functions/html.py's extraction chain FIRST
+    (crawl order: WARC payload -> visible text -> gates), so quality
+    metrics, language ID, and every dedup key see visible text, not
+    markup.
 
     The DAG is a diamond: the deduped corpus feeds BOTH the near-dup
     candidate branch and the final anti-join. Lazily that subplan
@@ -78,6 +84,7 @@ def clean_corpus(
         docs, id_col, text_col, min_tokens, max_punct, lang,
         shingle_n, num_hashes, bands, rows_per_band, persist,
         redact_pii=redact_pii, excise_repeats=excise_repeats,
+        strip_html=strip_html,
     )
     near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = unique.join(near_dups, id_col, "left_anti")
@@ -101,6 +108,7 @@ def _gated_unique_pairs(
     persist: bool,
     redact_pii: bool = False,
     excise_repeats: int | None = None,
+    strip_html: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-4 shared by both dedup policies: (unique corpus,
     near-dup candidate pairs). With ``redact_pii`` the text is
@@ -115,6 +123,10 @@ def _gated_unique_pairs(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
+    if strip_html:
+        from frames_spark.functions.html import html_to_text
+
+        docs = docs.withColumn(text_col, html_to_text(F.col(text_col)))
     if redact_pii:
         from frames_spark.functions.redact import redact
 

@@ -13137,3 +13137,111 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("entropy_rate_nanos_sum").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (functions/html.py): crawl payload -> visible text.
+# The driver tables carry clean text, so the query builds the
+# deterministic HTML wrapping INSIDE the query (markup, script/style,
+# comments, entities) and extracts it back — both sides of the oracle
+# model the exact same wrap + the exact same regexp chain (the chain
+# literals are shared via html_to_text_sql, so the oracle is a true
+# twin, not a reimplementation). In production the input is
+# sources/warc.py response payloads (pytest-covered).
+# ---------------------------------------------------------------------------
+from frames_spark.functions.html import html_to_text, html_to_text_sql  # noqa: E402
+
+_HTML_WRAP_PRE = (
+    '<html><head><title>d</title><style>p {margin: 0}</style>'
+    '<script>var n = 1;</script></head><body><!-- head --><h1>Doc '
+)
+_HTML_WRAP_MID = "</h1><p>"
+_HTML_WRAP_POST = '</p><br><div>footer &amp; "quoted"</div></body></html>'
+
+_HTML_WRAPPED_SQL = (
+    f"'{_HTML_WRAP_PRE}' || CAST(doc_id AS VARCHAR) || "
+    f"'{_HTML_WRAP_MID}' || text || "
+    + "'"
+    + _HTML_WRAP_POST.replace('"', '"')
+    + "'"
+)
+
+
+def _html_wrapped_col() -> F.Column:
+    return F.concat(
+        F.lit(_HTML_WRAP_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_WRAP_MID),
+        F.col("text"),
+        F.lit(_HTML_WRAP_POST),
+    )
+
+
+@register(
+    "q_html_extract",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, {html_to_text_sql(_HTML_WRAPPED_SQL)} AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(text) AS fp,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+    FROM ex
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "doc_id", html_to_text(_html_wrapped_col()).alias("text")
+    )
+    return ex.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+        text_fns.n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-shaped mini pipeline: HTML wrap -> extract -> quality gate ->
+# per-source accounting. The first stages every real crawl corpus
+# runs (WARC payload -> text -> gates), with the extraction chain and
+# the gates both fully modeled in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q_html_pipeline",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, source,
+             {html_to_text_sql(_HTML_WRAPPED_SQL)} AS text
+      FROM documents
+    ),
+    gated AS (
+      SELECT source, len({_TOKENS_SQL}) AS nt
+      FROM ex
+      WHERE len({_TOKENS_SQL}) >= 10
+        AND CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) <= 0.2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM gated GROUP BY source
+    """,
+)
+def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "doc_id", "source", html_to_text(_html_wrapped_col()).alias("text")
+    )
+    text = F.col("text")
+    gated = ex.filter(
+        (text_fns.n_tokens(text) >= 10)
+        & (text_fns.punct_ratio(text) <= 0.2)
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(text_fns.n_tokens(text)).cast("long").alias("n_tokens"),
+    )

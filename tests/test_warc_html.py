@@ -1,0 +1,205 @@
+"""WARC/WET source (sources/warc.py) + HTML extraction chain
+(functions/html.py): executor-side shard parsing, record filtering,
+HTTP header stripping, gzip shards, and the Spark/Python
+differential of the html_to_text regexp chain."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_spark.functions.html import (
+    HTML_CHAIN,
+    html_to_text,
+    py_html_to_text,
+)
+from frames_spark.sources.warc import read_warc
+
+
+def _record(rtype, uri, payload: bytes, extra=()):
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + rtype.encode() + b"-1>",
+        b"WARC-Date: 2026-01-01T00:00:00Z",
+    ]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    head.extend(extra)
+    head.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+HTML_BODY = b"<html><body><p>Hello &amp; welcome</p></body></html>"
+HTTP_PAYLOAD = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + HTML_BODY
+)
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    shard1 = (
+        _record("warcinfo", None, b"software: test\r\n")
+        + _record(
+            "response",
+            "http://example.com/a",
+            HTTP_PAYLOAD,
+            extra=[b"Content-Type: application/http; msgtype=response"],
+        )
+        + _record(
+            "conversion",
+            "http://example.com/a",
+            b"Hello & welcome",
+            extra=[b"Content-Type: text/plain"],
+        )
+    )
+    (d / "shard-00000.warc").write_bytes(shard1)
+    shard2 = _record("response", "http://example.com/b", HTTP_PAYLOAD)
+    (d / "shard-00001.warc.gz").write_bytes(gzip.compress(shard2))
+    return str(d)
+
+
+def test_warc_reads_all_records_across_shards(spark, warc_dir):
+    df = read_warc(spark, warc_dir)
+    rows = {(r.record_type, r.target_uri) for r in df.collect()}
+    assert rows == {
+        ("warcinfo", None),
+        ("response", "http://example.com/a"),
+        ("conversion", "http://example.com/a"),
+        ("response", "http://example.com/b"),
+    }
+
+
+def test_warc_http_strip_and_record_filter(spark, warc_dir):
+    resp = read_warc(spark, warc_dir, record_types="response")
+    got = {r.target_uri: bytes(r.payload) for r in resp.collect()}
+    assert set(got) == {"http://example.com/a", "http://example.com/b"}
+    # HTTP headers stripped -> payload is the HTML entity body only
+    assert got["http://example.com/a"] == HTML_BODY
+    # gzip shard parsed identically
+    assert got["http://example.com/b"] == HTML_BODY
+    raw = read_warc(
+        spark, warc_dir, record_types="response", http_strip=False
+    )
+    assert bytes(raw.collect()[0].payload).startswith(b"HTTP/1.1 200")
+
+
+def test_warc_one_partition_per_shard(spark, warc_dir):
+    df = read_warc(spark, warc_dir)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_warc_to_text_pipeline(spark, warc_dir):
+    docs = (
+        read_warc(spark, warc_dir, record_types="response")
+        .select(
+            F.col("target_uri").alias("doc_id"),
+            html_to_text(
+                F.decode(F.col("payload"), "utf-8")
+            ).alias("text"),
+        )
+    )
+    got = {r.doc_id: r.text for r in docs.collect()}
+    assert got["http://example.com/a"] == "Hello & welcome"
+
+
+HTML_FIXTURES = [
+    "<html><head><title>T</title><style>p {color: red}</style>"
+    "<script>var x = '<p>not text</p>';</script></head>"
+    "<body><h1>Header</h1><p>First para</p><p>Second</p></body></html>",
+    "plain text with no markup at all",
+    "a &lt;tag&gt; literal &amp; an &quot;entity&quot; &#39;test&#39;"
+    " plus&nbsp;nbsp",
+    "<div>nested <span>inline</span> text</div><ul><li>one</li>"
+    "<li>two</li></ul>",
+    "<!-- a comment --><p>kept</p><!--[if IE]>gone<![endif]-->",
+    "<SCRIPT TYPE='x'>upper case\nmulti\nline</SCRIPT>after",
+    "line<br>break<hr/>rule",
+    "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+    "",
+    "   \n\t  ",
+]
+
+
+def test_html_chain_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(HTML_FIXTURES)], "i long, html string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    for i, h in enumerate(HTML_FIXTURES):
+        assert got[i] == py_html_to_text(h), f"fixture {i}: {h!r}"
+
+
+def test_html_chain_matches_duckdb_twin(spark):
+    import duckdb
+
+    from frames_spark.functions.html import html_to_text_sql
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(HTML_FIXTURES)], "i long, html string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, h in enumerate(HTML_FIXTURES):
+        (want,) = con.sql(
+            f"SELECT {html_to_text_sql('v')} FROM (SELECT ? AS v)",
+            params=[h],
+        ).fetchone()
+        assert got[i] == want, f"fixture {i}: {h!r}"
+
+
+def test_html_visible_semantics(spark):
+    cases = {
+        "<p>a</p><p>b</p>": "a\nb",
+        "x<script>y</script>z": "x z",
+        "&amp;&lt;&gt;": "&<>",
+        "<b>bold</b> and <i>italic</i>": "bold and italic",
+    }
+    df = spark.createDataFrame(list(cases.items()), "html string, want string")
+    for r in df.select(html_to_text(F.col("html")).alias("t"), "want").collect():
+        assert r.t == r.want
+
+
+def test_chain_patterns_are_portable():
+    # no backreferences / lookaround (unsupported by RE2 on the
+    # oracle side) anywhere in the shared chain
+    import re
+
+    for pat, _ in HTML_CHAIN:
+        assert "\\1" not in pat and "(?=" not in pat and "(?<" not in pat
+        re.compile(pat)  # and every pattern compiles in Python
+
+
+def test_clean_corpus_strip_html_stage(spark, sf_dir):
+    # crawl order: markup-wrapped docs gate identically to their
+    # clean-text originals once strip_html extracts the visible text
+    from frames_spark.pipelines.pretrain import clean_corpus
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><script>x=1</script><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("text"),
+    )
+    plain = {
+        (r.doc_id, r.n_tokens)
+        for r in clean_corpus(docs.select("doc_id", "text")).collect()
+    }
+    via_html = {
+        (r.doc_id, r.n_tokens)
+        for r in clean_corpus(wrapped, strip_html=True).collect()
+    }
+    assert via_html == plain and len(plain) > 0
