@@ -13245,3 +13245,80 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(text_fns.n_tokens(text)).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization tier (functions/text.py unicode_normalize /
+# strip_invisible): visually identical text must produce ONE dedup
+# key. The query plants three variant families over every document —
+# precomposed é, decomposed e + combining acute (U+0301), and
+# zero-width-polluted — and counts distinct fingerprints with and
+# without the Unicode tier. Raw keys split the variants; NFC +
+# invisible-strip collapses precomposed/decomposed into one key and
+# zero-width copies into the original. DuckDB's nfc_normalize()
+# models NFC exactly, so the oracle is full-value.
+# ---------------------------------------------------------------------------
+@register(
+    "q_unicode_dedup",
+    """
+    WITH v AS (
+      SELECT doc_id, 'orig' AS variant, text FROM documents
+      UNION ALL
+      SELECT doc_id, 'pre', replace(text, 'e', chr(233)) FROM documents
+      UNION ALL
+      SELECT doc_id, 'dec', replace(text, 'e', 'e' || chr(769)) FROM documents
+      UNION ALL
+      SELECT doc_id, 'zw', replace(text, ' ', ' ' || chr(8203)) FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_raw,
+             md5(trim(regexp_replace(lower(
+               nfc_normalize(regexp_replace(text,
+                 '[' || chr(8203) || chr(8204) || chr(8205) || chr(8288)
+                     || chr(65279) || chr(173) || ']', '', 'g'))),
+               '\\s+', ' ', 'g'))) AS fp_norm
+      FROM v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT fp_raw) AS BIGINT) AS n_keys_raw,
+           CAST(COUNT(DISTINCT fp_norm) AS BIGINT) AS n_keys_unicode
+    FROM f
+    """,
+)
+def q_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    v = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("orig").alias("variant"), t.alias("text")),
+                F.struct(
+                    F.lit("pre").alias("variant"),
+                    F.replace(t, F.lit("e"), F.lit("\u00e9")).alias("text"),
+                ),
+                F.struct(
+                    F.lit("dec").alias("variant"),
+                    F.replace(t, F.lit("e"), F.lit("e\u0301")).alias("text"),
+                ),
+                F.struct(
+                    F.lit("zw").alias("variant"),
+                    F.replace(t, F.lit(" "), F.lit(" \u200b")).alias("text"),
+                ),
+            )
+        ).alias("v"),
+    ).select("doc_id", F.col("v.text").alias("text"))
+    vt = F.col("text")
+    return v.select(
+        text_fns.fingerprint(vt).alias("fp_raw"),
+        F.md5(
+            text_fns.normalize(
+                vt, unicode_form="NFC", strip_invisibles=True
+            )
+        ).alias("fp_norm"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("fp_raw").cast("long").alias("n_keys_raw"),
+        F.countDistinct("fp_norm").cast("long").alias("n_keys_unicode"),
+    )
