@@ -53,6 +53,7 @@ def clean_corpus(
     keep_text: bool = False,
     excise_repeats: int | None = None,
     strip_html: bool = False,
+    repetition_gates: bool = False,
 ) -> DataFrame:
     """The cleaned corpus: (id, n_tokens) for every surviving doc —
     plus the (post-redaction) text when ``keep_text``.
@@ -60,7 +61,10 @@ def clean_corpus(
     ``strip_html`` runs functions/html.py's extraction chain FIRST
     (crawl order: WARC payload -> visible text -> gates), so quality
     metrics, language ID, and every dedup key see visible text, not
-    markup.
+    markup. ``repetition_gates`` adds the Gopher repetition battery
+    (functions/gopher.py — dup-line/para fractions, top-n-gram char
+    fractions at the Rae et al. thresholds) to the quality gate; pure
+    scan expressions, still no shuffle.
 
     The DAG is a diamond: the deduped corpus feeds BOTH the near-dup
     candidate branch and the final anti-join. Lazily that subplan
@@ -84,7 +88,7 @@ def clean_corpus(
         docs, id_col, text_col, min_tokens, max_punct, lang,
         shingle_n, num_hashes, bands, rows_per_band, persist,
         redact_pii=redact_pii, excise_repeats=excise_repeats,
-        strip_html=strip_html,
+        strip_html=strip_html, repetition_gates=repetition_gates,
     )
     near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = unique.join(near_dups, id_col, "left_anti")
@@ -109,6 +113,7 @@ def _gated_unique_pairs(
     redact_pii: bool = False,
     excise_repeats: int | None = None,
     strip_html: bool = False,
+    repetition_gates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-4 shared by both dedup policies: (unique corpus,
     near-dup candidate pairs). With ``redact_pii`` the text is
@@ -138,17 +143,24 @@ def _gated_unique_pairs(
             docs, id_col, text_col, n=excise_repeats
         ).select(F.col(id_col), F.col("clean_text").alias(text_col))
     text = F.col(text_col)
+    gate = (
+        (text_fns.n_tokens(text) >= min_tokens)
+        & (text_fns.punct_ratio(text) <= max_punct)
+        # language gate is a pure scan expression
+        # (functions/langid.py) — fused with the quality filter
+        # into the scan, no join, no shuffle
+        & (predicted_lang(text) == lang)
+    )
+    if repetition_gates:
+        from frames_spark.functions.gopher import passes_repetition_gates
+
+        gate = gate & passes_repetition_gates(
+            text_fns.tokens(text), F.length(text_fns.normalize(text))
+        )
     gated = (
         spread(docs)
         .select(F.col(id_col), text.alias(text_col))
-        .filter(
-            (text_fns.n_tokens(text) >= min_tokens)
-            & (text_fns.punct_ratio(text) <= max_punct)
-            # language gate is a pure scan expression
-            # (functions/langid.py) — fused with the quality filter
-            # into the scan, no join, no shuffle
-            & (predicted_lang(text) == lang)
-        )
+        .filter(gate)
         .select(
             F.col(id_col),
             text.alias(text_col),

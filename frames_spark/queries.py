@@ -13322,3 +13322,85 @@ def q_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp_raw").cast("long").alias("n_keys_raw"),
         F.countDistinct("fp_norm").cast("long").alias("n_keys_unicode"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition battery (functions/gopher.py, Rae et al. 2021
+# Table A1): dup-line fraction, dup-paragraph fraction, and the
+# character fraction of the single most frequent {2,3,4}-gram, per
+# document. Spark side is pure scan expressions (windows + sorted-run
+# fold — no shuffle at any corpus size); the oracle recomputes every
+# signal relationally (unnest + GROUP BY + ROW_NUMBER with the same
+# cnt DESC, gram ASC tie-break). Micros-quantized integers.
+# ---------------------------------------------------------------------------
+from frames_spark.functions import gopher as gopher_fns  # noqa: E402
+
+
+@register(
+    "q_gopher_repetition",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t, length({_NORM_SQL}) AS tc
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, tc,
+             list_transform(range(0, CAST((len(t) + 7) // 8 AS INT)),
+                            i -> array_to_string(t[8*i+1 : 8*i+8], ' ')) AS ls,
+             list_transform(range(0, CAST((len(t) + 31) // 32 AS INT)),
+                            i -> array_to_string(t[32*i+1 : 32*i+32], ' ')) AS ps
+      FROM base
+    ),
+    g AS (
+      SELECT doc_id, 2 AS n,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS gram FROM base
+      UNION ALL
+      SELECT doc_id, 3,
+             unnest(CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) FROM base
+      UNION ALL
+      SELECT doc_id, 4,
+             unnest(CASE WHEN len(t) >= 4 THEN
+               list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+               ELSE [] END) FROM base
+    ),
+    cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    top AS (
+      SELECT doc_id, n, c, gram FROM (
+        SELECT doc_id, n, c, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram ASC) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    )
+    SELECT w.doc_id,
+           CAST(((len(ls) - len(list_distinct(ls))) * 1000000 + len(ls) // 2)
+                // len(ls) AS BIGINT) AS dup_line_frac_micros,
+           CAST(((len(ps) - len(list_distinct(ps))) * 1000000 + len(ps) // 2)
+                // len(ps) AS BIGINT) AS dup_para_frac_micros,
+           CAST(COALESCE((t2.c * length(t2.gram) * 1000000 + w.tc // 2) // w.tc, 0)
+                AS BIGINT) AS top2_char_frac_micros,
+           CAST(COALESCE((t3.c * length(t3.gram) * 1000000 + w.tc // 2) // w.tc, 0)
+                AS BIGINT) AS top3_char_frac_micros,
+           CAST(COALESCE((t4.c * length(t4.gram) * 1000000 + w.tc // 2) // w.tc, 0)
+                AS BIGINT) AS top4_char_frac_micros
+    FROM win w
+    LEFT JOIN top t2 ON t2.doc_id = w.doc_id AND t2.n = 2
+    LEFT JOIN top t3 ON t3.doc_id = w.doc_id AND t3.n = 3
+    LEFT JOIN top t4 ON t4.doc_id = w.doc_id AND t4.n = 4
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    pre = docs.select(
+        "doc_id",
+        text_fns.tokens(F.col("text")).alias("_toks"),
+        F.length(text_fns.normalize(F.col("text"))).cast("long").alias("_tc"),
+    )
+    sig = gopher_fns.repetition_signals(F.col("_toks"), F.col("_tc"))
+    return pre.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    )
