@@ -12723,6 +12723,9 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deci-unit moments (x quantized to tenths keeps sum(x^4) inside 38
 # digits through sf1000). The g2 combination closes in double with
 # identical expression trees on both engines, micros-quantized.
+# Headroom (tests/test_headroom.py): oracle-exact at 30x-amplified
+# value magnitudes; at 1000x the sum-x^4 DECIMAL(38) ceiling RAISES
+# under ANSI (verified raising-not-wrapping, never silent).
 # ---------------------------------------------------------------------------
 @register(
     "q_group_kurtosis",

@@ -262,6 +262,8 @@ def read_csv(
     sample_rows: int = 1000,
     multi_line: bool = False,
     custom_types: list[ColumnType] | None = None,
+    quoting: bool = True,
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """Typed distributed CSV read with prefix-inferred schema.
 
@@ -282,7 +284,21 @@ def read_csv(
     cannot be split at arbitrary byte offsets (a newline may sit
     inside quotes), so Spark parses each FILE whole — keep multiline
     corpora in many moderate files, not one giant one.
+
+    ``quoting=False`` is Frames' NoQuoting (CSV.hs:60): the quote
+    character is disabled entirely, so stray double quotes inside
+    fields pass through verbatim (and embedded separators are the
+    caller's problem — the NoQuoting contract).
+
+    ``corrupt_column`` is the readTableDebug analog (CSV.hs:403):
+    with permissive mode, rows that failed to parse (wrong arity, a
+    cell that would not convert) carry their RAW line in this extra
+    string column (NULL for clean rows), so users can SEE which rows
+    failed instead of silently getting NULLed cells — the same
+    channel jsonl exposes as _corrupt_record.
     """
+    if corrupt_column is not None and not permissive:
+        raise ValueError("corrupt_column requires permissive=True")
     registry = {c.name: c for c in custom_types or []}
     registry.setdefault(ZONED_TIMESTAMP.name, ZONED_TIMESTAMP)
     if schema is None:
@@ -302,16 +318,23 @@ def read_csv(
             post[f.name] = ct
         else:
             reader_fields.append(f)
+    if corrupt_column is not None:
+        reader_fields.append(
+            T.StructField(corrupt_column, T.StringType(), True)
+        )
     reader = (
         spark.read.schema(T.StructType(reader_fields))
         .option("header", str(header).lower())
         .option("sep", sep)
         .option("encoding", encoding)
-        .option("quote", '"')
-        .option("escape", '"')  # RFC-4180 doubled-quote escaping
+        # empty quote string -> \u0000: quoting disabled (NoQuoting)
+        .option("quote", '"' if quoting else "")
+        .option("escape", '"' if quoting else "")
         .option("multiLine", str(multi_line).lower())
         .option("mode", "PERMISSIVE" if permissive else "DROPMALFORMED")
     )
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     df = reader.csv(path)
     if post:
         df = df.select(
@@ -328,15 +351,23 @@ def read_csv(
 
 
 def write_csv(
-    df: DataFrame, path: str, sep: str = ",", header: bool = True
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    quoting: bool = True,
 ) -> None:
     """writeCSV/writeDSV (CSV.hs:505,518). One file per partition at
-    scale; coalesce(1) yourself for a single small export."""
+    scale; coalesce(1) yourself for a single small export.
+    ``quoting=False`` = Frames' NoQuoting (CSV.hs:60): values are
+    written raw — no quoting, no escaping — for data known free of
+    separators/newlines (stray quote chars survive verbatim)."""
     (
         df.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("sep", sep)
-        .option("quote", '"')
-        .option("escape", '"')
+        .option("quote", '"' if quoting else "\u0000")
+        .option("escape", '"' if quoting else "\u0000")
+        .option("escapeQuotes", str(quoting).lower())
         .csv(path)
     )

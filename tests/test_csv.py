@@ -302,3 +302,54 @@ def test_gzip_csv_roundtrip(spark, tmp_path):
         "string",
     ]
     assert {r["a"] for r in df.collect()} == {1, 2, 3}
+
+
+def test_read_csv_debug_corrupt_column(spark, tmp_path):
+    # readTableDebug analog (reference CSV.hs:403): permissive mode
+    # surfaces WHICH rows failed via the corrupt-record channel
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,2\nnotanint,3\n4,5\n6\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.LongType(), True),
+        ]
+    )
+    df = fcsv.read_csv(
+        spark, str(p), schema=schema, corrupt_column="_corrupt_record"
+    ).cache()
+    rows = df.collect()
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    good = [(r.a, r.b) for r in rows if r["_corrupt_record"] is None]
+    assert sorted(good) == [(1, 2), (4, 5)]
+    # both failure shapes captured with their raw lines: bad cell
+    # (column inferred long from the prefix) and wrong arity
+    assert sorted(bad) == ["6", "notanint,3"]
+    df.unpersist()
+
+
+def test_read_csv_debug_requires_permissive(spark, tmp_path):
+    with pytest.raises(ValueError, match="permissive"):
+        fcsv.read_csv(
+            spark, "x.csv", permissive=False, corrupt_column="_c"
+        )
+
+
+def test_csv_noquoting_roundtrip(spark, tmp_path):
+    # Frames NoQuoting (CSV.hs:60): stray quotes survive verbatim and
+    # the writer never adds RFC quoting
+    df = spark.createDataFrame(
+        [(1, 'say "hi" twice'), (2, 'no quotes here')],
+        "k long, v string",
+    )
+    out = tmp_path / "nq"
+    fcsv.write_csv(df.coalesce(1), str(out), quoting=False)
+    raw = "".join(
+        f.read_text()
+        for f in out.iterdir()
+        if f.name.startswith("part-")
+    )
+    assert 'say "hi" twice' in raw and '"say' not in raw
+    back = fcsv.read_csv(spark, str(out), quoting=False)
+    got = {r.k: r.v for r in back.collect()}
+    assert got == {1: 'say "hi" twice', 2: "no quotes here"}

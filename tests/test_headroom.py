@@ -42,6 +42,9 @@ STATS_QUERIES = [
     "q_welch_ttest",
     "q_autocorr",
     "q_anomaly_days",
+    # third-moment family: sum x^3 at 1000x magnitudes stays within
+    # DECIMAL(38) — exactly the shape r4's q_autocorr wrap hid
+    "q_group_skewness",
 ]
 
 
@@ -91,3 +94,54 @@ def test_stats_headroom_at_amplified_magnitudes(spark, stress_dir, qname):
     assert len(srows) == len(orows), (len(srows), len(orows))
     for sr, orow in zip(srows, orows):
         assert all(_close(a, b) for a, b in zip(sr, orow)), (qname, sr, orow)
+
+
+
+# Fourth-moment family: sum x^4. The sf-scale claim ("through
+# sf1000") is about ROW COUNT at real magnitudes (per-row term ~1e24,
+# sum < 1e38 at sf1000 rows); a 1000x VALUE amplification is a far
+# harsher axis ((1e9 cents)^4 = 1e36/row) and exceeds DECIMAL(38) by
+# design. Verify both halves: exact match at 30x magnitudes (already
+# beyond any real price), and an explicit ANSI RAISE — never a
+# silent wrap — at 1000x.
+@pytest.fixture(scope="module")
+def stress_dir_mid(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stress_mid")
+    for table, amps in {"orders": {"o_totalprice": 30}, "customer": {}}.items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        for col, k in amps.items():
+            df = df.withColumn(col, F.col(col) * k)
+        df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{table}.parquet"))
+    return str(out)
+
+
+def test_kurtosis_headroom_at_30x(spark, stress_dir_mid):
+    sdf = QUERIES["q_group_kurtosis"](spark, stress_dir_mid)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(r[c] for c in scols) for r in sdf.collect()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{stress_dir_mid}/{t}.parquet/*.parquet')"
+        )
+    res = con.sql(ORACLES["q_group_kurtosis"])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    orows = sorted(
+        [tuple(r[i] for i in order) for r in res.fetchall()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert sorted(res.columns) == scols
+    assert len(srows) == len(orows)
+    for sr, orow in zip(srows, orows):
+        assert all(_close(a, b) for a, b in zip(sr, orow))
+
+
+def test_kurtosis_raises_not_wraps_at_1000x(spark, stress_dir):
+    # the documented DECIMAL(38) ceiling: ANSI mode must RAISE on the
+    # sum-x^4 overflow, never return silently wrapped moments
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        QUERIES["q_group_kurtosis"](spark, stress_dir).collect()
