@@ -13407,3 +13407,668 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.select(
         "doc_id", *[c.alias(name) for name, c in sig.items()]
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality statistic per segment: JB = n/6 (g1² + g2²/4)
+# over the same deci-unit exact moment sums the skewness/kurtosis
+# queries use (one fused aggregate; sum x⁴ protected by the deci
+# quantization through sf1000 row counts). g1/g2 close in double with
+# IDENTICAL expression trees on both engines; JB micros-quantized.
+# Differential-tested against an independent numpy computation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_jarque_bera",
+    """
+    WITH m AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s2,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s4
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(
+             CAST(n AS DOUBLE) / 6.0 * (
+               ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5))
+               * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5))
+               + ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+                   - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                   + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  - 3.0)
+               * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+                   - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                   + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  - 3.0)
+               / 4.0
+             ) * 1000000 + 0.5) AS BIGINT) AS jb_micros
+    FROM m
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    deci = F.floor(F.col("o_totalprice") * 10 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    x = F.col("x")
+    m = (
+        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", deci.alias("x"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(dec)).alias("s1"),
+            F.sum(x.cast(dec) * x).alias("s2"),
+            F.sum(x.cast(dec) * x * x).alias("s3"),
+            F.sum(x.cast(dec) * x * x * x).alias("s4"),
+        )
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    den = d("n") * d("s2") - d("s1") * d("s1")
+    g1 = (
+        d("n") * d("n") * d("s3")
+        - 3.0 * d("n") * d("s1") * d("s2")
+        + 2.0 * d("s1") * d("s1") * d("s1")
+    ) / F.pow(den, 1.5)
+    g2 = (
+        d("n") * d("n") * d("n") * d("s4")
+        - 4.0 * d("n") * d("n") * d("s1") * d("s3")
+        + 6.0 * d("n") * d("s1") * d("s1") * d("s2")
+        - 3.0 * d("s1") * d("s1") * d("s1") * d("s1")
+    ) / den / den - 3.0
+    jb = d("n") / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return m.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.floor(jb * 1_000_000 + 0.5).cast("long").alias("jb_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation statistic of daily revenue residuals.
+# Exactness: residuals are scaled to integers (e'_t = n·x_t − S with
+# x_t exact day cents — the n² factor cancels in the ratio), both
+# quadratic sums accumulate in DECIMAL(38)/HUGEINT, and only the
+# final ratio closes in double. The lag runs over the DAILY relation
+# (thousands of rows post-aggregation — the legitimate tiny-relation
+# window, never a fact-scale one).
+# ---------------------------------------------------------------------------
+@register(
+    "q_durbin_watson",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s FROM daily),
+    e AS (
+      SELECT d,
+             CAST(tot.n AS HUGEINT) * x - tot.s AS ep,
+             LAG(CAST(tot.n AS HUGEINT) * x - tot.s)
+               OVER (ORDER BY d) AS ep_prev
+      FROM daily CROSS JOIN tot
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_days,
+           CAST(FLOOR(
+             CAST(SUM(CASE WHEN ep_prev IS NULL THEN CAST(0 AS HUGEINT)
+                           ELSE (ep - ep_prev) * (ep - ep_prev) END) AS DOUBLE)
+             / CAST(SUM(ep * ep) AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS dw_micros
+    FROM e
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        o.select(F.col("o_orderdate").cast("date").alias("d"), cents.alias("c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("x"))
+    )
+    dec = "decimal(38,0)"
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("x").cast(dec)).alias("s")
+    )
+    ep = F.col("n").cast(dec) * F.col("x") - F.col("s")
+    w = Window.orderBy("d")
+    e = (
+        daily.crossJoin(F.broadcast(tot))
+        .select("d", "n", ep.alias("ep"))
+        .withColumn("ep_prev", F.lag("ep").over(w))
+    )
+    diff = F.col("ep") - F.col("ep_prev")
+    return e.groupBy("n").agg(
+        F.floor(
+            F.sum(
+                F.when(F.col("ep_prev").isNull(), F.lit(0).cast(dec))
+                .otherwise(diff * diff)
+            ).cast("double")
+            / F.sum(F.col("ep") * F.col("ep")).cast("double")
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("dw_micros")
+    ).select(F.col("n").cast("long").alias("n_days"), "dw_micros")
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio + hapax profile per source: vocabulary richness,
+# the lexical-diversity gate of a corpus card. One explode + two
+# exact integer aggregations; ratios by integer rounding division.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ttr",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, COUNT(*) AS n FROM tok
+      WHERE term <> '' GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((COUNT(*) * 1000000 + SUM(n) // 2) // SUM(n) AS BIGINT)
+             AS ttr_micros,
+           CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS hapax_micros
+    FROM st GROUP BY source
+    """,
+)
+def q_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    st = (
+        docs.select(
+            "source", F.explode(text_fns.tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = st.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.expr(
+            "CAST((n_types * 1000000 + n_tokens DIV 2) DIV n_tokens AS BIGINT)"
+        ).alias("ttr_micros"),
+        F.expr(
+            "CAST((n_hapax * 1000000 + n_types DIV 2) DIV n_types AS BIGINT)"
+        ).alias("hapax_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style LINE-level dedup accounting: the same fixed 8-token
+# windows the Gopher battery uses as "lines", deduplicated
+# corpus-wide — every non-first occurrence of a globally repeated
+# line is removed (first occurrence = min(doc_id, idx), exactly the
+# ExactSubstr keep rule at line granularity). One posexplode + ONE
+# map-side-combining shuffle on the line hash; per-doc accounting by
+# a second uniform-key aggregation. Complements q_substring_dedup
+# (span granularity) and q_boilerplate (detection).
+# ---------------------------------------------------------------------------
+@register(
+    "q_line_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    lines AS (
+      SELECT doc_id, len(t) AS nt, i AS idx,
+             array_to_string(t[8*i+1 : 8*i+8], ' ') AS line
+      FROM base, unnest(range(0, CAST((len(t) + 7) // 8 AS INT))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, nt, idx,
+             COUNT(*) OVER (PARTITION BY line) AS c,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      FROM lines
+    ),
+    dups AS (
+      SELECT doc_id, least(8, nt - 8 * idx) AS w
+      FROM marked WHERE c >= 2 AND rn > 1
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS lines_removed, SUM(w) AS tokens_removed
+      FROM dups GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST((len(b.t) + 7) // 8 AS BIGINT) AS n_lines,
+           CAST(COALESCE(p.lines_removed, 0) AS BIGINT) AS lines_removed,
+           CAST(COALESCE(p.tokens_removed, 0) AS BIGINT) AS tokens_removed
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", text_fns.tokens(F.col("text")).alias("t")
+    )
+    lines = base.select(
+        "doc_id",
+        F.size("t").alias("nt"),
+        F.posexplode(gopher_fns.token_windows(F.col("t"), 8)).alias(
+            "idx", "line"
+        ),
+    )
+    canon = (
+        lines.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "idx")).alias("first_occ"),
+        )
+        .filter(F.col("c") >= 2)
+    )
+    dups = (
+        lines.join(canon, "line")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("idx") != F.col("first_occ.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("lines_removed"),
+            F.sum(F.least(F.lit(8), F.col("nt") - 8 * F.col("idx"))).alias(
+                "tokens_removed"
+            ),
+        )
+    )
+    return (
+        base.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.floor((F.size("t") + 7) / 8).cast("long").alias("n_lines"),
+            F.coalesce(F.col("lines_removed"), F.lit(0))
+            .cast("long")
+            .alias("lines_removed"),
+            F.coalesce(F.col("tokens_removed"), F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Levene's variance-homogeneity test across segments (mean-centered
+# form): W = ((N−k)/(k−1)) · Σ nᵢ(z̄ᵢ−z̄)² / ΣΣ(zᵢⱼ−z̄ᵢ)².
+# Exactness ladder: per-row |x−meanᵢ| is micros-quantized BEFORE any
+# sum; the per-segment between/within terms are unit-quantized before
+# the k-row closing sum (partition-order float drift cannot reach the
+# artifact); W closes in one double expression.
+# ---------------------------------------------------------------------------
+@register(
+    "q_levene",
+    """
+    WITH j AS (
+      SELECT c_mktsegment AS seg,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (SELECT seg, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s
+          FROM j GROUP BY seg),
+    z AS (
+      SELECT j.seg, g.n,
+             CAST(FLOOR(abs(CAST(j.x AS DOUBLE)
+                            - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS zq
+      FROM j JOIN g USING (seg)
+    ),
+    gz AS (
+      SELECT seg, n, SUM(CAST(zq AS HUGEINT)) AS sz,
+             SUM(CAST(zq AS HUGEINT) * zq) AS szz
+      FROM z GROUP BY seg, n
+    ),
+    tot AS (
+      SELECT SUM(sz) AS tz, SUM(CAST(n AS HUGEINT)) AS tn,
+             COUNT(*) AS k
+      FROM gz
+    ),
+    terms AS (
+      SELECT CAST(round(CAST(n AS DOUBLE)
+               * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tot.tz AS DOUBLE) / CAST(tot.tn AS DOUBLE))
+               * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tot.tz AS DOUBLE) / CAST(tot.tn AS DOUBLE)))
+               AS HUGEINT) AS bterm,
+             CAST(round(CAST(szz AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+               AS HUGEINT) AS wterm,
+             tot.tn, tot.k
+      FROM gz CROSS JOIN tot
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(tn AS BIGINT) AS n_total,
+           CAST(FLOOR(
+             (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE))
+             / (CAST(k AS DOUBLE) - 1.0)
+             * CAST(SUM(bterm) AS DOUBLE) / CAST(SUM(wterm) AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS levene_micros
+    FROM terms GROUP BY k, tn
+    """,
+)
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    j = join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"), cents.alias("x")
+    )
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("x").cast(dec)).alias("s")
+    )
+    zq = F.floor(
+        F.abs(
+            F.col("x").cast("double")
+            - F.col("s").cast("double") / F.col("n").cast("double")
+        )
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    z = j.join(F.broadcast(g), "seg").select("seg", "n", zq.alias("zq"))
+    gz = z.groupBy("seg", "n").agg(
+        F.sum(F.col("zq").cast(dec)).alias("sz"),
+        F.sum(F.col("zq").cast(dec) * F.col("zq")).alias("szz"),
+    )
+    tot = gz.agg(
+        F.sum("sz").alias("tz"),
+        F.sum(F.col("n").cast(dec)).alias("tn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    zbar_diff = d("sz") / d("n") - d("tz") / d("tn")
+    # NOTE: floor() on double returns LONG in Spark and silently
+    # saturates near 9.2e18; these terms reach ~1e30, so quantize via
+    # round()->decimal (round(double) is half-up in both engines and
+    # the fractional part is exactly representable either way)
+    terms = gz.crossJoin(F.broadcast(tot)).select(
+        F.round(d("n") * zbar_diff * zbar_diff).cast(dec).alias("bterm"),
+        F.round(d("szz") - d("sz") * d("sz") / d("n")).cast(dec).alias("wterm"),
+        F.col("tn"),
+        F.col("k"),
+    )
+    return (
+        terms.groupBy("k", "tn")
+        .agg(
+            F.floor(
+                (F.col("tn").cast("double") - F.col("k").cast("double"))
+                / (F.col("k").cast("double") - 1.0)
+                * F.sum("bterm").cast("double")
+                / F.sum("wterm").cast("double")
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("levene_micros")
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("tn").cast("long").alias("n_total"),
+            "levene_micros",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association strength for the priority × segment
+# contingency table — the normalized companion of q_chi_square
+# (same per-cell micros-quantized chi² sum), closed as
+# V = sqrt(chi² / (n · min(r−1, c−1))) in one double expression.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cramers_v",
+    """
+    WITH joined AS (
+      SELECT o_orderpriority AS a, c_mktsegment AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS n_ab FROM joined GROUP BY a, b),
+    m AS (
+      SELECT a, b, n_ab,
+             SUM(n_ab) OVER (PARTITION BY a) AS n_a,
+             SUM(n_ab) OVER (PARTITION BY b) AS n_b,
+             SUM(n_ab) OVER () AS n
+      FROM cells
+    ),
+    s AS (
+      SELECT SUM(CAST(FLOOR(
+               (CAST(n_ab AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n_ab AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS chi2_micros,
+             COUNT(DISTINCT a) AS r,
+             COUNT(DISTINCT b) AS c,
+             MAX(n) AS n
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS r,
+           CAST(c AS BIGINT) AS c,
+           CAST(chi2_micros AS BIGINT) AS chi2_micros,
+           CAST(FLOOR(sqrt(CAST(chi2_micros AS DOUBLE) / 1000000.0
+             / (CAST(n AS DOUBLE)
+                * CAST(least(r - 1, c - 1) AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS v_micros
+    FROM s
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("o_orderpriority").alias("a"), F.col("c_mktsegment").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    m = (
+        cells.withColumn("n_a", F.sum("n_ab").over(Window.partitionBy("a")))
+        .withColumn("n_b", F.sum("n_ab").over(Window.partitionBy("b")))
+        .withColumn("n", F.sum("n_ab").over(Window.partitionBy()))
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    exp = d("n_a") * d("n_b") / d("n")
+    cell_term = F.floor(
+        (d("n_ab") - exp) * (d("n_ab") - exp) / exp * 1_000_000 + 0.5
+    ).cast("long")
+    s = m.agg(
+        F.sum(cell_term).alias("chi2_micros"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        F.max("n").alias("n"),
+    )
+    v = F.floor(
+        F.sqrt(
+            F.col("chi2_micros").cast("double")
+            / 1_000_000.0
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            )
+        )
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.col("chi2_micros").cast("long").alias("chi2_micros"),
+        v.alias("v_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's unigram distribution vs
+# the corpus — the bounded, symmetric companion to q_kl_source (JS is
+# finite even for terms a source never emits, which is why the grid
+# is sources × FULL vocabulary: the p_c·ln(p_c/m) leg runs over every
+# term). Per-term contributions nano-quantized before the sum.
+# ---------------------------------------------------------------------------
+@register(
+    "q_js_source",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS n FROM tok
+      WHERE term <> '' GROUP BY source, term
+    ), ct AS (
+      SELECT term, SUM(n) AS ct FROM st GROUP BY term
+    ), stot AS (
+      SELECT source, SUM(n) AS ns FROM st GROUP BY source
+    ), tot AS (SELECT SUM(n) AS nc FROM st),
+    grid AS (
+      SELECT stot.source, stot.ns, ct.term, ct.ct, tot.nc,
+             COALESCE(st.n, 0) AS n
+      FROM stot CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN st ON st.source = stot.source AND st.term = ct.term
+    )
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR((
+             0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE
+               (n * 1.0 / ns) * ln((n * 1.0 / ns)
+                 / (((n * 1.0 / ns) + (ct * 1.0 / nc)) / 2.0)) END)
+             + 0.5 * ((ct * 1.0 / nc) * ln((ct * 1.0 / nc)
+                 / (((n * 1.0 / ns) + (ct * 1.0 / nc)) / 2.0)))
+           ) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS js_nanos_sum
+    FROM grid GROUP BY source, ns
+    """,
+)
+def q_js_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    st = (
+        docs.select(
+            "source", F.explode(text_fns.tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ct = st.groupBy("term").agg(F.sum("n").alias("ct"))
+    stot = st.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = st.agg(F.sum("n").alias("nc"))
+    grid = (
+        ct.crossJoin(F.broadcast(stot))
+        .crossJoin(F.broadcast(tot))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source", "ns", "ct", "nc", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    ps = F.col("n") * 1.0 / F.col("ns")
+    pc = F.col("ct") * 1.0 / F.col("nc")
+    m = (ps + pc) / 2.0
+    term_nanos = F.floor(
+        (
+            0.5
+            * F.when(F.col("n") == 0, F.lit(0.0)).otherwise(ps * F.log(ps / m))
+            + 0.5 * (pc * F.log(pc / m))
+        )
+        * 1_000_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        grid.groupBy("source", "ns")
+        .agg(F.sum(term_nanos).alias("js_nanos_sum"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.col("js_nanos_sum").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the corpus token-frequency distribution — the
+# single-number inequality summary beside q_zipf's slope and
+# q_heaps' growth law. Identical machinery to q_gini_revenue: the
+# vocabulary relation ranks by (count, term) through the STAGED
+# two-phase rank, and Gini closes from exact integer sums (rank ×
+# count stays far inside int64 at vocabulary sizes).
+# ---------------------------------------------------------------------------
+@register(
+    "q_gini_tokens",
+    f"""
+    WITH freq AS (
+      SELECT term, COUNT(*) AS cnt FROM (
+        SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+      ) WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt, term) AS rn,
+             COUNT(*) OVER () AS n
+      FROM freq
+    )
+    SELECT CAST(SUM(rn * cnt) AS BIGINT) AS weighted_sum,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           MAX(n) AS n_types,
+           2.0 * CAST(SUM(rn * cnt) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(cnt) AS DOUBLE))
+             - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(text_fns.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = grouped_rank(
+        freq, [], ["cnt", "term"], rank_col="rn", count_col="n", stage=True
+    )
+    ws = F.sum(F.col("rn") * F.col("cnt"))
+    tot = F.sum("cnt")
+    n = F.max("n")
+    return ranked.agg(
+        ws.cast("long").alias("weighted_sum"),
+        tot.cast("long").alias("total_tokens"),
+        n.alias("n_types"),
+        (
+            2.0 * ws.cast("double") / (n * tot.cast("double"))
+            - (n + 1).cast("double") / n
+        ).alias("gini"),
+    )
