@@ -139,6 +139,9 @@ def test_assert_clean_raises_with_detail(spark, sf_dir):
 # correctly reports these as not scan-eligible; everything else in
 # the registry must stay clean.
 KNOWN_UNPUSHABLE = {
+    # quality gate filters the EXTRACTED text (html_to_text regexp
+    # chain output), a derived expression no scan can push
+    "q_html_pipeline",
     "q_cross_source_dups",
     "q_cust_order_dist",
     "q_embed_centroids",
