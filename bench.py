@@ -93,6 +93,11 @@ BENCH_QUERIES = {
     "kruskal_wallis": Q.q_kruskal_wallis,
     "doc_keywords": Q.q_doc_keywords,
     "theil_sen": Q.q_theil_sen,
+    "containment": Q.q_containment,
+    "html_extract": Q.q_html_extract,
+    "gopher_repetition": Q.q_gopher_repetition,
+    "line_dedup": Q.q_line_dedup,
+    "js_source": Q.q_js_source,
 }
 
 
