@@ -127,3 +127,84 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
         .select(token_col, "cnt", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the frequency-estimation companion of the HLL
+# family. Unlike HLL's engine-opaque bytes, this CMS hashes with the
+# portable md5-based hash60, so the ENTIRE sketch (and any estimate
+# read from it) is reproducible bit-for-bit in the SQL oracle — a
+# registered query over it gets a full value check, not rows-only.
+# Representation: a (row, col, c) relation of depth×width cells;
+# mergeable by union + re-aggregation (counts add), exactly the
+# rollup-sink pattern. Estimates carry CMS's one-sided guarantee:
+# est >= true, est <= true + eps·N with prob 1-delta
+# (eps = e/width, delta = e^-depth).
+# ---------------------------------------------------------------------------
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(row, col, c): one map-side-combining aggregation over
+    depth hashes per input row (the stream is never re-scanned per
+    hash row — the 4 probes explode row-locally)."""
+    from frames_spark.functions.hashing import hash60
+
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (hash60(F.col(key_col), seed=f"cms{j}") % width).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("b"))
+        .groupBy(F.col("b.row").alias("row"), F.col("b.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merged sketch: counts add cell-wise (the mergeability that
+    makes per-window sketch rows answer any time range)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key, est): min over the key's depth cells. The keys relation
+    is the small side (a probe set) — broadcast onto the sketch."""
+    from frames_spark.functions.hashing import hash60
+
+    probes = keys.select(F.col(key_col).alias("key")).distinct().select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (hash60(F.col("key"), seed=f"cms{j}") % width).alias(
+                            "col"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("b"),
+    ).select("key", F.col("b.row").alias("row"), F.col("b.col").alias("col"))
+    return (
+        probes.join(sketch, ["row", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

@@ -14072,3 +14072,157 @@ def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + 1).cast("double") / n
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch over the corpus token stream
+# (operators/sketches.py count_min_*): estimates for the 20 most
+# frequent tokens read back from a 4×256 sketch, beside their true
+# counts. Because the CMS hashes with the portable md5 hash60, the
+# oracle rebuilds the ENTIRE sketch and every estimate bit-for-bit —
+# a sketch query with a full value check (HLL's opaque bytes cannot
+# do this). est − true exhibits the one-sided overestimate guarantee.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cms_tokens",
+    f"""
+    WITH tok AS (
+      SELECT term FROM (
+        SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+      ) WHERE term <> ''
+    ),
+    cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 20),
+    buckets AS (
+      SELECT j AS row,
+             {hash60_sql("term", seed="cms'||j||'")} % 256 AS col,
+             COUNT(*) AS c
+      FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT term, n, j AS row,
+             {hash60_sql("term", seed="cms'||j||'")} % 256 AS col
+      FROM top CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+    )
+    SELECT p.term,
+           CAST(p.n AS BIGINT) AS true_n,
+           CAST(MIN(COALESCE(b.c, 0)) AS BIGINT) AS est_n,
+           CAST(MIN(COALESCE(b.c, 0)) - p.n AS BIGINT) AS overestimate
+    FROM probes p LEFT JOIN buckets b USING (row, col)
+    GROUP BY p.term, p.n
+    """,
+)
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(text_fns.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.desc("n"), "term").limit(20)
+    sketch = count_min_build(tok, "term", depth=4, width=256)
+    est = count_min_estimate(sketch, top, "term", depth=4, width=256)
+    return (
+        top.join(est, top.term == est.key)
+        .select(
+            "term",
+            F.col("n").cast("long").alias("true_n"),
+            F.col("est").cast("long").alias("est_n"),
+            (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the user-event Markov chain — the
+# long-run share of time the event process spends in each state,
+# closing the q_transitions / q_cond_entropy / q_entropy_rate family.
+# Iterative power method, but with EXACT integer fixed-point algebra:
+# the state vector lives in nanos, every per-edge term is the integer
+# rounding division (v_i·n_ij + t_i/2) DIV t_i, and each of the 30
+# iterations sums exact integers — so this ITERATIVE query carries a
+# FULL value oracle (30 unrolled CTEs), where float iteration
+# (PageRank) is rows-only by necessity. The transition matrix is
+# domain-bounded (k event types), so Spark iterates the k-vector on
+# the driver after ONE distributed aggregation of the fact table.
+# ---------------------------------------------------------------------------
+_MARKOV_ITERS = 30
+
+
+def _markov_iter_ctes(n: int) -> str:
+    parts = []
+    for i in range(n):
+        parts.append(f""",
+    v{i + 1} AS MATERIALIZED (
+      SELECT c.nxt AS state,
+             CAST(SUM((v.v * c.n + ct.t // 2) // ct.t) AS BIGINT) AS v
+      FROM v{i} v JOIN cnt c ON v.state = c.cur JOIN ct ON c.cur = ct.cur
+      GROUP BY c.nxt
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "q_markov_stationary",
+    f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS MATERIALIZED (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    ct AS MATERIALIZED (SELECT cur, SUM(n) AS t FROM cnt GROUP BY cur),
+    v0 AS MATERIALIZED (
+      SELECT cur AS state,
+             CAST(1000000000 // (SELECT COUNT(*) FROM ct) AS BIGINT) AS v
+      FROM ct
+    ){_markov_iter_ctes(_MARKOV_ITERS)}
+    SELECT state, CAST(v AS BIGINT) AS stationary_nanos
+    FROM v{_MARKOV_ITERS}
+    """,
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the matrix is domain-bounded (k event types, k^2 cells) —
+    # driver-sized by construction, like the PQ codebooks
+    edges = cnt.collect()
+    totals: dict[str, int] = {}
+    for r in edges:
+        totals[r.cur] = totals.get(r.cur, 0) + r.n
+    k = len(totals)
+    v = {s: 1_000_000_000 // k for s in totals}
+    for _ in range(_MARKOV_ITERS):
+        nv = {s: 0 for s in totals}
+        for r in edges:
+            if r.nxt in nv:
+                t = totals[r.cur]
+                nv[r.nxt] += (v[r.cur] * r.n + t // 2) // t
+            else:  # state never transitions out: mass flows in only
+                nv[r.nxt] = nv.get(r.nxt, 0)
+        # drop states outside the recurrent cur-set, as the oracle's
+        # join structure does
+        v = {s: nv[s] for s in totals}
+    return spark.createDataFrame(
+        [(s, v[s]) for s in sorted(v)], "state string, stationary_nanos long"
+    )

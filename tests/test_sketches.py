@@ -93,3 +93,61 @@ def test_sketch_overlap_within_tolerance(spark, sf_dir):
     exact = len(a & b)
     assert abs(r["overlap_est"] - exact) <= max(3, 0.1 * exact)
     assert abs(r["n_week1"] - len(a)) <= max(2, 0.05 * len(a))
+
+
+def test_count_min_overestimates_never_under(spark, sf_dir):
+    from frames_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from frames_spark.functions.text import tokens
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100).cache()
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t")).filter(
+        F.col("t") != ""
+    )
+    truth = {r.t: r.n for r in tok.groupBy("t").count().withColumnRenamed("count", "n").collect()}
+    sketch = count_min_build(tok, "t", depth=4, width=256)
+    est = {
+        r.key: r.est
+        for r in count_min_estimate(
+            sketch, tok.select(F.col("t")).distinct(), "t", depth=4, width=256
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    # one-sided guarantee: never underestimates
+    assert all(est[t] >= n for t, n in truth.items())
+    # and the total cell mass per row equals the stream length
+    n_stream = sum(truth.values())
+    per_row = {
+        r.row: r.s
+        for r in sketch.groupBy("row").agg(F.sum("c").alias("s")).collect()
+    }
+    assert per_row == {j: n_stream for j in range(4)}
+
+
+def test_count_min_merge_equals_whole(spark, sf_dir):
+    from frames_spark.operators.sketches import (
+        count_min_build,
+        count_min_merge,
+    )
+    from frames_spark.functions.text import tokens
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    a = tok.filter(F.col("doc_id") % 2 == 0)
+    b = tok.filter(F.col("doc_id") % 2 == 1)
+    merged = {
+        (r.row, r.col): r.c
+        for r in count_min_merge(
+            count_min_build(a, "t"), count_min_build(b, "t")
+        ).collect()
+    }
+    whole = {
+        (r.row, r.col): r.c for r in count_min_build(tok, "t").collect()
+    }
+    assert merged == whole

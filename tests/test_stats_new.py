@@ -47,3 +47,12 @@ def test_durbin_watson_bounds_and_constructed(spark, sf_dir):
     # DW lives in [0, 4]; uncorrelated daily noise sits near 2
     assert 0 <= r.dw_micros <= 4_000_000
     assert r.n_days > 100
+
+
+def test_markov_stationary_mass_and_positivity(spark, sf_dir):
+    rows = QUERIES["q_markov_stationary"](spark, sf_dir).collect()
+    total = sum(r.stationary_nanos for r in rows)
+    # integer fixed-point iteration conserves mass up to per-state
+    # rounding (±1 nano per state per iteration bound)
+    assert abs(total - 1_000_000_000) < 30 * len(rows) * 2
+    assert all(r.stationary_nanos > 0 for r in rows)
