@@ -14226,3 +14226,118 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s, v[s]) for s in sorted(v)], "state string, stationary_nanos long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality score bands — the single number a curriculum /
+# sampling policy sorts by, folding language, length, and punctuation
+# into one micros integer per doc (40% language, 30% length saturated
+# at 30 tokens, 30% cleanliness with punct ratio saturating at 0.2).
+# All integer rounding divisions after one per-doc quantization of
+# the punct ratio; output is the per-band histogram a curator reads.
+# ---------------------------------------------------------------------------
+@register(
+    "q_quality_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS ntok,
+             CAST(FLOOR(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) * 1000000 + 0.5) AS BIGINT) AS pm,
+             lang
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 400000 ELSE 0 END
+               + (300000 * least(ntok, 30) + 15) // 30
+               + (300000 * (1000000 - least(pm * 5, 1000000)) + 500000)
+                 // 1000000 AS BIGINT) AS score
+      FROM base
+    )
+    SELECT CAST(score // 100000 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored GROUP BY 1
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    pm = F.floor(text_fns.punct_ratio(F.col("text")) * 1_000_000 + 0.5).cast(
+        "long"
+    )
+    base = docs.select(
+        "doc_id",
+        text_fns.n_tokens(F.col("text")).alias("ntok"),
+        pm.alias("pm"),
+        "lang",
+    )
+    score = (
+        F.when(F.col("lang") == "en", F.lit(400000)).otherwise(F.lit(0))
+        + F.expr("(300000 * least(ntok, 30) + 15) DIV 30")
+        + F.expr(
+            "(300000 * (1000000 - least(pm * 5, 1000000)) + 500000)"
+            " DIV 1000000"
+        )
+    ).cast("long")
+    scored = base.select("doc_id", score.alias("score"))
+    return scored.groupBy(
+        F.expr("score DIV 100000").cast("long").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIX readability per source: words/sentences + 100·longwords/words,
+# with "sentences" the fixed 8-token windows of the newline-free
+# corpus (same convention as the Gopher battery) and long words > 6
+# chars. Per-doc LIX micros by integer rounding division; per-source
+# mean by a second rounding division. Pure scan + one aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_lix",
+    f"""
+    WITH base AS (
+      SELECT source,
+             len({_TOKENS_SQL}) AS ntok,
+             len(list_filter({_TOKENS_SQL}, t -> length(t) > 6)) AS nlong
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             (ntok * 1000000 + ((ntok + 7) // 8) // 2) // ((ntok + 7) // 8)
+             + (100 * nlong * 1000000 + ntok // 2) // ntok AS lix
+      FROM base WHERE ntok > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((SUM(lix) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+             AS mean_lix_micros
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    toks = text_fns.tokens(F.col("text"))
+    base = docs.select(
+        "source",
+        F.size(toks).alias("ntok"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("nlong"),
+    ).filter(F.col("ntok") > 0)
+    per_doc = base.select(
+        "source",
+        F.expr(
+            "(ntok * 1000000 + ((ntok + 7) DIV 8) DIV 2) DIV ((ntok + 7) DIV 8)"
+            " + (100 * nlong * 1000000 + ntok DIV 2) DIV ntok"
+        ).alias("lix"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST((SUM(lix) + COUNT(1) DIV 2) DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_lix_micros"),
+    )

@@ -186,3 +186,49 @@ def read_warc(
     if record_types:
         r = r.option("record_types", record_types)
     return r.load()
+
+
+def write_wet(
+    df,
+    out_dir: str,
+    uri_col: str = "doc_id",
+    text_col: str = "text",
+    date: str = "2026-01-01T00:00:00Z",
+) -> None:
+    """Export (uri, text) rows as WET ``conversion`` shards — the
+    interchange format crawl consumers expect back. One shard per
+    partition, written by the EXECUTOR owning that partition
+    (foreachPartition; no driver collect). The date is a fixed
+    caller-supplied literal so shards are bit-reproducible.
+
+    Writes through local/NFS paths; an object-store deployment
+    routes out_dir through its mounted filesystem the same way the
+    parquet sinks do."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        wrote = False
+        with open(path, "wb") as fh:
+            for row in it:
+                payload = str(row[text_col]).encode("utf-8")
+                head = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: conversion\r\n"
+                    + f"WARC-Record-ID: <urn:wet:{row[uri_col]}>\r\n".encode()
+                    + f"WARC-Target-URI: {row[uri_col]}\r\n".encode()
+                    + f"WARC-Date: {date}\r\n".encode()
+                    + b"Content-Type: text/plain\r\n"
+                    + f"Content-Length: {len(payload)}\r\n".encode()
+                )
+                fh.write(head + b"\r\n" + payload + b"\r\n\r\n")
+                wrote = True
+        if not wrote:
+            os.remove(path)
+
+    df.select(uri_col, text_col).foreachPartition(write_partition)

@@ -203,3 +203,20 @@ def test_clean_corpus_strip_html_stage(spark, sf_dir):
         for r in clean_corpus(wrapped, strip_html=True).collect()
     }
     assert via_html == plain and len(plain) > 0
+
+
+def test_write_wet_roundtrip(spark, sf_dir, tmp_path):
+    from frames_spark.sources.warc import write_wet
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30).cache()
+    out = str(tmp_path / "wet")
+    write_wet(docs, out, uri_col="doc_id", text_col="text")
+    back = read_warc(spark, out, record_types="conversion")
+    got = {
+        int(r.target_uri): bytes(r.payload).decode("utf-8")
+        for r in back.collect()
+    }
+    want = {r.doc_id: r.text for r in docs.collect()}
+    assert got == want
+    assert back.select("record_type").distinct().collect()[0][0] == "conversion"
