@@ -48,20 +48,36 @@ def clean_corpus_stream(
     lang: str = "en",
     watermark: str = "1 hour",
     redact_pii: bool = False,
+    strip_html: bool = False,
+    repetition_gates: bool = False,
 ) -> DataFrame:
     """Cleaned (id, n_tokens, ts) stream: gated, fingerprint-deduped
     within the watermark. ``docs`` must be a streaming DataFrame with
-    an event-time column ``ts_col``."""
+    an event-time column ``ts_col``. ``strip_html`` and
+    ``repetition_gates`` mirror the batch pipeline's crawl-extraction
+    and Gopher-battery stages — both are pure scan expressions, so
+    the streaming twin keeps batch/stream parity for free."""
+    if strip_html:
+        from frames_spark.functions.html import html_to_text
+
+        docs = docs.withColumn(text_col, html_to_text(F.col(text_col)))
     if redact_pii:
         from frames_spark.functions.redact import redact
 
         docs = docs.withColumn(text_col, redact(F.col(text_col)))
     text = F.col(text_col)
-    gated = docs.filter(
+    gate = (
         (text_fns.n_tokens(text) >= min_tokens)
         & (text_fns.punct_ratio(text) <= max_punct)
         & (predicted_lang(text) == lang)
-    ).select(
+    )
+    if repetition_gates:
+        from frames_spark.functions.gopher import passes_repetition_gates
+
+        gate = gate & passes_repetition_gates(
+            text_fns.tokens(text), F.length(text_fns.normalize(text))
+        )
+    gated = docs.filter(gate).select(
         F.col(id_col),
         F.col(ts_col),
         text_fns.n_tokens(text).cast("long").alias("n_tokens"),

@@ -121,3 +121,76 @@ def test_near_dup_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
             q.stop()
 
     assert got == expect and expect
+
+
+def test_streaming_gates_match_batch_with_html_and_repetition(
+    spark, sf_dir, tmp_path
+):
+    """strip_html + repetition_gates in the streaming twin produce
+    exactly the batch gate's survivor set (scan expressions: parity
+    is structural, this pins it)."""
+    import shutil as _sh
+
+    from frames_spark.functions.gopher import passes_repetition_gates
+    from frames_spark.functions.html import html_to_text
+
+    src = tmp_path / "html_stream"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><style>p{}</style><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("text"),
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(wrapped.toPandas()),
+        str(src / "docs_a.parquet"),
+    )
+    # redeliver the same file so the watermark advances past batch 1
+    # and append mode releases its rows (and dedup re-drops them)
+    _sh.copy(str(src / "docs_a.parquet"), str(src / "redelivered.parquet"))
+    physical = spark.read.parquet(str(src / "docs_a.parquet")).schema
+    raw = (
+        spark.readStream.schema(physical)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    stream = raw.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000)
+    )
+    cleaned = clean_corpus_stream(
+        stream,
+        "ingest_ts",
+        strip_html=True,
+        repetition_gates=True,
+    )
+    got = {
+        (r.doc_id, r.n_tokens)
+        for r in run_to_memory(
+            cleaned, "html_clean_stream", output_mode="append"
+        ).collect()
+    }
+    text = html_to_text(F.col("text"))
+    want = {
+        (r.doc_id, r.n_tokens)
+        for r in spark.read.parquet(str(src / "docs_a.parquet"))
+        .filter(
+            (text_fns.n_tokens(text) >= 10)
+            & (text_fns.punct_ratio(text) <= 0.2)
+            & (predicted_lang(text) == "en")
+            & passes_repetition_gates(
+                text_fns.tokens(text), F.length(text_fns.normalize(text))
+            )
+        )
+        .select(
+            "doc_id", text_fns.n_tokens(text).cast("long").alias("n_tokens")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
