@@ -14341,3 +14341,172 @@ def q_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((SUM(lix) + COUNT(1) DIV 2) DIV COUNT(1) AS BIGINT)"
         ).alias("mean_lix_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-rate threshold curve: how many near-dup pairs (and distinct
+# dropped docs) each Jaccard threshold would remove — the sweep a
+# curator runs BEFORE fixing a threshold. ONE pair relation (the
+# posting-list jaccard machinery, lineage once) feeds every
+# threshold row; integer 10·j >= t gates, no float comparisons.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_curve",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, n_common,
+             sa.n_shingles + sb.n_shingles - n_common AS n_union
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc
+      JOIN sizes sb ON doc_b = sb.doc
+    ),
+    ts(t) AS (VALUES (5), (6), (7), (8), (9))
+    SELECT CAST(ts.t AS BIGINT) AS threshold_tenths,
+           CAST(COUNT(CASE WHEN 10 * n_common >= ts.t * n_union THEN 1 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN 10 * n_common >= ts.t * n_union
+                                    THEN doc_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM pairs CROSS JOIN ts
+    GROUP BY ts.t
+    """,
+)
+def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_near_copies(docs)
+    index = jac_ops.shingle_index(corpus, "doc_id", "text", 3)
+    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    postings = (
+        index.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa") + F.col("sb") - F.col("n_common")).alias("n_union"),
+        )
+    )
+    ts = spark.range(5, 10).select(F.col("id").alias("t"))
+    hit = 10 * F.col("n_common") >= F.col("t") * F.col("n_union")
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("long")
+            .alias("n_docs_dropped"),
+        )
+        .select(F.col("t").cast("long").alias("threshold_tenths"), "n_pairs", "n_docs_dropped")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source overlap: shingle-set Jaccard between every source
+# pair — the contamination / mirror detector ACROSS ingest feeds
+# (q_source_jaccard's idea generalized from one pair to the full
+# source × source profile). Posting lists over sources are bounded
+# by the source count, so the in-array i<j expansion is structurally
+# tiny — no hot-key risk at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "q_source_overlap",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT source, {_TOKENS_SQL} AS toks FROM documents)
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 1000000
+                 + (sa.n + sb.n - n_common) // 2)
+                // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_micros
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.hashing import shingles
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "source",
+        F.explode(shingles(text_fns.tokens(F.col("text")), 3)).alias(
+            "shingle"
+        ),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS src_a, y AS src_b))))"
+    )
+    inter = (
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "CAST((n_common * 1000000 + (na + nb - n_common) DIV 2)"
+                " DIV (na + nb - n_common) AS BIGINT)"
+            ).alias("jaccard_micros"),
+        )
+    )
