@@ -208,3 +208,41 @@ def count_min_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def append_cms_increment(
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    batch_id: int | None = None,
+) -> None:
+    """Count-Min increment sink: aggregate one ingest batch to its
+    (row, col, c) cells and land them under a batch_id partition with
+    dynamic overwrite — a REPLAYED foreachBatch epoch replaces its own
+    prior parts instead of double-counting (the exactly-once contract
+    for non-transactional sinks, same pattern as the histogram
+    increment sink). ``read_cms`` merges by summation, oblivious to
+    the partition column — the stored sketch answers any frequency
+    probe without re-scanning history."""
+    parts = count_min_build(batch, key_col, depth=depth, width=width)
+    if batch_id is None:
+        parts.write.mode("append").parquet(path)
+        return
+    (
+        parts.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_cms(spark, path: str) -> DataFrame:
+    """The merged sketch from every stored increment (counts add)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+    )

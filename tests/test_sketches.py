@@ -151,3 +151,33 @@ def test_count_min_merge_equals_whole(spark, sf_dir):
         (r.row, r.col): r.c for r in count_min_build(tok, "t").collect()
     }
     assert merged == whole
+
+
+def test_cms_stream_increments_match_batch(spark, sf_dir, tmp_path):
+    """foreachBatch CMS increments (with a replayed epoch) merge to
+    exactly the one-shot batch sketch — the mergeable-sketch contract
+    the HLL rollup rows follow, now value-checkable because CMS cells
+    are engine-portable integers."""
+    from frames_spark.operators.sketches import (
+        append_cms_increment,
+        count_min_build,
+        read_cms,
+    )
+    from frames_spark.functions.text import tokens
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    store = str(tmp_path / "cms_store")
+    a = tok.filter(F.col("doc_id") % 2 == 0)
+    b = tok.filter(F.col("doc_id") % 2 == 1)
+    append_cms_increment(a, store, "t", batch_id=0)
+    append_cms_increment(b, store, "t", batch_id=1)
+    append_cms_increment(b, store, "t", batch_id=1)  # replay: replaces
+    merged = {
+        (r.row, r.col): r.c for r in read_cms(spark, store).collect()
+    }
+    whole = {(r.row, r.col): r.c for r in count_min_build(tok, "t").collect()}
+    assert merged == whole
