@@ -109,3 +109,36 @@ def test_engagement_segments_composition(spark, sf_dir):
     for r in rows:
         assert 1 <= r["n_sessions"] <= r["n_events"]
         assert r["recency_days"] >= 0
+
+
+def test_clean_corpus_all_stages_compose(spark, sf_dir):
+    """Every optional stage at once — strip_html -> redact ->
+    excise_repeats -> quality+language+repetition gates -> dedup:
+    the full crawl-order composition must run end-to-end and only
+    ever narrow the plain-gate survivor set."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.pipelines.pretrain import clean_corpus
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("text"),
+    )
+    full = clean_corpus(
+        wrapped,
+        strip_html=True,
+        redact_pii=True,
+        excise_repeats=8,
+        repetition_gates=True,
+        keep_text=True,
+    )
+    rows = full.collect()
+    ids = {r.doc_id for r in rows}
+    base = {r.doc_id for r in clean_corpus(docs.select("doc_id", "text")).collect()}
+    assert ids <= base and len(ids) > 0
+    # keep_text carries the post-redaction text column through
+    assert all(isinstance(r.text, str) and "<p>" not in r.text for r in rows)
