@@ -142,6 +142,8 @@ KNOWN_UNPUSHABLE = {
     # quality gate filters the EXTRACTED text (html_to_text regexp
     # chain output), a derived expression no scan can push
     "q_html_pipeline",
+    # ntok > 0 guard is size(split(...)) — derived, not scan-eligible
+    "q_lix",
     "q_cross_source_dups",
     "q_cust_order_dist",
     "q_embed_centroids",
