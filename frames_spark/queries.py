@@ -14510,3 +14510,119 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling: take documents per source in
+# deterministic md5 order until each source's token budget is
+# reached — the SELECTION step that materializes q_mixture_weights'
+# plan (which only computes targets). The cumulative token count
+# rides the staged two-phase grouped prefix sum (never a fact-wide
+# window); the keep rule is "cumsum - own tokens < budget" so the
+# budget-crossing doc is included (every source reaches its budget).
+# Layout-invariant: md5 order, not ingestion order.
+# ---------------------------------------------------------------------------
+_TB_BUDGET = 2000  # tokens per source
+
+
+@register(
+    "q_token_budget_sample",
+    f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             len({_TOKENS_SQL}) AS ntok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, ntok,
+             SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base
+    ),
+    kept AS (
+      SELECT source, doc_id, ntok, cum
+      FROM ranked WHERE cum - ntok < {_TB_BUDGET}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(MAX(cum) AS BIGINT) AS final_cum
+    FROM kept GROUP BY source
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "source",
+        "doc_id",
+        text_fns.n_tokens(F.col("text")).cast("long").alias("ntok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    ranked = grouped_prefix_sum(
+        base, ["source"], ["h", "doc_id"], "ntok", cum_col="cum"
+    )
+    kept = ranked.filter(F.col("cum") - F.col("ntok") < _TB_BUDGET)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.max("cum").cast("long").alias("final_cum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assignment balance: documents land in shards by
+# content hash (pmod(md5-hash, n)), the deterministic global shuffle
+# every training run needs (layout/ingestion-order invariant,
+# reproducible across re-runs). The query audits what the
+# write_training_shards sink would produce: per-shard doc/token
+# counts and the min/max spread that tells a trainer its worst-case
+# shard skew.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@register(
+    "q_shard_balance",
+    f"""
+    WITH assigned AS (
+      SELECT {hash60_sql("CAST(doc_id AS VARCHAR)", seed="shard")} % {_N_SHARDS}
+               AS shard,
+             len({_TOKENS_SQL}) AS ntok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+      FROM assigned GROUP BY shard
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((SELECT MIN(n_tokens) FROM per) AS BIGINT) AS min_shard_tokens,
+           CAST((SELECT MAX(n_tokens) FROM per) AS BIGINT) AS max_shard_tokens
+    FROM per
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.hashing import hash60
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    assigned = docs.select(
+        F.pmod(
+            hash60(F.col("doc_id").cast("string"), seed="shard"), _N_SHARDS
+        ).alias("shard"),
+        text_fns.n_tokens(F.col("text")).cast("long").alias("ntok"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    ext = per.agg(
+        F.min("n_tokens").alias("mn"), F.max("n_tokens").alias("mx")
+    )
+    return per.crossJoin(F.broadcast(ext)).select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("mn").cast("long").alias("min_shard_tokens"),
+        F.col("mx").cast("long").alias("max_shard_tokens"),
+    )

@@ -467,3 +467,34 @@ def write_bloom_filtered(
             f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
         )
     w.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "shard",
+) -> None:
+    """The deterministic global shuffle a training run consumes:
+    every row lands in shard ``pmod(hash60(id), n_shards)`` and rows
+    inside a shard are ordered by their hash — both layout- and
+    ingestion-order-invariant, so re-running the pipeline over a
+    recompacted copy of the corpus produces BIT-IDENTICAL shards.
+    One write: repartition on the shard id (each task owns whole
+    shards), sortWithinPartitions pins the in-file order, dynamic
+    partition layout `shard=K/`. q_shard_balance is the audit query
+    for the resulting skew."""
+    from frames_spark.functions.hashing import hash60
+
+    h = hash60(F.col(id_col).cast("string"), seed=seed)
+    (
+        df.withColumn("shard", F.pmod(h, F.lit(n_shards)))
+        .withColumn("_h", h)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_h", id_col)
+        .drop("_h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -104,3 +104,42 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "= 2" in pf, plan
+
+
+def test_training_shards_deterministic_and_ordered(spark, sf_dir, tmp_path):
+    from frames_spark.functions.hashing import hash60
+    from frames_spark.sources.sink import write_training_shards
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == 8
+    # assignment is the content hash, not layout
+    expect = docs.select(
+        "doc_id",
+        F.pmod(hash60(F.col("doc_id").cast("string"), seed="shard"), F.lit(8)).alias("s"),
+    )
+    j = back.select("doc_id", "shard").join(expect, "doc_id")
+    assert j.filter(F.col("shard") != F.col("s")).count() == 0
+    # in-file order is the hash order (read one shard's file directly)
+    import glob
+
+    f = sorted(glob.glob(f"{out}/shard=3/*.parquet"))[0]
+    rows = [r.doc_id for r in spark.read.parquet(f).collect()]
+    hs = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", hash60(F.col("doc_id").cast("string"), seed="shard").alias("h")
+        ).collect()
+    }
+    assert rows == sorted(rows, key=lambda d: (hs[d], d))
+    # re-running over a recompacted (shuffled-layout) copy is identical
+    re_src = docs.repartition(13)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(re_src, out2, n_shards=8)
+    a = {(r.doc_id, r.shard) for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
