@@ -14626,3 +14626,113 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").cast("long").alias("min_shard_tokens"),
         F.col("mx").cast("long").alias("max_shard_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing efficiency: for each candidate window size,
+# how many packed sequences the corpus yields and what fraction of
+# their token capacity is real text vs padding waste — the number
+# that decides a training run's window size. Greedy concatenation in
+# deterministic doc order per source (q_pack_docs' convention):
+# sequences per source = ceil(source_tokens / W), waste = capacity −
+# tokens. Integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "q_packing_stats",
+    f"""
+    WITH per_source AS (
+      SELECT source, SUM(len({_TOKENS_SQL})) AS ntok FROM documents
+      GROUP BY source
+    ),
+    ws(w) AS (VALUES (1024), (2048), (4096), (8192)),
+    packed AS (
+      SELECT ws.w, source, ntok, (ntok + ws.w - 1) // ws.w AS n_seqs
+      FROM per_source CROSS JOIN ws
+    )
+    SELECT CAST(w AS BIGINT) AS window_size,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_sequences,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_seqs) * w - SUM(ntok) AS BIGINT) AS padding_tokens,
+           CAST((SUM(ntok) * 1000000 + (SUM(n_seqs) * w) // 2)
+                // (SUM(n_seqs) * w) AS BIGINT) AS fill_micros
+    FROM packed GROUP BY w
+    """,
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    per_source = docs.groupBy("source").agg(
+        F.sum(text_fns.n_tokens(F.col("text")).cast("long")).alias("ntok")
+    )
+    ws = spark.createDataFrame(
+        [(1024,), (2048,), (4096,), (8192,)], "w long"
+    )
+    packed = per_source.crossJoin(F.broadcast(ws)).select(
+        "w", "ntok", F.expr("(ntok + w - 1) DIV w").alias("n_seqs")
+    )
+    return (
+        packed.groupBy("w")
+        .agg(
+            F.sum("n_seqs").alias("n_seqs"),
+            F.sum("ntok").alias("ntok"),
+        )
+        .select(
+            F.col("w").cast("long").alias("window_size"),
+            F.col("n_seqs").cast("long").alias("n_sequences"),
+            F.col("ntok").cast("long").alias("n_tokens"),
+            (F.col("n_seqs") * F.col("w") - F.col("ntok"))
+            .cast("long")
+            .alias("padding_tokens"),
+            F.expr(
+                "CAST((ntok * 1000000 + (n_seqs * w) DIV 2)"
+                " DIV (n_seqs * w) AS BIGINT)"
+            ).alias("fill_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-length fit profile: how much of the corpus (docs and
+# tokens) fits whole into each candidate context window — the
+# companion decision input to q_packing_stats for pipelines that
+# truncate instead of pack. One scan, broadcast window list.
+# ---------------------------------------------------------------------------
+@register(
+    "q_context_fit",
+    f"""
+    WITH base AS (
+      SELECT len({_TOKENS_SQL}) AS ntok FROM documents
+    ),
+    ws(w) AS (VALUES (64), (128), (256), (512)),
+    tot AS (SELECT COUNT(*) AS nd, SUM(ntok) AS nt FROM base)
+    SELECT CAST(ws.w AS BIGINT) AS window_size,
+           CAST(COUNT(CASE WHEN ntok <= ws.w THEN 1 END) AS BIGINT)
+             AS docs_fitting,
+           CAST(tot.nd AS BIGINT) AS n_docs,
+           CAST(SUM(least(ntok, ws.w)) AS BIGINT) AS tokens_kept,
+           CAST(tot.nt - SUM(least(ntok, ws.w)) AS BIGINT)
+             AS tokens_truncated
+    FROM base CROSS JOIN ws CROSS JOIN tot
+    GROUP BY ws.w, tot.nd, tot.nt
+    """,
+)
+def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(text_fns.n_tokens(F.col("text")).cast("long").alias("ntok"))
+    ws = spark.createDataFrame([(64,), (128,), (256,), (512,)], "w long")
+    tot = base.agg(F.count(F.lit(1)).alias("nd"), F.sum("ntok").alias("nt"))
+    return (
+        base.crossJoin(F.broadcast(ws))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("w", "nd", "nt")
+        .agg(
+            F.count(F.when(F.col("ntok") <= F.col("w"), 1)).alias("fit"),
+            F.sum(F.least(F.col("ntok"), F.col("w"))).alias("kept"),
+        )
+        .select(
+            F.col("w").cast("long").alias("window_size"),
+            F.col("fit").cast("long").alias("docs_fitting"),
+            F.col("nd").cast("long").alias("n_docs"),
+            F.col("kept").cast("long").alias("tokens_kept"),
+            (F.col("nt") - F.col("kept")).cast("long").alias("tokens_truncated"),
+        )
+    )
