@@ -129,3 +129,28 @@ def decode_auto(
     if mime == "audio/wav":
         return decode_wav(payload)
     return decode_pnm(payload)
+
+
+def image_dhash(payload: bytes, hash_size: int = 8) -> int:
+    """64-bit difference hash (dHash) of a PNM image — the standard
+    perceptual near-dup key: grayscale, area-mean downsample to
+    (hash_size+1) × hash_size cells, horizontal gradient sign bits.
+    Deterministic numpy byte math (no PIL), robust to mild noise /
+    re-encoding, returned as a SIGNED 64-bit value (two's complement)
+    so it lands in a Spark LongType and XOR/bit_count work unchanged.
+    """
+    magic, (width, height, maxval), off = _pnm_header(payload)
+    channels = 1 if magic == b"P5" else 3
+    need = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    gray = raster.reshape(height, width, channels).mean(axis=2)
+    cols = np.array_split(np.arange(width), hash_size + 1)
+    rows = np.array_split(np.arange(height), hash_size)
+    small = np.array(
+        [[gray[np.ix_(r, c)].mean() for c in cols] for r in rows]
+    )
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v

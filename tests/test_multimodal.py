@@ -181,3 +181,58 @@ def test_expand_frames_real_pnm_stream(spark):
     metas = {r["media_id"]: json.loads(r["frame_meta"]) for r in out}
     assert metas[1]["stub"] is False and metas[1]["n_src_frames"] == 6
     assert metas[2]["stub"] is True
+
+
+def _pgm_bytes(arr):
+    import numpy as np
+
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def test_image_dhash_properties():
+    import numpy as np
+
+    from frames_spark.multimodal.codecs import image_dhash
+
+    rng = np.random.RandomState(7)
+    ramp = np.tile(np.linspace(10, 240, 64).astype(np.uint8), (48, 1))
+    noisy = np.clip(ramp.astype(int) + rng.randint(-3, 4, ramp.shape), 0, 255)
+    rand = rng.randint(0, 256, (48, 64))
+    a = image_dhash(_pgm_bytes(ramp))
+    assert image_dhash(_pgm_bytes(ramp)) == a  # deterministic
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(a, image_dhash(_pgm_bytes(noisy))) <= 4  # noise-robust
+    assert ham(a, image_dhash(_pgm_bytes(rand))) > 16  # discriminative
+    # PPM (color) decodes through the same path
+    rgb = np.dstack([ramp] * 3)
+    ppm = b"P6\n64 48\n255\n" + rgb.astype("uint8").tobytes()
+    assert ham(a, image_dhash(ppm)) == 0  # gray(color(x)) == x
+
+
+def test_image_neardup_pairs_end_to_end(spark):
+    import numpy as np
+
+    from frames_spark.multimodal.imagededup import (
+        image_hashes,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    ramp = np.tile(np.linspace(10, 240, 64).astype(np.uint8), (48, 1))
+    noisy = np.clip(ramp.astype(int) + rng.randint(-3, 4, ramp.shape), 0, 255)
+    rows = [
+        ("img_a", bytearray(_pgm_bytes(ramp))),
+        ("img_a_noisy", bytearray(_pgm_bytes(noisy))),
+        ("img_rand", bytearray(_pgm_bytes(rng.randint(0, 256, (48, 64))))),
+        ("broken", bytearray(b"P5 not really")),
+    ]
+    df = spark.createDataFrame(rows, "file_id string, payload binary")
+    hashes = image_hashes(df)
+    got = {r.file_id: r.dhash for r in hashes.collect()}
+    assert got["broken"] is None and got["img_a"] is not None
+    pairs = image_neardup_pairs(hashes, max_hamming=8).collect()
+    assert {(r.file_id_a, r.file_id_b) for r in pairs} == {
+        ("img_a", "img_a_noisy")
+    }
+    assert all(r.hamming <= 8 for r in pairs)
