@@ -154,3 +154,38 @@ def image_dhash(payload: bytes, hash_size: int = 8) -> int:
     for b in bits:
         v = (v << 1) | int(b)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_ehash(payload: bytes, hash_size: int = 8) -> int:
+    """64-bit energy-envelope hash of PCM WAV audio — the audio twin
+    of ``image_dhash``: mono mixdown, RMS energy over
+    (hash_size² + 1) equal windows, consecutive-window gradient sign
+    bits. Robust to mild noise/level changes that preserve the
+    envelope shape; returned signed-64 like image_dhash so the same
+    banded-Hamming near-dup machinery applies unchanged."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_channels > 1:
+        x = x[: (x.size // n_channels) * n_channels]
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    n_windows = hash_size * hash_size + 1
+    if x.size < n_windows:
+        x = np.pad(x, (0, n_windows - x.size))
+    rms = np.array(
+        [np.sqrt((chunk**2).mean()) for chunk in np.array_split(x, n_windows)]
+    )
+    bits = rms[1:] > rms[:-1]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v

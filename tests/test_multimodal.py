@@ -236,3 +236,74 @@ def test_image_neardup_pairs_end_to_end(spark):
         ("img_a", "img_a_noisy")
     }
     assert all(r.hamming <= 8 for r in pairs)
+
+
+def test_audio_ehash_properties():
+    import io
+    import wave
+
+    import numpy as np
+
+    from frames_spark.multimodal.codecs import audio_ehash
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(3)
+    t = np.arange(8000)
+    # amplitude-modulated tone: a distinctive energy envelope
+    tone = (
+        np.sin(2 * np.pi * 440 * t / 8000)
+        * (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t / 8000)))
+        * 12000
+    )
+    noisy = tone + rng.normal(0, 300, tone.shape)
+    other = rng.normal(0, 8000, tone.shape)
+    a = audio_ehash(wav_bytes(tone))
+    assert audio_ehash(wav_bytes(tone)) == a
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(a, audio_ehash(wav_bytes(noisy))) <= 6
+    assert ham(a, audio_ehash(wav_bytes(other))) > 12
+
+
+def test_audio_neardup_via_banded_pairs(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from frames_spark.multimodal.codecs import audio_ehash
+    from frames_spark.multimodal.imagededup import image_neardup_pairs
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(3)
+    t = np.arange(8000)
+    tone = (
+        np.sin(2 * np.pi * 440 * t / 8000)
+        * (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t / 8000)))
+        * 12000
+    )
+    rows = [
+        ("snd_a", audio_ehash(wav_bytes(tone))),
+        ("snd_a_noisy", audio_ehash(wav_bytes(tone + rng.normal(0, 300, tone.shape)))),
+        ("snd_rand", audio_ehash(wav_bytes(rng.normal(0, 8000, tone.shape)))),
+    ]
+    hashes = spark.createDataFrame(rows, "file_id string, dhash long")
+    pairs = image_neardup_pairs(hashes, max_hamming=6).collect()
+    assert {(r.file_id_a, r.file_id_b) for r in pairs} == {
+        ("snd_a", "snd_a_noisy")
+    }
