@@ -99,18 +99,45 @@ def predicted_lang(text_col: Column) -> Column:
     return predicted_lang_from_tokens(tokens(text_col))
 
 
-def language_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, score_<lang>..., predicted) per document — one tokenizer
-    pass and one fold per row (the count array is projected once;
-    CollapseProject keeps non-cheap multi-referenced aliases)."""
-    counted = df.select(
-        F.col(id_col), _fold_counts(tokens(F.col(text_col))).alias("_counts")
+def _argmax_scores(s: dict[str, Column]) -> Column:
+    """Precedence argmax over NAMED score columns (projection
+    context: the columns are attributes, references are free)."""
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when(
+            (s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]),
+            F.lit("de"),
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
+        .when(s["es"] >= s["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
     )
-    return counted.select(
-        id_col,
+
+
+def language_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, score_<lang>..., predicted) per document.
+
+    Projection context: the five per-language filter counts sit in
+    ONE unconditional select, where codegen subexpression elimination
+    hoists the tokenizer — measured FASTER than the fold here (the
+    fold allocates a fresh 5-array per token; it wins only inside
+    conditional/filter expressions where elimination cannot hoist,
+    which is predicted_lang's territory)."""
+    scores = df.select(
+        F.col(id_col),
         *[
-            F.col("_counts")[i].alias(f"score_{lang}")
-            for i, lang in enumerate(LANGS)
+            stopword_hits(F.col(text_col), lang).alias(f"score_{lang}")
+            for lang in LANGS
         ],
-        _argmax_counts(F.col("_counts")).alias("predicted"),
+    )
+    return scores.select(
+        id_col,
+        *[f"score_{lang}" for lang in LANGS],
+        _argmax_scores({lang: F.col(f"score_{lang}") for lang in LANGS}).alias(
+            "predicted"
+        ),
     )
