@@ -48,7 +48,12 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 WARC_SCHEMA = T.StructType(
     [
@@ -171,6 +176,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema: T.StructType) -> WarcReader:
         return WarcReader(self.options)
 
+    def streamReader(self, schema: T.StructType) -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
+
 
 def read_warc(
     spark,
@@ -232,3 +240,83 @@ def write_wet(
             os.remove(path)
 
     df.select(uri_col, text_col).foreachPartition(write_partition)
+
+
+# ---------------------------------------------------------------------------
+# Streaming WARC ingest: crawl shards stream through the same parser
+# as they LAND in the directory — the front door of a continuously
+# ingesting crawl pipeline (pairs with streaming/corpus.py's cleaner:
+# read_warc_stream -> html_to_text -> clean_corpus_stream).
+# Offset = the sorted list of files already processed (exactly-once
+# at file granularity: each microbatch's partitions are the files
+# that appeared since the last offset; a restart replays only
+# uncommitted files). One task per new shard, executor-side parse,
+# same schema as the batch reader.
+# ---------------------------------------------------------------------------
+
+
+def _list_warc_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", ".")) and (".warc" in f or ".wet" in f)
+        )
+    return [path]
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        types_opt = options.get("record_types")
+        self.record_types = (
+            frozenset(t.strip() for t in types_opt.split(",") if t.strip())
+            if types_opt
+            else None
+        )
+        self.http_strip = (
+            options.get("http_strip", "true").lower() != "false"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _list_warc_files(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        return [
+            _ShardPartition(p)
+            for p in end.get("files", [])
+            if p not in seen
+        ]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rb") as fh:
+            yield from parse_warc_stream(
+                fh, self.record_types, self.http_strip
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+    def stop(self) -> None:
+        pass
+
+
+def read_warc_stream(
+    spark,
+    path: str,
+    record_types: str | None = None,
+    http_strip: bool = True,
+):
+    """Streaming twin of read_warc (registers the source first)."""
+    spark.dataSource.register(WarcDataSource)
+    r = spark.readStream.format("warc").option("path", path).option(
+        "http_strip", "true" if http_strip else "false"
+    )
+    if record_types:
+        r = r.option("record_types", record_types)
+    return r.load()

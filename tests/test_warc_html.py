@@ -220,3 +220,45 @@ def test_write_wet_roundtrip(spark, sf_dir, tmp_path):
     want = {r.doc_id: r.text for r in docs.collect()}
     assert got == want
     assert back.select("record_type").distinct().collect()[0][0] == "conversion"
+
+
+def test_warc_stream_ingests_new_shards_once(spark, tmp_path):
+    """Streaming WARC source: shards are picked up as they land,
+    each exactly once (file-granular offsets), through the same
+    parser as the batch reader."""
+    from frames_spark.sources.warc import read_warc_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "shard-0.warc").write_bytes(
+        _record("conversion", "http://a", b"alpha text")
+    )
+    stream = read_warc_stream(spark, str(src), record_types="conversion")
+    q = (
+        stream.selectExpr("target_uri", "CAST(payload AS STRING) AS text")
+        .writeStream.format("memory")
+        .queryName("warc_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.target_uri, r.text)
+            for r in spark.sql("SELECT * FROM warc_stream").collect()
+        }
+        assert got1 == {("http://a", "alpha text")}
+        # a new shard lands: next microbatch reads ONLY the new file
+        (src / "shard-1.warc.gz").write_bytes(
+            __import__("gzip").compress(
+                _record("conversion", "http://b", b"beta text")
+            )
+        )
+        q.processAllAvailable()
+        got2 = {
+            (r.target_uri, r.text)
+            for r in spark.sql("SELECT * FROM warc_stream").collect()
+        }
+        assert got2 == {("http://a", "alpha text"), ("http://b", "beta text")}
+    finally:
+        q.stop()
