@@ -262,3 +262,75 @@ def test_warc_stream_ingests_new_shards_once(spark, tmp_path):
         assert got2 == {("http://a", "alpha text"), ("http://b", "beta text")}
     finally:
         q.stop()
+
+
+def test_streaming_crawl_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The full crawl front door, streaming: WARC shards -> payload
+    decode -> html_to_text -> quality/language gates -> watermarked
+    fingerprint dedup — and the survivors equal the batch pipeline
+    over the same documents."""
+    from frames_spark.pipelines.pretrain import clean_corpus
+    from frames_spark.sources.tables import load_table
+    from frames_spark.sources.warc import read_warc_stream
+    from frames_spark.streaming.corpus import clean_corpus_stream
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents").limit(40).collect()
+    ]
+    src = tmp_path / "crawl2"
+    src.mkdir()
+    for shard in (0, 1):
+        blob = b"".join(
+            _record(
+                "response",
+                f"doc://{i}",
+                b"HTTP/1.1 200 OK\r\n\r\n<html><body><p>"
+                + t.encode()
+                + b"</p></body></html>",
+            )
+            for i, t in docs
+            if i % 2 == shard
+        )
+        (src / f"shard-{shard}.warc").write_bytes(blob)
+    stream = read_warc_stream(spark, str(src), record_types="response")
+    parsed = stream.select(
+        F.regexp_extract("target_uri", r"doc://(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode(F.col("payload"), "utf-8").alias("text"),
+        F.timestamp_seconds(
+            F.regexp_extract("target_uri", r"doc://(\d+)", 1).cast("long")
+            + 1_000_000
+        ).alias("ingest_ts"),
+    )
+    cleaned = clean_corpus_stream(parsed, "ingest_ts", strip_html=True)
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("crawl_clean")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second pass flushes the watermark past batch-1 rows
+        (src / "shard-late.warc").write_bytes(
+            _record("response", "doc://999999",
+                    b"HTTP/1.1 200 OK\r\n\r\n<html><p>tiny</p></html>")
+        )
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.n_tokens)
+            for r in spark.sql("SELECT * FROM crawl_clean").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.doc_id, r.n_tokens)
+        for r in clean_corpus(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    # batch clean_corpus additionally drops near-dup pairs, so its
+    # survivor set is a subset of the stream's gate+fingerprint set
+    assert want <= got and len(want) > 0
