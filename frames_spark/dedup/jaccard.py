@@ -6,9 +6,13 @@ one shingle ever meet, and the shuffle is keyed by shingle hash.
 
 Scale controls:
 - ``max_df`` drops stop-shingles (present in more than max_df docs)
-  before the self-join — the classic guard against the quadratic
-  blowup on boilerplate shingles. Off by default so oracle SQL can
-  match exactly; ALWAYS set it for production corpora.
+  before pair generation — the classic guard against the quadratic
+  blowup on boilerplate shingles. ON by default (``DEFAULT_MAX_DF``):
+  one shingle shared by D documents otherwise becomes a single
+  O(D)-element posting-list row and D²/2 expanded pairs. The oracle
+  SQL twins mirror the guard exactly (a HAVING df <= max_df CTE), so
+  correctness checking does not require turning it off; pass
+  ``max_df=None`` only for formulation-equivalence tests.
 - Jaccard is exact: |A ∩ B| from the index join, |A|,|B| from
   per-doc shingle counts; integer-ratio division is deterministic
   across engines.
@@ -23,6 +27,12 @@ from frames_spark.functions.hashing import shingles
 from frames_spark.functions.text import tokens
 from frames_spark.operators.core import spread
 
+# Default stop-shingle guard: shingles present in more documents than
+# this are dropped before pair generation, bounding every posting list
+# (and so the pair fan-out) by a constant. 64 keeps content shingles
+# (near-dup pairs share rare shingles) while cutting boilerplate.
+DEFAULT_MAX_DF = 64
+
 
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
@@ -35,8 +45,11 @@ def shingle_index(
     )
 
 
-def _rare_shingles(index: DataFrame, max_df: int | None) -> DataFrame:
-    """Drop stop-shingles (document frequency > max_df) from the index."""
+def rare_shingles(index: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop stop-shingles (document frequency > max_df) from the index.
+
+    This is the linear LeftSemi guard every posting-list tier routes
+    through; ``max_df=None`` disables it (formulation tests only)."""
     if max_df is None:
         return index
     rare = (
@@ -53,7 +66,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """ORDERED pairs (doc_a, doc_b, n_common, n_shingles_a,
     containment = |A∩B| / |A|) over every document pair sharing at
@@ -68,7 +81,7 @@ def containment_pairs(
     (b,a) is produced AFTER the pair aggregation by a row-local
     2-element explode, so the pair shuffle carries each unordered
     pair once. ``max_df`` is the stop-shingle guard bounding every
-    posting list; always set it for production corpora.
+    posting list; on by default (``DEFAULT_MAX_DF``).
     """
     return containment_pairs_from_index(
         shingle_index(df, id_col, text_col, n), max_df=max_df
@@ -76,12 +89,12 @@ def containment_pairs(
 
 
 def containment_pairs_from_index(
-    index: DataFrame, max_df: int | None = None
+    index: DataFrame, max_df: int | None = DEFAULT_MAX_DF
 ) -> DataFrame:
     """:func:`containment_pairs` over a pre-built (doc, shingle)
     inverted index — lets one index relation feed several dedup
     tiers (see q_dedup_summary, which persists the index once)."""
-    index = _rare_shingles(index, max_df)
+    index = rare_shingles(index, max_df)
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (
         index.groupBy("shingle")
@@ -135,10 +148,10 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
-    index = _rare_shingles(shingle_index(df, id_col, text_col, n), max_df)
+    index = rare_shingles(shingle_index(df, id_col, text_col, n), max_df)
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     # posting-list groupBy + in-array pair expansion: the index

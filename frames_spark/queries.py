@@ -893,6 +893,12 @@ _SHINGLES_SQL = """
     FROM (SELECT doc_id, {tokens} AS toks FROM ({corpus}))
 """
 
+# Stop-shingle guard shared by every posting-list dedup oracle:
+# jaccard.py drops shingles with document frequency above this BEFORE
+# pair generation (bounding posting lists and pair fan-out), and each
+# oracle mirrors it with a HAVING df <= guard CTE.
+_SHINGLE_MAX_DF = jac_ops.DEFAULT_MAX_DF
+
 
 # Exact dedup: md5-fingerprint groupBy (dedup/exact.py).
 @register(
@@ -910,12 +916,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("fp", "canonical_id", "n_copies")
 
 
-# N-gram Jaccard near-dup pairs via shingle inverted index.
+# N-gram Jaccard near-dup pairs via shingle inverted index, with the
+# default stop-shingle guard mirrored in the oracle's `rare` CTE.
 @register(
     "q_dedup_ngram",
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    rare AS (
+      SELECT shingle FROM shingled0 GROUP BY shingle
+      HAVING COUNT(*) <= {_SHINGLE_MAX_DF}
+    ),
+    shingled AS (SELECT s.* FROM shingled0 s JOIN rare USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
@@ -14354,7 +14366,12 @@ def q_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_curve",
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    rare AS (
+      SELECT shingle FROM shingled0 GROUP BY shingle
+      HAVING COUNT(*) <= {_SHINGLE_MAX_DF}
+    ),
+    shingled AS (SELECT s.* FROM shingled0 s JOIN rare USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
@@ -14382,7 +14399,13 @@ def q_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = _with_near_copies(docs)
-    index = jac_ops.shingle_index(corpus, "doc_id", "text", 3)
+    # stop-shingle guard BEFORE pair generation (posting lists stay
+    # bounded at any corpus size), mirrored in the oracle's rare CTE;
+    # sizes are computed over the guarded index so jaccard stays exact
+    # w.r.t. the guarded shingle sets on both sides.
+    index = jac_ops.rare_shingles(
+        jac_ops.shingle_index(corpus, "doc_id", "text", 3), _SHINGLE_MAX_DF
+    )
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (
         index.groupBy("shingle")

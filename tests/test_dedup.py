@@ -91,7 +91,9 @@ def test_containment_pairs_match_reference_self_join(spark, sf_dir):
     corpus = _with_near_copies(docs)
     got = {
         (r.doc_a, r.doc_b, r.n_common, r.n_shingles_a)
-        for r in jaccard.containment_pairs(corpus, "doc_id", "text", 3).collect()
+        for r in jaccard.containment_pairs(
+            corpus, "doc_id", "text", 3, max_df=None
+        ).collect()
     }
     sh = jaccard.shingle_index(corpus, "doc_id", "text", 3)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
@@ -117,6 +119,25 @@ def test_containment_max_df_drops_hot_shingle_pairs(spark):
     assert unguarded.count() == 10 * 9  # ordered pairs via the hot shingle
     guarded = jaccard.containment_pairs(docs, "doc_id", "text", 3, max_df=5)
     assert guarded.count() == 0
+
+
+def test_jaccard_default_max_df_guards_hot_shingles(spark):
+    # DEFAULT_MAX_DF is ON by default: a boilerplate shingle shared by
+    # more docs than the guard generates ZERO candidate pairs instead
+    # of D²/2 — for both jaccard_pairs and containment_pairs.
+    hot = "x y z"
+    n = jaccard.DEFAULT_MAX_DF + 6
+    docs = spark.createDataFrame(
+        [(i, f"{hot} u{i} v{i} w{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    assert jaccard.jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.0).count() == 0
+    assert jaccard.containment_pairs(docs, "doc_id", "text", 3).count() == 0
+    # and with the guard explicitly off the hot shingle pairs everyone
+    assert (
+        jaccard.containment_pairs(docs, "doc_id", "text", 3, max_df=None).count()
+        == n * (n - 1)
+    )
 
 
 def test_containment_has_no_inner_join_on_shingle(spark, sf_dir):
