@@ -14759,3 +14759,155 @@ def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nt") - F.col("kept")).cast("long").alias("tokens_truncated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table witnesses: the newest source surface
+# (sources/versioned.py — snapshot isolation + time travel) put under
+# the same hard oracle gate as every other component. Both queries
+# PLANT a deterministic three-version table from `orders` inside a
+# fresh temp dir (v1 = base slice; v2 = upsert: re-priced %5 keys +
+# added %7 keys shifted by 1e8; v3 = direct snapshot write deleting
+# %11 keys), then read historical versions AFTER later versions are
+# published — the time-travel property itself is what produces the
+# answer. The oracle rebuilds v1/v2/v3 purely relationally. Prices go
+# through the _micros integer hand-off at v1-construction time so
+# every later version is integer-exact on both engines.
+# ---------------------------------------------------------------------------
+_VT_V1_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS price_micros
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+_VT_UPD_SQL = """
+    SELECT o_orderkey, o_custkey, price_micros + 1000000 AS price_micros
+    FROM v1 WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, price_micros
+    FROM v1 WHERE o_orderkey % 7 = 0
+"""
+_VT_CTES = f"""
+    WITH v1 AS ({_VT_V1_SQL}),
+    upd AS ({_VT_UPD_SQL}),
+    v2 AS (
+      SELECT * FROM v1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    ),
+    v3 AS (SELECT * FROM v2 WHERE o_orderkey % 11 <> 0)
+"""
+
+
+def _planted_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the deterministic v1/v2/v3 ladder and return the table
+    dir (a fresh mkdtemp per call — snapshots are immutable, so two
+    concurrent invocations never interfere)."""
+    import tempfile
+
+    from frames_spark.sources.versioned import (
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="fs_vtbl_")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _micros(F.col("o_totalprice")).alias("price_micros"),
+        )
+    )
+    write_versioned(base, table_dir)  # v1
+    updates = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("price_micros") + 1_000_000).alias("price_micros"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "price_micros",
+            )
+        )
+    )
+    upsert_versioned(spark, table_dir, updates, ["o_orderkey"])  # v2
+    v3 = read_versioned(spark, table_dir, version=2).filter(
+        F.col("o_orderkey") % 11 != 0
+    )
+    write_versioned(v3, table_dir)  # v3 (delete-as-snapshot)
+    return table_dir
+
+
+@register(
+    "q_time_travel",
+    _VT_CTES + """
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_micros) AS BIGINT) AS sum_price_micros,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price_micros) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price_micros) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM v3
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.sources.versioned import read_versioned
+
+    table_dir = _planted_versioned_table(spark, sf_dir)
+    # every historical version is read AFTER v3 is published — the
+    # snapshot-isolation/time-travel property under test
+    per_version = [
+        read_versioned(spark, table_dir, version=v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_micros").cast("long").alias("sum_price_micros"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out.select("version", "n_rows", "sum_price_micros", "max_key")
+
+
+@register(
+    "q_snapshot_diff",
+    _VT_CTES + """
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.price_micros <> b.price_micros
+                  OR a.o_custkey <> b.o_custkey THEN 'changed'
+           END AS change
+    FROM v1 a FULL OUTER JOIN v3 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.price_micros <> b.price_micros
+       OR a.o_custkey <> b.o_custkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.sources.versioned import read_versioned
+
+    table_dir = _planted_versioned_table(spark, sf_dir)
+    # q_table_diff's machinery composed with time travel: diff the
+    # oldest snapshot against the newest — 'added' (%7 keys), 'removed'
+    # (%11 delete + upsert-displaced), 'changed' (%5 re-price) all
+    # exercised in one result.
+    return table_diff(
+        read_versioned(spark, table_dir, version=1),
+        read_versioned(spark, table_dir, version=3),
+        ["o_orderkey"],
+    )

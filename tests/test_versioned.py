@@ -78,3 +78,34 @@ def test_vacuum_keeps_published_and_recent(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, str(tmp_path / "missing"))
+
+
+def test_uri_scheme_paths_roundtrip_via_hadoop_fs(spark, tmp_path):
+    # pointer + listing I/O must go through the Hadoop FileSystem API
+    # resolved from the path's own scheme (the fix for s3a://+hdfs://
+    # deployments where driver-local os I/O sees an empty dir). A
+    # file:// URI exercises the exact same code path locally.
+    t = "file://" + str(tmp_path / "tbl")
+    write_versioned(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+    write_versioned(spark.createDataFrame([(2, "b")], "k long, v string"), t)
+    assert versions(t) == [1, 2]
+    assert _rows(read_versioned(spark, t)) == {(2, "b")}
+    assert _rows(read_versioned(spark, t, version=1)) == {(1, "a")}
+    for i in range(3, 6):
+        write_versioned(
+            spark.createDataFrame([(i, "x")], "k long, v string"), t
+        )
+    assert vacuum(t, keep_last=2) == [1, 2, 3]
+    assert versions(t) == [4, 5]
+
+
+def test_remote_scheme_without_session_raises_with_hint():
+    # without a JVM, a cluster-FS path must fail loudly instead of
+    # silently listing a (nonexistent) driver-local directory
+    from frames_spark.sources import versioned as V
+
+    with pytest.raises(RuntimeError, match="Hadoop FileSystem"):
+        V._require_local("s3a://bucket/tbl", "versions")
+    # scheme-less local paths keep the os fallback
+    assert V._require_local("/tmp/x", "versions") == "/tmp/x"
+    assert V._require_local("file:///tmp/x", "versions") == "/tmp/x"
