@@ -3,7 +3,13 @@ Models: ... Gopher", Table A1): the standard repetition signals a
 pretraining quality gate computes per document —
 
 - duplicate line fraction, duplicate paragraph fraction;
-- fraction of characters in the single most frequent {2,3,4}-gram.
+- fraction of characters in the single most frequent {2,3,4}-gram;
+- fraction of characters in duplicated {5..10}-grams (all
+  occurrences of any n-gram appearing more than once; overlapping
+  windows may count a character more than once, as in the published
+  formulation);
+- symbol-to-word ratio (hash and ellipsis symbols per word) and the
+  bullet-start / ellipsis-end line fractions from the same table.
 
 Everything here is a PURE SCAN EXPRESSION over the token array: no
 explode, no shuffle, embarrassingly parallel at any corpus size.
@@ -57,17 +63,36 @@ GOPHER_THRESHOLDS = {
     "top2_char_frac": 0.20,
     "top3_char_frac": 0.18,
     "top4_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+    "symbol_word_ratio": 0.10,
+    "bullet_line_frac": 0.90,
+    "ellipsis_line_frac": 0.30,
 }
+
+# Bullet characters a "line" may start with (Table A1's bullet rule).
+BULLET_CHARS = ("•", "‣", "▪", "◦", "-", "*")
 
 
 def token_windows(toks: Column, width: int) -> Column:
     """Fixed-width token windows (the 'lines'/'paragraphs' of a
-    newline-free corpus): ceil(n/width) strings."""
+    newline-free corpus): ceil(n/width) strings; empty input yields
+    ZERO windows (F.sequence(0, -1) would otherwise produce the
+    descending [0, -1] and two phantom empty windows)."""
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(0), F.floor((n + width - 1) / width).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
-    )
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((n + width - 1) / width).cast("int") - 1
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngrams(toks: Column, n: int) -> Column:
@@ -136,9 +161,109 @@ def top_gram_char_frac_micros(
     ).otherwise(_round_div_micros(covered, total_chars))
 
 
-def repetition_signals(toks: Column, total_chars: Column) -> dict[str, Column]:
-    """The full battery as named micros columns."""
-    return {
+def dup_gram_chars(grams: Column) -> Column:
+    """Characters covered by ALL occurrences of grams appearing >= 2
+    times: sum over duplicated grams of cnt * length(gram) — the same
+    single fold over the sorted array as :func:`top_gram`, banking a
+    finished run when the neighbor changes."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        banked = F.when(
+            ~same & (acc["run"] >= 2),
+            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(acc["dup"])
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            banked.alias("dup"),
+        )
+
+    return F.aggregate(
+        F.sort_array(grams),
+        init,
+        merge,
+        lambda acc: F.when(
+            acc["run"] >= 2,
+            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(acc["dup"]),
+    )
+
+
+def dup_gram_char_frac_micros(
+    toks: Column, n: int, total_chars: Column
+) -> Column:
+    """Duplicated-n-gram character fraction, micros-quantized (may
+    exceed 1e6 on heavily repeated text — overlapping windows count a
+    character once per window, as in the published formulation)."""
+    d = dup_gram_chars(ngrams(toks, n))
+    return F.when(total_chars <= 0, F.lit(0).cast("long")).otherwise(
+        _round_div_micros(d, total_chars)
+    )
+
+
+def symbol_word_ratio_micros(toks: Column) -> Column:
+    """(count of '#' chars + '…' chars + non-overlapping '...' runs)
+    per word, micros-quantized — Table A1's symbol-to-word rule."""
+
+    def per_tok(t: Column) -> Column:
+        hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        uni = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+        dots = _idiv(
+            F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))),
+            F.lit(3),
+        )
+        return (hashes + uni + dots).cast("long")
+
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + per_tok(t),
+    )
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+        _round_div_micros(total, n)
+    )
+
+
+def bullet_line_frac_micros(toks: Column) -> Column:
+    """Fraction of 'lines' (LINE_WIDTH-token windows) starting with a
+    bullet character, micros-quantized."""
+    ws = token_windows(toks, LINE_WIDTH)
+    nb = F.size(
+        F.filter(ws, lambda w: F.substring(w, 1, 1).isin(*BULLET_CHARS))
+    )
+    n = F.size(ws)
+    return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+        _round_div_micros(nb, n)
+    )
+
+
+def ellipsis_line_frac_micros(toks: Column) -> Column:
+    """Fraction of 'lines' ending with an ellipsis ('...' or '…'),
+    micros-quantized."""
+    ws = token_windows(toks, LINE_WIDTH)
+    ne = F.size(
+        F.filter(ws, lambda w: w.endswith("...") | w.endswith("…"))
+    )
+    n = F.size(ws)
+    return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+        _round_div_micros(ne, n)
+    )
+
+
+def repetition_signals(
+    toks: Column, total_chars: Column, extended: bool = False
+) -> dict[str, Column]:
+    """The battery as named micros columns. ``extended=True`` adds the
+    rest of Table A1: duplicated-{5..10}-gram char fractions, the
+    symbol-to-word ratio, and the bullet/ellipsis line fractions."""
+    out = {
         "dup_line_frac_micros": dup_fraction_micros(
             token_windows(toks, LINE_WIDTH)
         ),
@@ -149,17 +274,23 @@ def repetition_signals(toks: Column, total_chars: Column) -> dict[str, Column]:
         "top3_char_frac_micros": top_gram_char_frac_micros(toks, 3, total_chars),
         "top4_char_frac_micros": top_gram_char_frac_micros(toks, 4, total_chars),
     }
+    if extended:
+        for n in range(5, 11):
+            out[f"dup_{n}gram_char_frac_micros"] = dup_gram_char_frac_micros(
+                toks, n, total_chars
+            )
+        out["symbol_word_ratio_micros"] = symbol_word_ratio_micros(toks)
+        out["bullet_line_frac_micros"] = bullet_line_frac_micros(toks)
+        out["ellipsis_line_frac_micros"] = ellipsis_line_frac_micros(toks)
+    return out
 
 
 def passes_repetition_gates(toks: Column, total_chars: Column) -> Column:
-    """Boolean: document survives every Gopher repetition threshold
+    """Boolean: document survives every Gopher Table A1 threshold —
+    the FULL battery, repetition + symbol/bullet/ellipsis rules
     (micros-integer comparisons — engine-exact)."""
-    s = repetition_signals(toks, total_chars)
-    t = GOPHER_THRESHOLDS
-    return (
-        (s["dup_line_frac_micros"] <= int(t["dup_line_frac"] * 1_000_000))
-        & (s["dup_para_frac_micros"] <= int(t["dup_para_frac"] * 1_000_000))
-        & (s["top2_char_frac_micros"] <= int(t["top2_char_frac"] * 1_000_000))
-        & (s["top3_char_frac_micros"] <= int(t["top3_char_frac"] * 1_000_000))
-        & (s["top4_char_frac_micros"] <= int(t["top4_char_frac"] * 1_000_000))
-    )
+    s = repetition_signals(toks, total_chars, extended=True)
+    gate = F.lit(True)
+    for key, thr in GOPHER_THRESHOLDS.items():
+        gate = gate & (s[f"{key}_micros"] <= int(thr * 1_000_000))
+    return gate

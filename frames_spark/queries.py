@@ -14911,3 +14911,102 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_versioned(spark, table_dir, version=3),
         ["o_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher Table A1 COMPLETION (the extended battery, Rae et al. 2021):
+# duplicated-{5..10}-gram character fractions (ALL occurrences of any
+# n-gram appearing twice or more), symbol-to-word ratio ('#', '…' and
+# non-overlapping '...'), and bullet-start / ellipsis-end line
+# fractions. Sibling of q_gopher_repetition: together they cover the
+# full table, and passes_repetition_gates enforces every threshold.
+# Spark side is still pure scan expressions (the dup-gram count is
+# the same sorted-run fold, banking finished runs); oracle recomputes
+# relationally per n with identical rounding divisions.
+# ---------------------------------------------------------------------------
+_GFULL_GRAMS_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, {n} AS n,
+        unnest(CASE WHEN len(t) >= {n} THEN
+          list_transform(range(1, len(t) - {n - 2}),
+                         i -> array_to_string(t[i:i+{n - 1}], ' '))
+          ELSE [] END) AS gram FROM base"""
+    for n in range(5, 11)
+)
+_GFULL_DUP_COLS_SQL = ",\n             ".join(
+    f"SUM(CASE WHEN n = {n} AND c >= 2 THEN c * length(gram) ELSE 0 END) AS d{n}"
+    for n in range(5, 11)
+)
+_GFULL_FRAC_COLS_SQL = ",\n           ".join(
+    f"""CASE WHEN w.tc > 0 THEN
+             CAST((COALESCE(d.d{n}, 0) * 1000000 + w.tc // 2) // w.tc AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS dup_{n}gram_char_frac_micros"""
+    for n in range(5, 11)
+)
+
+
+@register(
+    "q_gopher_full",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t, length({_NORM_SQL}) AS tc
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, tc, len(t) AS nw,
+             list_transform(range(0, CAST((len(t) + 7) // 8 AS INT)),
+                            i -> array_to_string(t[8*i+1 : 8*i+8], ' ')) AS ls
+      FROM base
+    ),
+    g AS ({_GFULL_GRAMS_SQL}),
+    cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    dup AS (
+      SELECT doc_id,
+             {_GFULL_DUP_COLS_SQL}
+      FROM cnt GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             SUM(length(tok) - length(replace(tok, '#', ''))
+                 + length(tok) - length(replace(tok, '…', ''))
+                 + (length(tok) - length(replace(tok, '...', ''))) // 3)
+               AS syms
+      FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           {_GFULL_FRAC_COLS_SQL},
+           CASE WHEN w.nw > 0 THEN
+             CAST((COALESCE(s.syms, 0) * 1000000 + w.nw // 2) // w.nw AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS symbol_word_ratio_micros,
+           CASE WHEN len(w.ls) > 0 THEN
+             CAST((len(list_filter(w.ls,
+                    x -> substr(x, 1, 1) IN ('•', '‣', '▪', '◦', '-', '*')))
+                   * 1000000 + len(w.ls) // 2) // len(w.ls) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS bullet_line_frac_micros,
+           CASE WHEN len(w.ls) > 0 THEN
+             CAST((len(list_filter(w.ls,
+                    x -> ends_with(x, '...') OR ends_with(x, '…')))
+                   * 1000000 + len(w.ls) // 2) // len(w.ls) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS ellipsis_line_frac_micros
+    FROM win w
+    LEFT JOIN dup d USING (doc_id)
+    LEFT JOIN sym s USING (doc_id)
+    """,
+)
+def q_gopher_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    pre = docs.select(
+        "doc_id",
+        text_fns.tokens(F.col("text")).alias("_toks"),
+        F.length(text_fns.normalize(F.col("text"))).cast("long").alias("_tc"),
+    )
+    sig = gopher_fns.repetition_signals(
+        F.col("_toks"), F.col("_tc"), extended=True
+    )
+    new_keys = [
+        *[f"dup_{n}gram_char_frac_micros" for n in range(5, 11)],
+        "symbol_word_ratio_micros",
+        "bullet_line_frac_micros",
+        "ellipsis_line_frac_micros",
+    ]
+    return pre.select("doc_id", *[sig[k].alias(k) for k in new_keys])

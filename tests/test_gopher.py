@@ -10,9 +10,13 @@ from pyspark.sql import functions as F
 
 from frames_spark.functions.gopher import (
     GOPHER_THRESHOLDS,
+    bullet_line_frac_micros,
+    dup_gram_chars,
+    ellipsis_line_frac_micros,
     ngrams,
     passes_repetition_gates,
     repetition_signals,
+    symbol_word_ratio_micros,
     token_windows,
     top_gram,
 )
@@ -124,3 +128,77 @@ def test_thresholds_are_gopher_table_a1():
     assert GOPHER_THRESHOLDS["top2_char_frac"] == 0.20
     assert GOPHER_THRESHOLDS["top3_char_frac"] == 0.18
     assert GOPHER_THRESHOLDS["top4_char_frac"] == 0.16
+    # extended battery (duplicate n-gram char fractions decrease with n)
+    for n, thr in zip(range(5, 11), (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)):
+        assert GOPHER_THRESHOLDS[f"dup_{n}gram_char_frac"] == thr
+    assert GOPHER_THRESHOLDS["symbol_word_ratio"] == 0.10
+    assert GOPHER_THRESHOLDS["bullet_line_frac"] == 0.90
+    assert GOPHER_THRESHOLDS["ellipsis_line_frac"] == 0.30
+
+
+def test_token_windows_empty_input_yields_zero_windows(spark):
+    # the F.sequence(0, -1) trap: start > stop defaults to step -1 and
+    # yields [0, -1] -> two phantom empty windows and a fake dup_frac
+    df = spark.createDataFrame([([],)], "t array<string>")
+    (r,) = df.select(token_windows(F.col("t"), 8).alias("w")).collect()
+    assert r.w == []
+
+
+def test_dup_gram_chars_matches_counter_reference(spark):
+    texts = [
+        "a b c a b c a b c x",      # "a b c" repeated
+        " ".join(f"w{i}" for i in range(30)),  # all unique
+        "t t t t t t t",            # everything duplicated
+        "one two three four five",  # single occurrence each
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (2, 3, 5):
+        got = df.select(
+            F.col("text"),
+            dup_gram_chars(ngrams(tokens(F.col("text")), n)).alias("d"),
+        ).collect()
+        for r in got:
+            toks = r.text.split()
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            c = Counter(grams)
+            want = sum(v * len(g) for g, v in c.items() if v >= 2)
+            assert r.d == want, (r.text, n)
+
+
+def test_symbol_bullet_ellipsis_signals(spark):
+    df = spark.createDataFrame(
+        [
+            # 10 words, one '#', one '…', one '...' -> 3 symbols
+            ("w1 #tag w3 w4 w5… w6 w7 w8 w9 wait...",),
+            # 8-token "lines": first line starts with '-', second with a word
+            ("- item one two three four five six "
+             "plain seven eight nine ten eleven twelve thirteen",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        symbol_word_ratio_micros(tokens(F.col("text"))).alias("sym"),
+        bullet_line_frac_micros(tokens(F.col("text"))).alias("bul"),
+        ellipsis_line_frac_micros(tokens(F.col("text"))).alias("ell"),
+    ).collect()
+    assert rows[0].sym == 300_000      # 3 symbols / 10 words
+    assert rows[0].ell == 500_000      # 2 windows, second ends '...'
+    assert rows[1].bul == 500_000      # 2 windows, first starts '-'
+    assert rows[1].ell == 0
+
+
+def test_extended_gate_drops_symbol_spam(spark):
+    clean = " ".join(f"w{i}" for i in range(40))
+    hashy = " ".join(f"#t{i}" for i in range(40))   # symbol ratio 1.0
+    bullets = " ".join(["- a b c d e f g"] * 5)     # every line bullet...
+    df = spark.createDataFrame(
+        [(1, clean), (2, hashy), (3, bullets)], "doc_id long, text string"
+    )
+    kept = df.filter(
+        passes_repetition_gates(
+            tokens(F.col("text")), F.length(normalize(F.col("text")))
+        )
+    )
+    assert [r.doc_id for r in kept.collect()] == [1]
