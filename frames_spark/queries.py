@@ -14224,17 +14224,19 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals[r.cur] = totals.get(r.cur, 0) + r.n
     k = len(totals)
     v = {s: 1_000_000_000 // k for s in totals}
+    # each iteration mirrors the oracle CTE EXACTLY, row set included:
+    # v_{i+1} = GROUP BY c.nxt over edges whose cur is in v_i — so
+    # absorbing states (nxt-only) appear with their inbound mass, and
+    # cur-states with no inbound edge drop out; on a chain that is not
+    # closed over its cur-set the two engines still return the same
+    # rows (the prior cur-set restriction diverged there).
     for _ in range(_MARKOV_ITERS):
-        nv = {s: 0 for s in totals}
+        nv: dict[str, int] = {}
         for r in edges:
-            if r.nxt in nv:
+            if r.cur in v:
                 t = totals[r.cur]
-                nv[r.nxt] += (v[r.cur] * r.n + t // 2) // t
-            else:  # state never transitions out: mass flows in only
-                nv[r.nxt] = nv.get(r.nxt, 0)
-        # drop states outside the recurrent cur-set, as the oracle's
-        # join structure does
-        v = {s: nv[s] for s in totals}
+                nv[r.nxt] = nv.get(r.nxt, 0) + (v[r.cur] * r.n + t // 2) // t
+        v = nv
     return spark.createDataFrame(
         [(s, v[s]) for s in sorted(v)], "state string, stationary_nanos long"
     )

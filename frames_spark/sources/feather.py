@@ -9,12 +9,16 @@ executor (one row per file, no driver collect), and an Arrow-batched
 same Arrow memory format the transfer uses, so decode is one
 zero-ish-copy pass, not a row loop.
 
-Schema is probed ONCE from the first file, fetched through the same
-binaryFile relation (so object stores the driver OS cannot open()
-work) and converted via pyspark's own arrow-schema mapping, so the
-result is a fully typed DataFrame and downstream pruning/pushdown
-see real columns; every file is checked against the probed schema
-(names AND types) before decode.
+Schema is probed ONCE from the first file by reading only its HEAD
+through the Hadoop FileSystem API (both IPC formats put the schema
+message first — the file format merely prefixes an 8-byte magic), so
+object stores the driver OS cannot open() work AND a multi-GB shard
+costs the driver one bounded 1 MiB read instead of the whole payload;
+a full binaryFile fetch remains as the fallback for schemas larger
+than the probe window. The schema converts via pyspark's own
+arrow-schema mapping, so the result is a fully typed DataFrame and
+downstream pruning/pushdown see real columns; every file is checked
+against the probed schema (names AND types) before decode.
 
 Scale notes: like every binaryFile consumer, each FILE is one task's
 unit of work — shard feather exports into many moderate files (the
@@ -42,6 +46,25 @@ def _open_ipc(content: bytes):
         return pa.ipc.open_stream(pa.BufferReader(content))
 
 
+_PROBE_BYTES = 1 << 20  # schema messages are KBs; 1 MiB is generous
+
+
+def _probe_head(spark: SparkSession, path_str: str) -> bytes:
+    """First min(len, _PROBE_BYTES) bytes of path_str via the Hadoop
+    FileSystem API — the same FS layer binaryFile itself uses, so any
+    scheme works and the driver never materializes the full shard."""
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    n = min(int(fs.getFileStatus(jpath).getLen()), _PROBE_BYTES)
+    stream = fs.open(jpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n)
+    finally:
+        stream.close()
+    return bytes(data)
+
+
 def read_feather(
     spark: SparkSession,
     path: str,
@@ -58,14 +81,26 @@ def read_feather(
         .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
     )
-    first = files.select("content").limit(1).collect()
+    first = files.select("path").limit(1).collect()
     if not first:
         raise ValueError(f"no files match {glob!r} under {path}")
-    # schema probe through the SAME binaryFile relation (Hadoop FS
-    # layer), so s3a://, hdfs://, or any store the driver OS cannot
-    # open() directly all work — pyarrow still reads only the footer
-    # of the fetched buffer
-    arrow_schema = _open_ipc(bytes(first[0]["content"])).schema
+    # bounded schema probe: both IPC formats start with the schema
+    # message (file format prefixes 8 magic bytes), so the head read
+    # suffices; the full-content fetch only runs if the schema message
+    # overflows the probe window
+    first_path = first[0]["path"]
+    head = _probe_head(spark, first_path)
+    body = head[8:] if head[:6] == b"ARROW1" else head
+    try:
+        arrow_schema = pa.ipc.read_schema(pa.BufferReader(body))
+    except pa.ArrowInvalid:
+        content = (
+            files.filter(files["path"] == first_path)
+            .select("content")
+            .limit(1)
+            .collect()
+        )
+        arrow_schema = _open_ipc(bytes(content[0]["content"])).schema
     spark_schema = from_arrow_schema(arrow_schema)
     expect_fields = [(f.name, f.type) for f in arrow_schema]
 

@@ -252,6 +252,20 @@ def write_wet(
 # that appeared since the last offset; a restart replays only
 # uncommitted files). One task per new shard, executor-side parse,
 # same schema as the batch reader.
+#
+# ATOMIC PLACEMENT REQUIRED: a file is ingested ONCE, the first time
+# a listing sees it — a shard still being written when latestOffset()
+# runs would be ingested permanently truncated (the tolerant parser
+# makes the loss silent). Producers MUST write to a '.'/'_'-prefixed
+# temp name (which the listing skips) and rename into place; the WET
+# writer in this module and every Hadoop committer already do this.
+#
+# Offset growth: the default offset carries every processed file name
+# forever. With ``compact_offsets=true`` the offset collapses to a
+# single name watermark ({"upto": max_name}) — sound ONLY when shard
+# names arrive in lexicographically non-decreasing order (the crawl
+# convention of timestamp-prefixed names): a late file sorting below
+# the watermark would be silently skipped, so the flag is opt-in.
 # ---------------------------------------------------------------------------
 
 
@@ -277,14 +291,36 @@ class WarcStreamReader(DataSourceStreamReader):
         self.http_strip = (
             options.get("http_strip", "true").lower() != "false"
         )
+        self.compact_offsets = (
+            options.get("compact_offsets", "false").lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def latestOffset(self) -> dict:
+        if self.compact_offsets:
+            listing = _list_warc_files(self.path)
+            # O(1) offset: "every file named <= upto is processed" —
+            # requires monotone shard naming (see module note above)
+            return {"upto": listing[-1] if listing else None, "files": []}
         return {"files": _list_warc_files(self.path)}
 
     def partitions(self, start: dict, end: dict):
+        if "upto" in end or "upto" in start:
+            # compacted form: re-list and take names in the
+            # (start.upto, end.upto] window, minus any explicitly
+            # listed names (a pre-compaction checkpoint's tail)
+            s_upto = start.get("upto")
+            e_upto = end.get("upto")
+            seen = set(start.get("files", []))
+            return [
+                _ShardPartition(p)
+                for p in _list_warc_files(self.path)
+                if (e_upto is not None and p <= e_upto)
+                and (s_upto is None or p > s_upto)
+                and p not in seen
+            ]
         seen = set(start.get("files", []))
         return [
             _ShardPartition(p)
@@ -311,12 +347,19 @@ def read_warc_stream(
     path: str,
     record_types: str | None = None,
     http_strip: bool = True,
+    compact_offsets: bool = False,
 ):
-    """Streaming twin of read_warc (registers the source first)."""
+    """Streaming twin of read_warc (registers the source first).
+
+    Producers must place shards ATOMICALLY (write to a '.'/'_'
+    prefixed temp name, rename into place) — see the module note.
+    ``compact_offsets`` keeps the checkpoint offset O(1) instead of
+    one entry per file ever seen; requires lexicographically
+    non-decreasing shard names."""
     spark.dataSource.register(WarcDataSource)
     r = spark.readStream.format("warc").option("path", path).option(
         "http_strip", "true" if http_strip else "false"
-    )
+    ).option("compact_offsets", "true" if compact_offsets else "false")
     if record_types:
         r = r.option("record_types", record_types)
     return r.load()

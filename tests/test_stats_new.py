@@ -49,6 +49,43 @@ def test_durbin_watson_bounds_and_constructed(spark, sf_dir):
     assert r.n_days > 100
 
 
+def test_markov_stationary_nonclosed_chain_matches_oracle(spark, tmp_path):
+    # a chain NOT closed over its cur-set: 'start' has no inbound
+    # edge, 'end' is absorbing (appears only as nxt). Both engines
+    # must return the oracle CTE's exact final row set — absorbing
+    # states kept with their inbound mass, zero-inbound cur-states
+    # dropped (the prior driver loop restricted rows to the cur-set).
+    import datetime
+
+    import duckdb
+
+    from frames_spark.queries import ORACLES
+
+    seq = ["start", "a", "b", "a", "b", "end"]
+    rows = [
+        (1, i, et, datetime.datetime(2024, 1, 1, 0, 0, i))
+        for i, et in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.state, r.stationary_nanos)
+        for r in QUERIES["q_markov_stationary"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = {
+        (s, int(v)) for s, v in con.sql(ORACLES["q_markov_stationary"]).fetchall()
+    }
+    assert got == want
+    assert {s for s, _ in got} == {"a", "b", "end"}
+
+
 def test_markov_stationary_mass_and_positivity(spark, sf_dir):
     rows = QUERIES["q_markov_stationary"](spark, sf_dir).collect()
     total = sum(r.stationary_nanos for r in rows)

@@ -334,3 +334,32 @@ def test_streaming_crawl_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # batch clean_corpus additionally drops near-dup pairs, so its
     # survivor set is a subset of the stream's gate+fingerprint set
     assert want <= got and len(want) > 0
+
+
+def test_warc_stream_compacted_offsets_are_o1(tmp_path):
+    # method-level: compacted offsets stay O(1) regardless of file
+    # count, ingest each shard exactly once under monotone naming,
+    # and skip '.'/'_'-prefixed in-flight files
+    from frames_spark.sources.warc import WarcStreamReader
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for name in ("s001.warc", "s002.warc", "_inflight.warc", ".tmp.warc"):
+        (d / name).write_bytes(b"")
+    r = WarcStreamReader({"path": str(d), "compact_offsets": "true"})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert o1 == {"upto": str(d / "s002.warc"), "files": []}
+    first = {p.path for p in r.partitions(o0, o1)}
+    assert first == {str(d / "s001.warc"), str(d / "s002.warc")}
+    # a new shard lands atomically with a later name
+    (d / "s003.warc").write_bytes(b"")
+    o2 = r.latestOffset()
+    assert o2 == {"upto": str(d / "s003.warc"), "files": []}
+    assert {p.path for p in r.partitions(o1, o2)} == {str(d / "s003.warc")}
+    # offset size is constant: one watermark, no per-file entries
+    assert len(o2["files"]) == 0
+    # migration from a pre-compaction checkpoint: explicit names in
+    # start are not replayed even though they sort under the watermark
+    legacy = {"files": [str(d / "s001.warc"), str(d / "s002.warc")]}
+    assert {p.path for p in r.partitions(legacy, o2)} == {str(d / "s003.warc")}
