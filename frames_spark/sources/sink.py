@@ -475,26 +475,54 @@ def write_training_shards(
     id_col: str = "doc_id",
     n_shards: int = 16,
     seed: str = "shard",
+    files_per_shard: int = 1,
 ) -> None:
     """The deterministic global shuffle a training run consumes:
     every row lands in shard ``pmod(hash60(id), n_shards)`` and rows
     inside a shard are ordered by their hash — both layout- and
     ingestion-order-invariant, so re-running the pipeline over a
     recompacted copy of the corpus produces BIT-IDENTICAL shards.
-    One write: repartition on the shard id (each task owns whole
-    shards), sortWithinPartitions pins the in-file order, dynamic
-    partition layout `shard=K/`. q_shard_balance is the audit query
-    for the resulting skew."""
+    Dynamic partition layout ``shard=K/``; q_shard_balance is the
+    audit query for the resulting skew.
+
+    ``files_per_shard=1`` writes one file per shard (one task owns a
+    whole shard) — which caps write parallelism AND per-task sort
+    size at n_shards tasks: at 100 TB / 16 shards one task would sort
+    and write ~6 TB. ``files_per_shard=k`` removes that bound by
+    range-splitting each shard's 60-bit hash space into k CONTIGUOUS,
+    value-determined sub-ranges (``file_id = _h DIV ceil(2^60/k)`` —
+    no sampling, so sub-file contents are still a pure function of
+    the data): n_shards*k write tasks, layout
+    ``shard=K/file_id=J/``, and concatenating a shard's file_id dirs
+    in lexicographic order (ids are zero-padded) reproduces the
+    single-file hash order bit-for-bit."""
     from frames_spark.functions.hashing import hash60
 
     h = hash60(F.col(id_col).cast("string"), seed=seed)
+    out = df.withColumn("shard", F.pmod(h, F.lit(n_shards))).withColumn(
+        "_h", h
+    )
+    if files_per_shard <= 1:
+        (
+            out.repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "_h", id_col)
+            .drop("_h")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        return
+    span = -(-(1 << 60) // files_per_shard)  # ceil(2^60 / k)
     (
-        df.withColumn("shard", F.pmod(h, F.lit(n_shards)))
-        .withColumn("_h", h)
-        .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "_h", id_col)
+        out.withColumn(
+            "file_id", F.format_string("%05d", F.expr(f"_h DIV {span}"))
+        )
+        .repartition(
+            n_shards * files_per_shard, F.col("shard"), F.col("file_id")
+        )
+        .sortWithinPartitions("shard", "file_id", "_h", id_col)
         .drop("_h")
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy("shard", "file_id")
         .parquet(path)
     )

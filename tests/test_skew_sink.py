@@ -143,3 +143,40 @@ def test_training_shards_deterministic_and_ordered(spark, sf_dir, tmp_path):
     a = {(r.doc_id, r.shard) for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
     b = {(r.doc_id, r.shard) for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_training_shards_multifile_concatenates_to_single_file_order(
+    spark, sf_dir, tmp_path
+):
+    # files_per_shard=k removes the n_shards write-parallelism bound;
+    # the guarantee is that concatenating a shard's file_id dirs in
+    # lexicographic order reproduces the single-file hash order
+    import glob
+
+    from frames_spark.sources.sink import write_training_shards
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    single = str(tmp_path / "single")
+    multi = str(tmp_path / "multi")
+    write_training_shards(docs, single, n_shards=4)
+    write_training_shards(docs, multi, n_shards=4, files_per_shard=4)
+    for shard in range(4):
+        (sf,) = sorted(glob.glob(f"{single}/shard={shard}/*.parquet"))
+        want = [r.doc_id for r in spark.read.parquet(sf).collect()]
+        got = []
+        for fdir in sorted(glob.glob(f"{multi}/shard={shard}/file_id=*")):
+            for part in sorted(glob.glob(f"{fdir}/*.parquet")):
+                got.extend(r.doc_id for r in spark.read.parquet(part).collect())
+        assert got == want, f"shard {shard} concatenation diverged"
+    # sub-file assignment is content-determined: a recompacted copy
+    # produces the identical (doc_id, shard, file_id) mapping
+    multi2 = str(tmp_path / "multi2")
+    write_training_shards(
+        docs.repartition(13), multi2, n_shards=4, files_per_shard=4
+    )
+    key = lambda p: {  # noqa: E731
+        (r.doc_id, r.shard, r.file_id)
+        for r in spark.read.parquet(p).select("doc_id", "shard", "file_id").collect()
+    }
+    assert key(multi) == key(multi2)
