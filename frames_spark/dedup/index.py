@@ -1,0 +1,139 @@
+"""Persisted cross-run dedup index: the daily-crawl-increment shape.
+
+The in-flight dedup tiers (minhash.py, jaccard.py) operate within one
+corpus read. Production ingest is incremental: a new batch of
+documents must dedup against EVERYTHING already ingested without
+re-scanning it. This module stores the MinHash band-bucket index as a
+VERSIONED parquet table (sources/versioned.py — snapshot isolation
+means a probe running while another run appends still reads one
+consistent snapshot, and history keeps every pre-append index
+queryable), probes a new batch against it for candidate pairs, and
+appends the batch's own rows as a new snapshot.
+
+Scale shape: the probe is an equi-join of the BATCH's (band,
+band_key) rows against the stored index — shuffle keyed by band hash,
+cost bounded by the arriving batch's bucket membership, never a
+corpus re-scan. The proven invariant (tests/test_dedup_index.py and
+the registered q_incremental_dedup, whose oracle is the FULL
+recompute SQL): the union of every batch's probe pairs equals
+lsh_candidate_pairs over the full corpus. ``max_bucket`` drops hot
+buckets at probe time by the bucket's CURRENT union size (with a
+guard the invariant becomes per-probe-time semantics: a bucket that
+outgrows the cap stops yielding new pairs, but pairs already emitted
+by earlier probes stand — exactly what an append-only pipeline wants).
+
+The clustering side of incremental dedup is dedup/cluster.py's
+update_components; together: probe_and_append -> update_components
+bounds the whole daily increment by the batch size.
+
+Frames ref: no equivalent (LLM-pipeline extension, SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frames_spark.dedup.minhash import banded_signatures, minhash_signatures
+from frames_spark.sources.versioned import (
+    read_versioned,
+    upsert_versioned,
+    write_versioned,
+)
+
+__all__ = ["band_rows", "probe_and_append", "read_index"]
+
+
+def band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    fast: bool = False,
+) -> DataFrame:
+    """(doc, band, band_key) — the storable banded-signature rows of a
+    batch (bands * rows_per_band must equal num_hashes)."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, fast=fast
+    )
+    return banded_signatures(sigs, bands, rows_per_band)
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The published index snapshot, or None before the first batch."""
+    try:
+        return read_versioned(spark, index_dir)
+    except FileNotFoundError:
+        return None
+
+
+def probe_and_append(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+    fast: bool = False,
+) -> tuple[DataFrame, int]:
+    """Dedup one arriving batch against the persisted index.
+
+    Returns (candidate_pairs, new_index_version): every DISTINCT
+    unordered pair (doc_a < doc_b) sharing a band bucket where at
+    least one side is a batch document — new-vs-old AND new-vs-new —
+    then appends the batch's banded rows as a new index snapshot
+    (re-appearing doc ids REPLACE their old signatures: the upsert's
+    left-anti keeps one signature set per doc).
+
+    The pair relation must be materialized (or collected) BEFORE a
+    later batch is appended if exact per-batch semantics matter —
+    like every versioned read, it is lazily bound to the snapshot
+    version current at call time, so it stays correct even then; the
+    caveat is only that the probe cost then pays the newer snapshot's
+    bucket sizes.
+    """
+    new = band_rows(
+        batch,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        fast=fast,
+    )
+    old = read_index(spark, index_dir)
+    union = new if old is None else old.unionByName(new)
+    if max_bucket is not None:
+        ok = (
+            union.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_bucket)
+            .select("band", "band_key")
+        )
+        union = union.join(ok, ["band", "band_key"], "left_semi")
+        probe = new.join(ok, ["band", "band_key"], "left_semi")
+    else:
+        probe = new
+    pairs = (
+        probe.alias("n")
+        .join(union.alias("u"), ["band", "band_key"])
+        .filter(F.col("n.doc") != F.col("u.doc"))
+        .select(
+            F.least(F.col("n.doc"), F.col("u.doc")).alias("doc_a"),
+            F.greatest(F.col("n.doc"), F.col("u.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    if old is None:
+        version = write_versioned(new, index_dir)
+    else:
+        version = upsert_versioned(spark, index_dir, new, keys=["doc"])
+    return pairs, version

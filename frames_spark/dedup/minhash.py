@@ -77,6 +77,34 @@ def minhash_signatures_from_index(
     )
 
 
+def banded_signatures(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Long-form (doc, band, band_key) banding of wide signatures —
+    the storable/probe-able shape (see dedup/index.py's persisted
+    cross-run index); lsh_candidate_pairs builds on it in-flight."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return signatures.select(
+        "doc", F.explode(band_structs).alias("b")
+    ).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int,
@@ -98,24 +126,7 @@ def lsh_candidate_pairs(
     boilerplate collapsing into one key) before the quadratic
     expansion — set it for production corpora.
     """
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for band in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        "doc", F.explode(band_structs).alias("b")
-    ).select("doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    banded = banded_signatures(signatures, bands, rows_per_band)
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))

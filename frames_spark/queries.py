@@ -15012,3 +15012,37 @@ def q_gopher_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ellipsis_line_frac_micros",
     ]
     return pre.select("doc_id", *[sig[k].alias(k) for k in new_keys])
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup through the PERSISTED band-bucket index
+# (dedup/index.py): the daily-crawl shape — batch 1 (the originals)
+# builds the index, batch 2 (the planted near-copies) probes it for
+# candidates and appends. The union of the two probes must equal the
+# full one-shot recompute, so the oracle is EXACTLY q_dedup_minhash's
+# SQL over the same planted corpus — the invariant itself is what the
+# correctness gate checks. Index storage is a versioned parquet table
+# in a fresh temp dir per call.
+# ---------------------------------------------------------------------------
+@register("q_incremental_dedup", _MINHASH_PAIRS_SQL)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from frames_spark.dedup.index import probe_and_append
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = tempfile.mkdtemp(prefix="fs_bandidx_")
+    p1, _ = probe_and_append(
+        spark, idx, b1, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    # p1 binds to the empty index and p2 to snapshot v=1 (versioned
+    # reads pin their snapshot at call time), so the lazy union is
+    # exact even though both evaluate after the second append
+    p2, _ = probe_and_append(
+        spark, idx, b2, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    return p1.unionByName(p2).distinct()

@@ -1,0 +1,75 @@
+"""Persisted cross-run dedup index (dedup/index.py): batch-increment
+probe+append over a versioned band-bucket table equals the full
+recompute, replays are idempotent, hot buckets respect max_bucket."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.dedup.index import probe_and_append, read_index
+from frames_spark.dedup.minhash import lsh_candidate_pairs, minhash_signatures
+from frames_spark.queries import _with_near_copies
+from frames_spark.sources.tables import load_table
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_incremental_probe_equals_full_recompute(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    corpus = _with_near_copies(docs)
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)   # day 1: originals
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)  # day 2: near copies
+    idx = str(tmp_path / "bandidx")
+    p1, v1 = probe_and_append(spark, idx, b1)
+    pairs1 = _pairs(p1)
+    p2, v2 = probe_and_append(spark, idx, b2)
+    pairs2 = _pairs(p2)
+    assert (v1, v2) == (1, 2)
+    full = lsh_candidate_pairs(
+        minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8),
+        bands=4,
+        rows_per_band=2,
+    )
+    want = _pairs(full)
+    assert pairs1 | pairs2 == want
+    assert want, "planted near-copies must produce candidate pairs"
+    # the cross-batch pairs specifically came from the PERSISTED index
+    assert any(a < 1_000_000 <= b for a, b in pairs2)
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(30).cache()
+    corpus = _with_near_copies(docs)
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = str(tmp_path / "bandidx")
+    probe_and_append(spark, idx, b1)[0].collect()
+    p2, _ = probe_and_append(spark, idx, b2)
+    pairs2 = _pairs(p2)
+    # replay of batch 2 (a re-crawl / retried job)
+    p3, v3 = probe_and_append(spark, idx, b2)
+    assert _pairs(p3) == pairs2  # same candidates, nothing doubled
+    assert v3 == 3
+    # upsert semantics: one signature set per doc in the live snapshot
+    idx_df = read_index(spark, idx)
+    dup_rows = (
+        idx_df.groupBy("doc", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert dup_rows == 0
+
+
+def test_max_bucket_guards_hot_buckets_at_probe_time(spark, tmp_path):
+    same = "alpha beta gamma delta epsilon zeta"
+    hot = spark.createDataFrame(
+        [(i, same) for i in range(6)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bandidx")
+    p, _ = probe_and_append(spark, idx, hot, max_bucket=2)
+    assert p.count() == 0  # 6-doc bucket exceeds the cap: no expansion
+    p2, _ = probe_and_append(spark, idx, hot.limit(0), max_bucket=2)
+    assert p2.count() == 0
