@@ -45,6 +45,11 @@ STATS_QUERIES = [
     # third-moment family: sum x^3 at 1000x magnitudes stays within
     # DECIMAL(38) — exactly the shape r4's q_autocorr wrap hid
     "q_group_skewness",
+    # r6 addition (r7 audit): Levene's zq terms are ~1e15 at 1000x
+    # values, szz ~3e33 — inside DECIMAL(38); must stay bit-exact.
+    # (q_jarque_bera shares kurtosis's fourth-moment ceiling: exact at
+    # 30x, pinned to RAISE at 1000x below.)
+    "q_levene",
 ]
 
 
@@ -115,8 +120,9 @@ def stress_dir_mid(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
-def test_kurtosis_headroom_at_30x(spark, stress_dir_mid):
-    sdf = QUERIES["q_group_kurtosis"](spark, stress_dir_mid)
+@pytest.mark.parametrize("qname", ["q_group_kurtosis", "q_jarque_bera"])
+def test_fourth_moment_headroom_at_30x(spark, stress_dir_mid, qname):
+    sdf = QUERIES[qname](spark, stress_dir_mid)
     scols = sorted(sdf.columns)
     srows = sorted(
         [tuple(r[c] for c in scols) for r in sdf.collect()],
@@ -128,7 +134,7 @@ def test_kurtosis_headroom_at_30x(spark, stress_dir_mid):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{stress_dir_mid}/{t}.parquet/*.parquet')"
         )
-    res = con.sql(ORACLES["q_group_kurtosis"])
+    res = con.sql(ORACLES[qname])
     order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
     orows = sorted(
         [tuple(r[i] for i in order) for r in res.fetchall()],
@@ -140,8 +146,47 @@ def test_kurtosis_headroom_at_30x(spark, stress_dir_mid):
         assert all(_close(a, b) for a, b in zip(sr, orow))
 
 
-def test_kurtosis_raises_not_wraps_at_1000x(spark, stress_dir):
+def test_cramers_v_headroom_at_100x_rows(spark, sf_dir, tmp_path):
+    # cramers_v is count-based (categorical cells), so its headroom
+    # axis is ROW COUNT, not value magnitude: replicate orders 100x
+    # (n ~1.5M at sf0.01 — per-cell chi-square terms x100) and assert
+    # the integer cells pipeline still matches the oracle bit-for-bit
+    out = str(tmp_path / "stress_rows")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(100)))).drop(
+        "_r"
+    )
+    big.coalesce(1).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/customer.parquet")
+    sdf = QUERIES["q_cramers_v"](spark, out)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(r[c] for c in scols) for r in sdf.collect()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{out}/{t}.parquet/*.parquet')"
+        )
+    res = con.sql(ORACLES["q_cramers_v"])
+    order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
+    orows = sorted(
+        [tuple(r[i] for i in order) for r in res.fetchall()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert sorted(res.columns) == scols
+    assert len(srows) == len(orows)
+    for sr, orow in zip(srows, orows):
+        assert all(_close(a, b) for a, b in zip(sr, orow)), (sr, orow)
+
+
+@pytest.mark.parametrize("qname", ["q_group_kurtosis", "q_jarque_bera"])
+def test_fourth_moments_raise_not_wrap_at_1000x(spark, stress_dir, qname):
     # the documented DECIMAL(38) ceiling: ANSI mode must RAISE on the
     # sum-x^4 overflow, never return silently wrapped moments
     with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
-        QUERIES["q_group_kurtosis"](spark, stress_dir).collect()
+        QUERIES[qname](spark, stress_dir).collect()
