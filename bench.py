@@ -98,6 +98,8 @@ BENCH_QUERIES = {
     "gopher_repetition": Q.q_gopher_repetition,
     "line_dedup": Q.q_line_dedup,
     "js_source": Q.q_js_source,
+    "gopher_full": Q.q_gopher_full,
+    "incremental_dedup": Q.q_incremental_dedup,
 }
 
 

@@ -15046,3 +15046,52 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
     )
     return p1.unionByName(p2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-size profile: the skew audit for banded MinHash — bucket
+# size distribution over the SAME banded index the dedup tiers (and
+# the persisted cross-run index) probe. Bucket size is THE scale risk
+# of LSH candidate generation (a size-s bucket expands to s(s-1)/2
+# pairs), so this is the q_key_skew analog a curator runs before
+# choosing band/row parameters or the max_bucket guard. One groupBy
+# ladder, exact integers, full oracle over the shared signature CTEs.
+# ---------------------------------------------------------------------------
+@register(
+    "q_lsh_bucket_stats",
+    _MH_CTES + """
+    , buckets AS (
+      SELECT band, band_key, COUNT(*) AS sz
+      FROM banded GROUP BY band, band_key
+    )
+    SELECT CAST(sz AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz) AS BIGINT) AS n_doc_slots,
+           CAST(COUNT(*) * (sz * (sz - 1) // 2) AS BIGINT)
+             AS candidate_pairs
+    FROM buckets GROUP BY sz
+    """,
+)
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.dedup.index import band_rows
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    banded = band_rows(
+        corpus, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return buckets.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_doc_slots"),
+        F.expr("CAST(COUNT(1) * (sz * (sz - 1) DIV 2) AS BIGINT)").alias(
+            "candidate_pairs"
+        ),
+    ).select(
+        F.col("sz").cast("long").alias("bucket_size"),
+        "n_buckets",
+        "n_doc_slots",
+        "candidate_pairs",
+    )

@@ -73,3 +73,42 @@ def test_max_bucket_guards_hot_buckets_at_probe_time(spark, tmp_path):
     assert p.count() == 0  # 6-doc bucket exceeds the cap: no expansion
     p2, _ = probe_and_append(spark, idx, hot.limit(0), max_bucket=2)
     assert p2.count() == 0
+
+
+def test_index_plus_update_components_equals_full_reclustering(
+    spark, sf_dir, tmp_path
+):
+    # the complete daily-increment composition: probe_and_append gives
+    # each batch's candidate pairs, update_components folds them into
+    # the running labels — and after two days the labels must equal a
+    # full one-shot recompute (pairs + connected_components) over the
+    # whole corpus
+    from frames_spark.dedup.cluster import connected_components, update_components
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).cache()
+    corpus = _with_near_copies(docs)
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = str(tmp_path / "bandidx")
+    p1, _ = probe_and_append(spark, idx, b1)
+    edges1 = p1.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges1)  # day 1 (possibly empty)
+    p2, _ = probe_and_append(spark, idx, b2)
+    edges2 = p2.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = update_components(labels, edges2)
+    got = {(r.node, r.component) for r in labels.collect()}
+    full_pairs = lsh_candidate_pairs(
+        minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8),
+        bands=4,
+        rows_per_band=2,
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            full_pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ).collect()
+    }
+    assert got == want
+    assert want, "planted copies must cluster"
