@@ -100,6 +100,7 @@ BENCH_QUERIES = {
     "js_source": Q.q_js_source,
     "gopher_full": Q.q_gopher_full,
     "incremental_dedup": Q.q_incremental_dedup,
+    "lsh_bucket_stats": Q.q_lsh_bucket_stats,
 }
 
 
