@@ -41,7 +41,13 @@ from frames_spark.sources.versioned import (
     write_versioned,
 )
 
-__all__ = ["band_rows", "probe_and_append", "read_index"]
+__all__ = [
+    "band_rows",
+    "foreach_batch_probe",
+    "probe_and_append",
+    "read_index",
+    "read_pair_log",
+]
 
 
 def band_rows(
@@ -137,3 +143,48 @@ def probe_and_append(
     else:
         version = upsert_versioned(spark, index_dir, new, keys=["doc"])
     return pairs, version
+
+
+def foreach_batch_probe(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **params,
+):
+    """foreachBatch body for STREAMING incremental dedup: each
+    microbatch probes the persisted index, lands its candidate pairs
+    under a ``batch_id=`` partition with dynamic overwrite (the
+    histogram-increment pattern: a REPLAYED epoch replaces its own
+    prior parts instead of appending duplicates), then appends its
+    signatures as a new index snapshot. probe_and_append itself is
+    replay-idempotent (the re-probe yields the identical pair set and
+    the upsert replaces), so a retried epoch converges regardless of
+    where the previous attempt died.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            foreach_batch_probe(index_dir, pairs_dir)
+        ).trigger(availableNow=True).start()
+    """
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        pairs, _ = probe_and_append(
+            batch.sparkSession, index_dir, batch, id_col, text_col, **params
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+
+    return body
+
+
+def read_pair_log(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Distinct candidate pairs accumulated by the streaming probe
+    (the batch_id partition column is replay bookkeeping, not data)."""
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()

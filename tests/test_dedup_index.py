@@ -112,3 +112,57 @@ def test_index_plus_update_components_equals_full_reclustering(
     }
     assert got == want
     assert want, "planted copies must cluster"
+
+
+def test_streaming_probe_matches_batch_probes(spark, sf_dir, tmp_path):
+    # a 2-microbatch doc stream through foreach_batch_probe must
+    # accumulate exactly the pairs the full one-shot recompute finds,
+    # with pairs landed replay-safe under batch_id partitions
+    from frames_spark.dedup.index import foreach_batch_probe, read_pair_log
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).cache()
+    corpus = _with_near_copies(docs)
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    # the file stream lists FILES: stage each day's write, then move
+    # its single part file into the stream dir (atomic placement)
+    import glob as _glob
+    import shutil
+
+    for day, cond in (
+        ("day1", F.col("doc_id") < 1_000_000),
+        ("day2", F.col("doc_id") >= 1_000_000),
+    ):
+        stage = str(tmp_path / f"stage_{day}")
+        corpus.filter(cond).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(f"{stage}/part-*.parquet")
+        shutil.move(part, str(src / f"{day}.parquet"))
+    schema = spark.read.parquet(str(src / "day1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    idx = str(tmp_path / "bandidx")
+    pairs_dir = str(tmp_path / "pairs")
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_probe(idx, pairs_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = _pairs(read_pair_log(spark, pairs_dir))
+    want = _pairs(
+        lsh_candidate_pairs(
+            minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8),
+            bands=4,
+            rows_per_band=2,
+        )
+    )
+    assert got == want and want
+    # replay bookkeeping: pairs are partitioned by epoch
+    import glob
+
+    assert glob.glob(f"{pairs_dir}/batch_id=*")
