@@ -5536,9 +5536,24 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sh.join(F.broadcast(member), "doc", "left_semi")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # posting-list i<j expansion over the member-restricted index
+    # (jaccard.py's shape: one lineage, one shuffle) instead of the
+    # raw two-sided shingle self-join — a shingle hot even among LSH
+    # members would expand D² join rows before the pair semi-join
+    # could prune; here it is one sorted array row
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        sh.select(F.col("doc").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+        postings.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .join(pairs, ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
