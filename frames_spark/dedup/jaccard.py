@@ -142,22 +142,24 @@ def containment_pairs_from_index(
     )
 
 
-def jaccard_pairs(
+def jaccard_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
-    """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
+    """The raw pair relation every Jaccard consumer derives from:
+    (doc_a < doc_b, n_common, size_a, size_b) for every pair sharing
+    at least one (non-stop) shingle. ``jaccard_pairs`` thresholds it;
+    the dedup-curve query sweeps every threshold over ONE instance.
+
+    posting-list groupBy + in-array pair expansion: the index
+    lineage (shingle explode) runs ONCE and shuffles once, vs twice
+    each for the self-join form. Posting lists are bounded by the
+    max_df guard (and naturally for content shingles)."""
     index = rare_shingles(shingle_index(df, id_col, text_col, n), max_df)
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    # posting-list groupBy + in-array pair expansion: the index
-    # lineage (shingle explode) runs ONCE and shuffles once, vs twice
-    # each for the self-join form. Posting lists are small by the
-    # max_df guard (and naturally for content shingles).
     postings = (
         index.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
@@ -179,9 +181,20 @@ def jaccard_pairs(
     sb = sizes.select(
         F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
     )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        jaccard_pair_counts(df, id_col, text_col, n, max_df)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

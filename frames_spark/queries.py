@@ -14416,44 +14416,17 @@ def q_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = _with_near_copies(docs)
-    # stop-shingle guard BEFORE pair generation (posting lists stay
-    # bounded at any corpus size), mirrored in the oracle's rare CTE;
-    # sizes are computed over the guarded index so jaccard stays exact
-    # w.r.t. the guarded shingle sets on both sides.
-    index = jac_ops.rare_shingles(
-        jac_ops.shingle_index(corpus, "doc_id", "text", 3), _SHINGLE_MAX_DF
-    )
-    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    postings = (
-        index.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ds, (x, i) ->"
-        " transform(slice(ds, i + 2, size(ds)),"
-        " y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    inter = (
-        postings.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    pairs = (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            (F.col("sa") + F.col("sb") - F.col("n_common")).alias("n_union"),
-        )
+    # the library's guarded posting-list tier (stop-shingle guard
+    # BEFORE pair generation, mirrored in the oracle's rare CTE;
+    # sizes computed over the guarded index on both sides) — ONE pair
+    # relation feeds every threshold row
+    pairs = jac_ops.jaccard_pair_counts(
+        corpus, "doc_id", "text", 3, max_df=_SHINGLE_MAX_DF
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (F.col("size_a") + F.col("size_b") - F.col("n_common")).alias("n_union"),
     )
     ts = spark.range(5, 10).select(F.col("id").alias("t"))
     hit = 10 * F.col("n_common") >= F.col("t") * F.col("n_union")
