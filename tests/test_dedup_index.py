@@ -166,3 +166,23 @@ def test_streaming_probe_matches_batch_probes(spark, sf_dir, tmp_path):
     import glob
 
     assert glob.glob(f"{pairs_dir}/batch_id=*")
+
+
+def test_probe_plan_is_equi_join_on_band_key(spark, sf_dir, tmp_path):
+    # the probe must stay a hash equi-join keyed on (band, band_key) —
+    # never a cartesian / nested-loop — and the filter doc != doc must
+    # ride the join, not a post-join stage
+    docs = load_table(spark, sf_dir, "documents").limit(30).cache()
+    corpus = _with_near_copies(docs)
+    idx = str(tmp_path / "bandidx")
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    probe_and_append(spark, idx, b1)[0].count()
+    pairs, _ = probe_and_append(spark, idx, b2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    join_lines = [
+        line for line in plan.splitlines() if "HashJoin" in line
+    ]
+    assert any("band_key" in line for line in join_lines), plan
