@@ -15083,3 +15083,51 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_doc_slots",
         "candidate_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental duplicate CLUSTERS: the full daily-increment composition
+# registered under the hard gate — batch 1 builds the persisted
+# band-bucket index and clusters its own pairs; batch 2 probes,
+# appends, and folds its pairs into the labels via update_components
+# (star edges, cost bounded by the arriving batch). The oracle is
+# EXACTLY q_dedup_clusters' recursive min-reachable-id CTE over the
+# one-shot pair set: incremental labels == full reclustering is the
+# invariant under test (the pytest twin proves it on subsets; this
+# proves it against SQL on the whole planted corpus at both SFs).
+# ---------------------------------------------------------------------------
+@register(
+    "q_incremental_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """,
+)
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from frames_spark.dedup.index import probe_and_append
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = tempfile.mkdtemp(prefix="fs_bandidx_")
+    p1, _ = probe_and_append(
+        spark, idx, b1, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    labels = cluster_ops.connected_components(p1, "doc_a", "doc_b")
+    p2, _ = probe_and_append(
+        spark, idx, b2, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    return cluster_ops.update_components(labels, p2, "doc_a", "doc_b")
