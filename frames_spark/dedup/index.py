@@ -10,6 +10,18 @@ consistent snapshot, and history keeps every pre-append index
 queryable), probes a new batch against it for candidate pairs, and
 appends the batch's own rows as a new snapshot.
 
+Two storage modes, probe shape identical:
+- **upsert mode** (``probe_and_append``): versioned table, exact
+  replace-semantics for re-appearing docs — but copy-on-write at
+  table granularity, so each append rewrites the whole index. Right
+  while the index is small relative to a rewrite budget.
+- **increment mode** (``probe_increment`` + ``compact_index``): each
+  batch lands as its own ``inc=<key>/`` partition dir — write cost
+  O(batch) at ANY index size, replay-idempotent per key; re-crawled
+  docs carry both signature sets (extra recall, never lost pairs)
+  until a periodic compaction keeps each doc's latest. This is the
+  100 TB daily shape.
+
 Scale shape: the probe is an equi-join of the BATCH's (band,
 band_key) rows against the stored index — shuffle keyed by band hash,
 cost bounded by the arriving batch's bucket membership, never a
@@ -43,8 +55,10 @@ from frames_spark.sources.versioned import (
 
 __all__ = [
     "band_rows",
+    "compact_index",
     "foreach_batch_probe",
     "probe_and_append",
+    "probe_increment",
     "read_index",
     "read_pair_log",
 ]
@@ -116,6 +130,20 @@ def probe_and_append(
         fast=fast,
     )
     old = read_index(spark, index_dir)
+    pairs = _probe_pairs(new, old, max_bucket)
+    if old is None:
+        version = write_versioned(new, index_dir)
+    else:
+        version = upsert_versioned(spark, index_dir, new, keys=["doc"])
+    return pairs, version
+
+
+def _probe_pairs(
+    new: DataFrame, old: DataFrame | None, max_bucket: int | None
+) -> DataFrame:
+    """DISTINCT (doc_a < doc_b) pairs sharing a band bucket where at
+    least one side is a batch row — the shared probe of both index
+    layouts."""
     union = new if old is None else old.unionByName(new)
     if max_bucket is not None:
         ok = (
@@ -128,7 +156,7 @@ def probe_and_append(
         probe = new.join(ok, ["band", "band_key"], "left_semi")
     else:
         probe = new
-    pairs = (
+    return (
         probe.alias("n")
         .join(union.alias("u"), ["band", "band_key"])
         .filter(F.col("n.doc") != F.col("u.doc"))
@@ -138,11 +166,107 @@ def probe_and_append(
         )
         .distinct()
     )
-    if old is None:
-        version = write_versioned(new, index_dir)
-    else:
-        version = upsert_versioned(spark, index_dir, new, keys=["doc"])
-    return pairs, version
+
+
+# --- append-only increment layout: the 100 TB daily shape ----------------
+#
+# upsert-mode probe_and_append is EXACT (re-appearing docs replace
+# their signatures) but copy-on-write at table granularity: every
+# append rewrites the whole index, so the daily cost grows with the
+# INDEX, not the batch. The increment layout bounds the write by the
+# batch: each increment lands as its own `inc=<key>/` partition dir
+# (idempotent overwrite per key — a replayed day replaces itself),
+# reads union all increments via partition discovery, and a periodic
+# `compact_index` folds them (keeping each doc's rows from its
+# LATEST increment, so re-crawled docs converge to one signature
+# set). Between compactions a re-crawled doc carries both old and new
+# signatures — extra recall, never lost pairs; callers wanting strict
+# replace-semantics use upsert mode. Increment keys must be
+# lexicographically increasing (the WARC-offset naming convention) so
+# "latest" is well-defined.
+
+
+def _read_increments(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(index_dir)
+    except AnalysisException:
+        return None
+
+
+def probe_increment(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    increment_key: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+    fast: bool = False,
+) -> DataFrame:
+    """O(batch) probe+append against the increment-layout index:
+    returns the batch's candidate pairs and lands its band rows under
+    ``inc=<increment_key>/`` (overwrite — replays of the same key
+    replace). See the layout note above for the semantics trade
+    against upsert-mode ``probe_and_append``."""
+    if "/" in increment_key or increment_key.startswith((".", "_")):
+        raise ValueError(f"invalid increment key: {increment_key!r}")
+    new = band_rows(
+        batch,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        fast=fast,
+    )
+    old = _read_increments(spark, index_dir)
+    if old is not None:
+        # exclude THIS key's prior attempt: a replay probes the other
+        # increments plus its own new rows (the first attempt's exact
+        # semantics), and — critically — the partition filter prunes
+        # the about-to-be-overwritten files out of the lazy pair
+        # plan's scan, so the overwrite below cannot invalidate it
+        old = old.filter(F.col("inc") != increment_key).drop("inc")
+    pairs = _probe_pairs(new, old, max_bucket)
+    new.write.mode("overwrite").parquet(
+        index_dir.rstrip("/") + f"/inc={increment_key}"
+    )
+    return pairs
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, key: str = "zz-compacted"
+) -> int:
+    """Fold all increments into one, keeping each doc's rows from its
+    LATEST increment (re-crawled docs converge to one signature set).
+    ``key`` must sort >= every existing increment key so later
+    increments still win per-doc. Single-writer, like every sink in
+    this repo; returns the number of rows kept."""
+    from frames_spark.sources.versioned import _fs
+
+    df = _read_increments(spark, index_dir)
+    if df is None:
+        return 0
+    latest = df.groupBy("doc").agg(F.max("inc").alias("inc"))
+    kept = df.join(latest, ["doc", "inc"]).drop("inc")
+    tmp = index_dir.rstrip("/") + "/_compact_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    fs, jroot = _fs(spark, index_dir)
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.startswith("inc="):
+            fs.delete(st.getPath(), True)
+    _, jdst = _fs(spark, index_dir.rstrip("/") + f"/inc={key}")
+    fs.rename(_fs(spark, tmp)[1], jdst)
+    return n_rows
 
 
 def foreach_batch_probe(

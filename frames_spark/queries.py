@@ -15131,3 +15131,27 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
     )
     return cluster_ops.update_components(labels, p2, "doc_a", "doc_b")
+
+
+# Increment-layout twin of q_incremental_dedup: same invariant, same
+# oracle (full one-shot recompute), but the index appends are O(batch)
+# `inc=<key>/` partition dirs — the write path that holds at 100 TB.
+@register("q_incremental_dedup_inc", _MINHASH_PAIRS_SQL)
+def q_incremental_dedup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from frames_spark.dedup.index import probe_increment
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = tempfile.mkdtemp(prefix="fs_incidx_")
+    p1 = probe_increment(
+        spark, idx, b1, "day-001", "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    p2 = probe_increment(
+        spark, idx, b2, "day-002", "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
+    )
+    return p1.unionByName(p2).distinct()

@@ -204,7 +204,14 @@ def upsert_versioned(
     """MERGE INTO as a snapshot write: survivors (left-anti on keys)
     + updates land in version N+1; version N is untouched, so a
     failed merge leaves the table exactly as it was and history
-    keeps the pre-merge state queryable."""
+    keeps the pre-merge state queryable.
+
+    Cost honesty: this is copy-on-write at TABLE granularity — every
+    upsert rewrites the full survivor set, so the per-merge cost
+    grows with the table, not the update (real table formats do
+    file-level COW). Right for dimension-scale tables; for
+    fact-scale incremental state prefer an append+compact layout
+    (see dedup/index.py's increment mode for the pattern)."""
     current = read_versioned(spark, table_dir)
     survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
     return write_versioned(survivors.unionByName(updates), table_dir)

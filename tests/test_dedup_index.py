@@ -186,3 +186,65 @@ def test_probe_plan_is_equi_join_on_band_key(spark, sf_dir, tmp_path):
         line for line in plan.splitlines() if "HashJoin" in line
     ]
     assert any("band_key" in line for line in join_lines), plan
+
+
+def test_increment_mode_matches_full_recompute_and_replays(spark, sf_dir, tmp_path):
+    # the O(batch) append-only layout: per-increment probes must
+    # accumulate the full recompute's pairs, and replaying a key
+    # replaces its rows instead of doubling them
+    from frames_spark.dedup.index import probe_increment
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).cache()
+    corpus = _with_near_copies(docs)
+    b1 = corpus.filter(F.col("doc_id") < 1_000_000)
+    b2 = corpus.filter(F.col("doc_id") >= 1_000_000)
+    idx = str(tmp_path / "incidx")
+    pairs1 = _pairs(probe_increment(spark, idx, b1, "day-001"))
+    pairs2 = _pairs(probe_increment(spark, idx, b2, "day-002"))
+    want = _pairs(
+        lsh_candidate_pairs(
+            minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8),
+            bands=4,
+            rows_per_band=2,
+        )
+    )
+    assert pairs1 | pairs2 == want and want
+    # replay day-002: same pairs, rows replaced not appended
+    n_before = spark.read.parquet(idx).count()
+    assert _pairs(probe_increment(spark, idx, b2, "day-002")) == pairs2
+    assert spark.read.parquet(idx).count() == n_before
+
+
+def test_increment_compaction_keeps_latest_signatures(spark, tmp_path):
+    # a re-crawled doc carries BOTH signature sets between
+    # compactions; compact_index converges it to the latest increment
+    from frames_spark.dedup.index import compact_index, probe_increment
+
+    idx = str(tmp_path / "incidx")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "totally different words appear here now")], "doc_id long, text string"
+    )
+    probe_increment(spark, idx, v1, "day-001").count()
+    probe_increment(spark, idx, v2, "day-002").count()
+    both = spark.read.parquet(idx)
+    assert both.select("band_key").distinct().count() == 8  # 4 bands x 2 texts
+    kept = compact_index(spark, idx)
+    assert kept == 4  # one signature set (4 bands) survives
+    after = spark.read.parquet(idx).drop("inc")
+    # surviving band keys are exactly v2's
+    from frames_spark.dedup.index import band_rows
+
+    want = {
+        (r.band, r.band_key)
+        for r in band_rows(v2, "doc_id", "text").collect()
+    }
+    assert {(r.band, r.band_key) for r in after.collect()} == want
+    # probes keep working against the compacted layout
+    v3 = spark.createDataFrame(
+        [(2, "totally different words appear here now")], "doc_id long, text string"
+    )
+    p = probe_increment(spark, idx, v3, "zz-day-003")
+    assert _pairs(p) == {(1, 2)}
