@@ -119,6 +119,11 @@ def probe_and_append(
     caveat is only that the probe cost then pays the newer snapshot's
     bucket sizes.
     """
+    # persist the batch's band rows: the shingle->minhash lineage
+    # would otherwise run twice (index write + the returned pair
+    # plan); rows are 4/doc — tiny relative to text. The cache is
+    # reclaimed by Spark's ContextCleaner once the caller drops the
+    # pair DataFrame, so per-epoch streaming probes do not accumulate
     new = band_rows(
         batch,
         id_col,
@@ -128,7 +133,7 @@ def probe_and_append(
         bands=bands,
         rows_per_band=rows_per_band,
         fast=fast,
-    )
+    ).persist()
     old = read_index(spark, index_dir)
     pairs = _probe_pairs(new, old, max_bucket)
     if old is None:
@@ -216,6 +221,8 @@ def probe_increment(
     against upsert-mode ``probe_and_append``."""
     if "/" in increment_key or increment_key.startswith((".", "_")):
         raise ValueError(f"invalid increment key: {increment_key!r}")
+    # persisted for the same write+probe double-evaluation reason as
+    # probe_and_append
     new = band_rows(
         batch,
         id_col,
@@ -225,7 +232,7 @@ def probe_increment(
         bands=bands,
         rows_per_band=rows_per_band,
         fast=fast,
-    )
+    ).persist()
     old = _read_increments(spark, index_dir)
     if old is not None:
         # exclude THIS key's prior attempt: a replay probes the other
