@@ -244,3 +244,88 @@ def test_heavy_hitters_exact_on_random_streams(spark, tokens, parts):
         if c >= math.ceil(phi * n)
     }
     assert got == exact
+
+
+# --- Gopher extended battery vs a Python reference ---------------------
+
+_tok = st.text(alphabet="abc#.…", min_size=1, max_size=4)
+
+
+@given(toks=st.lists(_tok, min_size=0, max_size=24), n=st.integers(2, 5))
+@settings(**SETTINGS)
+def test_dup_gram_chars_property(spark, toks, n):
+    from collections import Counter
+
+    from frames_spark.functions.gopher import dup_gram_chars, ngrams
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    (r,) = df.select(dup_gram_chars(ngrams(F.col("t"), n)).alias("d")).collect()
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    c = Counter(grams)
+    want = sum(v * len(g) for g, v in c.items() if v >= 2)
+    assert r.d == want
+
+
+@given(toks=st.lists(_tok, min_size=0, max_size=24))
+@settings(**SETTINGS)
+def test_symbol_word_ratio_property(spark, toks):
+    from frames_spark.functions.gopher import symbol_word_ratio_micros
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    (r,) = df.select(symbol_word_ratio_micros(F.col("t")).alias("s")).collect()
+
+    def count_syms(t: str) -> int:
+        dots = 0
+        rest = t
+        while "..." in rest:
+            rest = rest.replace("...", "", 1)
+            dots += 1
+        return t.count("#") + t.count("…") + dots
+
+    total = sum(count_syms(t) for t in toks)
+    if not toks:
+        assert r.s == 0
+    else:
+        assert r.s == (total * 1_000_000 + len(toks) // 2) // len(toks)
+
+
+# --- incremental dedup index: partition invariance ---------------------
+
+
+@given(split=st.integers(0, 3), seed=st.integers(0, 5))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_probe_partition_invariance(
+    spark, sf_dir, tmp_path_factory, split, seed
+):
+    """However the corpus is split into two ingest batches, the union
+    of per-batch probe pairs equals the one-shot recompute."""
+    from frames_spark.dedup.index import probe_increment
+    from frames_spark.dedup.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from frames_spark.queries import _with_near_copies
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    corpus = _with_near_copies(docs).cache()
+    cond = F.pmod(F.col("doc_id") + seed, F.lit(4)) <= split
+    b1, b2 = corpus.filter(cond), corpus.filter(~cond)
+    idx = str(tmp_path_factory.mktemp("incidx"))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in probe_increment(spark, idx, b1, "day-001")
+        .unionByName(probe_increment(spark, idx, b2, "day-002"))
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8),
+            bands=4,
+            rows_per_band=2,
+        ).collect()
+    }
+    assert got == want
