@@ -15155,3 +15155,157 @@ def q_incremental_dedup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
     )
     return p1.unionByName(p2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Gopher gate IMPACT accounting: for every Table A1 rule, how many
+# documents exceed its removal threshold — the decision table a
+# curator reads before enabling the battery (q_dedup_curve's role,
+# for quality gates). One per-doc signal relation (the union of
+# q_gopher_repetition's and q_gopher_full's machinery) feeds all 14
+# rules; rule rows are generated from the SAME GOPHER_THRESHOLDS dict
+# on both engines so the thresholds cannot drift.
+# ---------------------------------------------------------------------------
+_GG_SIG_SQL = f"""
+    base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t, length({_NORM_SQL}) AS tc
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, tc, len(t) AS nw,
+             list_transform(range(0, CAST((len(t) + 7) // 8 AS INT)),
+                            i -> array_to_string(t[8*i+1 : 8*i+8], ' ')) AS ls,
+             list_transform(range(0, CAST((len(t) + 31) // 32 AS INT)),
+                            i -> array_to_string(t[32*i+1 : 32*i+32], ' ')) AS ps
+      FROM base
+    ),
+    gt AS (
+      SELECT doc_id, 2 AS n,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END) AS gram FROM base
+      UNION ALL
+      SELECT doc_id, 3,
+             unnest(CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) FROM base
+      UNION ALL
+      SELECT doc_id, 4,
+             unnest(CASE WHEN len(t) >= 4 THEN
+               list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+               ELSE [] END) FROM base
+    ),
+    cnttop AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM gt GROUP BY 1, 2, 3),
+    topg AS (
+      SELECT doc_id, n, c, gram FROM (
+        SELECT doc_id, n, c, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram ASC) AS rn
+        FROM cnttop
+      ) WHERE rn = 1
+    ),
+    gd AS ({_GFULL_GRAMS_SQL}),
+    cntdup AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM gd GROUP BY 1, 2, 3),
+    dup AS (
+      SELECT doc_id,
+             {_GFULL_DUP_COLS_SQL}
+      FROM cntdup GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             SUM(length(tok) - length(replace(tok, '#', ''))
+                 + length(tok) - length(replace(tok, '…', ''))
+                 + (length(tok) - length(replace(tok, '...', ''))) // 3)
+               AS syms
+      FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+      GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT w.doc_id,
+             CAST(((len(ls) - len(list_distinct(ls))) * 1000000 + len(ls) // 2)
+                  // len(ls) AS BIGINT) AS dup_line_frac_micros,
+             CAST(((len(ps) - len(list_distinct(ps))) * 1000000 + len(ps) // 2)
+                  // len(ps) AS BIGINT) AS dup_para_frac_micros,
+             CAST(COALESCE((t2.c * length(t2.gram) * 1000000 + w.tc // 2) // w.tc, 0)
+                  AS BIGINT) AS top2_char_frac_micros,
+             CAST(COALESCE((t3.c * length(t3.gram) * 1000000 + w.tc // 2) // w.tc, 0)
+                  AS BIGINT) AS top3_char_frac_micros,
+             CAST(COALESCE((t4.c * length(t4.gram) * 1000000 + w.tc // 2) // w.tc, 0)
+                  AS BIGINT) AS top4_char_frac_micros,
+             {_GFULL_FRAC_COLS_SQL},
+             CASE WHEN w.nw > 0 THEN
+               CAST((COALESCE(s.syms, 0) * 1000000 + w.nw // 2) // w.nw AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS symbol_word_ratio_micros,
+             CASE WHEN len(w.ls) > 0 THEN
+               CAST((len(list_filter(w.ls,
+                      x -> substr(x, 1, 1) IN ('•', '‣', '▪', '◦', '-', '*')))
+                     * 1000000 + len(w.ls) // 2) // len(w.ls) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS bullet_line_frac_micros,
+             CASE WHEN len(w.ls) > 0 THEN
+               CAST((len(list_filter(w.ls,
+                      x -> ends_with(x, '...') OR ends_with(x, '…')))
+                     * 1000000 + len(w.ls) // 2) // len(w.ls) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS ellipsis_line_frac_micros
+      FROM win w
+      LEFT JOIN topg t2 ON t2.doc_id = w.doc_id AND t2.n = 2
+      LEFT JOIN topg t3 ON t3.doc_id = w.doc_id AND t3.n = 3
+      LEFT JOIN topg t4 ON t4.doc_id = w.doc_id AND t4.n = 4
+      LEFT JOIN dup d ON d.doc_id = w.doc_id
+      LEFT JOIN sym s ON s.doc_id = w.doc_id
+    )
+"""
+
+_GG_BRANCHES_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, '{rule}' AS rule, {int(thr * 1_000_000)} AS thr,"
+    f" {rule}_micros AS val FROM sig"
+    for rule, thr in sorted(gopher_fns.GOPHER_THRESHOLDS.items())
+)
+
+
+@register(
+    "q_gopher_gate_counts",
+    f"""
+    WITH {_GG_SIG_SQL},
+    longsig AS (
+      {_GG_BRANCHES_SQL}
+    )
+    SELECT rule,
+           CAST(thr AS BIGINT) AS threshold_micros,
+           CAST(COUNT(CASE WHEN val > thr THEN 1 END) AS BIGINT)
+             AS n_docs_over,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM longsig GROUP BY rule, thr
+    """,
+)
+def q_gopher_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    pre = docs.select(
+        "doc_id",
+        text_fns.tokens(F.col("text")).alias("_toks"),
+        F.length(text_fns.normalize(F.col("text"))).cast("long").alias("_tc"),
+    )
+    sig = gopher_fns.repetition_signals(
+        F.col("_toks"), F.col("_tc"), extended=True
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(rule).alias("rule"),
+                F.lit(int(thr * 1_000_000)).cast("long").alias("thr"),
+                sig[f"{rule}_micros"].alias("val"),
+            )
+            for rule, thr in sorted(gopher_fns.GOPHER_THRESHOLDS.items())
+        ]
+    )
+    long = pre.select(F.explode(rules).alias("r")).select("r.*")
+    return long.groupBy("rule", "thr").agg(
+        F.count(F.when(F.col("val") > F.col("thr"), 1))
+        .cast("long")
+        .alias("n_docs_over"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).select(
+        "rule",
+        F.col("thr").cast("long").alias("threshold_micros"),
+        "n_docs_over",
+        "n_docs",
+    )
