@@ -15309,3 +15309,80 @@ def q_gopher_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_over",
         "n_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold sweep: docs and TOKENS kept at each candidate
+# score cutoff — the quality twin of q_dedup_curve (a curator fixes
+# the cutoff by token budget, not doc count, so both measures ride
+# one scored relation against a broadcast threshold spine).
+# ---------------------------------------------------------------------------
+@register(
+    "q_quality_curve",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS ntok,
+             CAST(FLOOR(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) * 1000000 + 0.5) AS BIGINT) AS pm,
+             lang
+      FROM documents
+    ),
+    scored AS (
+      SELECT ntok,
+             CAST(CASE WHEN lang = 'en' THEN 400000 ELSE 0 END
+               + (300000 * least(ntok, 30) + 15) // 30
+               + (300000 * (1000000 - least(pm * 5, 1000000)) + 500000)
+                 // 1000000 AS BIGINT) AS score
+      FROM base
+    ),
+    ts(t) AS (VALUES (400000), (500000), (600000), (700000), (800000), (900000))
+    SELECT CAST(ts.t AS BIGINT) AS threshold,
+           CAST(COUNT(CASE WHEN score >= ts.t THEN 1 END) AS BIGINT)
+             AS docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN score >= ts.t THEN ntok END), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM scored CROSS JOIN ts
+    GROUP BY ts.t
+    """,
+)
+def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    pm = F.floor(text_fns.punct_ratio(F.col("text")) * 1_000_000 + 0.5).cast(
+        "long"
+    )
+    base = docs.select(
+        text_fns.n_tokens(F.col("text")).alias("ntok"), pm.alias("pm"), "lang"
+    )
+    score = (
+        F.when(F.col("lang") == "en", F.lit(400000)).otherwise(F.lit(0))
+        + F.expr("(300000 * least(ntok, 30) + 15) DIV 30")
+        + F.expr(
+            "(300000 * (1000000 - least(pm * 5, 1000000)) + 500000)"
+            " DIV 1000000"
+        )
+    ).cast("long")
+    scored = base.select("ntok", score.alias("score"))
+    ts = spark.range(4, 10).select((F.col("id") * 100_000).alias("t"))
+    keep = F.col("score") >= F.col("t")
+    return (
+        scored.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(keep, 1)).cast("long").alias("docs_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("ntok"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("t").cast("long").alias("threshold"),
+            "docs_kept",
+            "tokens_kept",
+            "n_docs",
+            "n_tokens",
+        )
+    )
