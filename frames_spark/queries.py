@@ -14791,7 +14791,10 @@ _VT_CTES = f"""
 def _planted_versioned_table(spark: SparkSession, sf_dir: str) -> str:
     """Write the deterministic v1/v2/v3 ladder and return the table
     dir (a fresh mkdtemp per call — snapshots are immutable, so two
-    concurrent invocations never interfere)."""
+    concurrent invocations never interfere). The driver-local temp
+    path is the single-node TEST WITNESS harness; the versioned-table
+    API itself is scheme-agnostic (Hadoop FS), so the same ladder
+    runs against hdfs:// / s3a:// table dirs on a cluster."""
     import tempfile
 
     from frames_spark.sources.versioned import (
