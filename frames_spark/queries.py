@@ -15389,3 +15389,239 @@ def q_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier): parts no other part dominates on
+# (cheaper-or-equal price, larger-or-equal size, one strict) —
+# Borzsonyi et al., ICDE 2001. The naive form is an O(n^2) NOT
+# EXISTS self-join; the distributed form here is two prefix maxima
+# over the PER-PRICE aggregate: a part is on the skyline iff its
+# size equals the max size at its price AND strictly exceeds the max
+# size over all cheaper prices. The only window runs over the
+# groupBy(price) relation — bounded by |distinct prices|, not fact
+# rows (the advisor's legitimate-global-window shape) — and the join
+# back is an Aggregate-rooted broadcast (BROADCAST_SCALED-bounded).
+# No arithmetic touches p_retailprice, so the double equi-join key is
+# bit-stable across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_skyline",
+    """
+    WITH g AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS gmax
+      FROM part GROUP BY p_retailprice
+    ),
+    r AS (
+      SELECT price, gmax,
+             MAX(gmax) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN r ON p.p_retailprice = r.price
+    WHERE p.p_size = r.gmax AND (r.pmax IS NULL OR p.p_size > r.pmax)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("pmax", F.max("gmax").over(w))
+    return (
+        part.join(
+            F.broadcast(r), part.p_retailprice == r.price
+        )
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("pmax").isNull() | (F.col("p_size") > F.col("pmax")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (Wenzek et al., LREC 2020): score
+# every document under the corpus's own bigram LM (the
+# q_bigram_logprob machinery — two vocabulary-sized aggregates + one
+# scan-stage self-alignment), rank docs per language by cost, and
+# split each language into head / middle / tail thirds — the
+# curation artifact CCNet feeds to its LM filter. The per-language
+# rank is a staged grouped_rank (shuffle-fed input → auto
+# localCheckpoint), so no fact-scale single-task window; every
+# number stays an exact integer (ln() micros-quantized per pair, the
+# standing cross-engine libm guard; bucket = ((rn-1)*3) DIV cnt).
+# ---------------------------------------------------------------------------
+@register(
+    "q_ccnet_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_filter({_TOKENS_SQL}, t -> t <> '') AS ts
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks
+    ),
+    bcnt AS (SELECT bigram, COUNT(*) AS nb FROM big GROUP BY bigram),
+    ucnt AS (
+      SELECT w1, CAST(SUM(nb) AS BIGINT) AS nu FROM (
+        SELECT string_split(bigram, ' ')[1] AS w1, nb FROM bcnt
+      ) GROUP BY w1
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(FLOOR(ln(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE))
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_lp,
+             COUNT(*) AS nb_doc
+      FROM big
+      JOIN bcnt USING (bigram)
+      JOIN ucnt ON string_split(bigram, ' ')[1] = w1
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, t.lang, len(t.ts) AS ntok,
+             ((-d.sum_lp) * 1000) // d.nb_doc AS cost_milli
+      FROM doc d JOIN toks t USING (doc_id)
+      WHERE d.nb_doc > 0
+    ),
+    ranked AS (
+      SELECT lang, ntok, cost_milli,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cost_milli, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM scored
+    )
+    SELECT lang,
+           CASE least(((rn - 1) * 3) // cnt, 2)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(MIN(cost_milli) AS BIGINT) AS min_cost_milli,
+           CAST(MAX(cost_milli) AS BIGINT) AS max_cost_milli
+    FROM ranked GROUP BY lang, bucket
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(_tokens_col(), lambda t: t != "")
+    base = docs.select("doc_id", "lang", ts.alias("ts"))
+    bigrams_arr = F.transform(
+        F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+        lambda _x, i: F.concat_ws(
+            " ", F.element_at(F.col("ts"), i + 1), F.element_at(F.col("ts"), i + 2)
+        ),
+    )
+    big = base.select("doc_id", F.explode(bigrams_arr).alias("bigram"))
+    bcnt = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    ucnt = (
+        bcnt.select(F.split(F.col("bigram"), " ").getItem(0).alias("w1"), "nb")
+        .groupBy("w1")
+        .agg(F.sum("nb").alias("nu"))
+    )
+    lp = F.floor(
+        F.log(F.col("nb").cast("double") / F.col("nu").cast("double")) * 1000000
+        + 0.5
+    ).cast("long")
+    doc = (
+        big.join(bcnt, "bigram")
+        .join(ucnt, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(F.sum(lp).alias("sum_lp"), F.count(F.lit(1)).alias("nb_doc"))
+    )
+    scored = (
+        doc.filter(F.col("nb_doc") > 0)
+        .join(base.select("doc_id", "lang", F.size("ts").alias("ntok")), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "ntok",
+            F.expr("((-sum_lp) * 1000) DIV nb_doc").alias("cost_milli"),
+        )
+    )
+    ranked = grouped_rank(
+        scored,
+        ["lang"],
+        [F.col("cost_milli"), F.col("doc_id")],
+        rank_col="rn",
+        count_col="cnt",
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.least(F.expr("((rn - 1) * 3) DIV cnt"), F.lit(2)) + 1).cast("int"),
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.min("cost_milli").cast("long").alias("min_cost_milli"),
+            F.max("cost_milli").cast("long").alias("max_cost_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: subword-per-word and chars-per-subword ratios
+# per (source, lang) — the table a tokenizer owner reads to spot
+# sources whose text fragments badly (high fertility = wasted
+# context window). Whitespace words vs the BPE-ish regex estimate of
+# q_tokens_bpe; all pure scan expressions (no explode, no per-token
+# shuffle) into one groupBy; ratios as exact integer millis
+# ((num*1000 + den DIV 2) DIV den, positive operands).
+# ---------------------------------------------------------------------------
+@register(
+    "q_fertility",
+    f"""
+    WITH d AS (
+      SELECT source, lang,
+             length(text) AS nchars,
+             len({_TOKENS_SQL}) AS nws,
+             COALESCE(list_aggregate(list_transform(
+               regexp_extract_all({_NORM_SQL}, '{text_fns.TOKEN_REGEX}'),
+               t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum'), 0) AS nbpe
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(nbpe) AS BIGINT) AS bpe_tokens,
+           CAST((SUM(nbpe) * 1000 + SUM(nws) // 2) // SUM(nws) AS BIGINT)
+             AS fertility_milli,
+           CAST((SUM(nchars) * 1000 + SUM(nbpe) // 2) // SUM(nbpe) AS BIGINT)
+             AS chars_per_bpe_milli
+    FROM d GROUP BY source, lang
+    """,
+)
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    rtoks = text_fns.regex_tokens(text_fns.normalize(F.col("text")))
+    nbpe = F.aggregate(
+        F.transform(rtoks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("nchars"),
+        text_fns.n_tokens(F.col("text")).cast("long").alias("nws"),
+        nbpe.alias("nbpe"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nws").cast("long").alias("ws_tokens"),
+        F.sum("nbpe").cast("long").alias("bpe_tokens"),
+        F.expr("CAST((SUM(nbpe) * 1000 + SUM(nws) DIV 2) DIV SUM(nws) AS BIGINT)")
+        .alias("fertility_milli"),
+        F.expr(
+            "CAST((SUM(nchars) * 1000 + SUM(nbpe) DIV 2) DIV SUM(nbpe) AS BIGINT)"
+        ).alias("chars_per_bpe_milli"),
+    )
