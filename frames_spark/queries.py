@@ -15625,3 +15625,344 @@ def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((SUM(nchars) * 1000 + SUM(nbpe) DIV 2) DIV SUM(nbpe) AS BIGINT)"
         ).alias("chars_per_bpe_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash separation audit: does Hamming distance actually separate
+# near-duplicates from unrelated documents on THIS corpus? Planted
+# near-copy pairs (label 'dup') and consecutive-id original pairs
+# (label 'non_dup') are both scored with (a) the 60-bit SimHash
+# Hamming distance and (b) exact shingle Jaccard — the calibration
+# table a curator reads before picking the Hamming band threshold,
+# completing the accuracy-audit family next to q_minhash_accuracy /
+# q_minhash_calibration. The pair set is O(N) BY CONSTRUCTION (two
+# explicit pairs per doc — no candidate generation, no self-join);
+# intersections ride equi-joins on (doc, shingle); Jaccard is
+# integer micros ((2*ncom*1e6 + un) DIV (2*un)), so the only float
+# is one closing division of exact ints.
+# ---------------------------------------------------------------------------
+@register(
+    "q_simhash_accuracy",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    hashed AS (
+      SELECT doc, {hash60_sql("shingle", seed="sh")} AS h FROM shingled
+    ),
+    votes AS (
+      SELECT doc, b.bit, SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM hashed, range(0, 60) b(bit) GROUP BY doc, b.bit
+    ),
+    sig AS (
+      SELECT doc, CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
+    ),
+    orig AS (SELECT doc_id FROM documents),
+    prs AS (
+      SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b, 'dup' AS label FROM orig
+      UNION ALL
+      SELECT o.doc_id, o.doc_id + 1, 'non_dup'
+      FROM orig o JOIN orig p ON p.doc_id = o.doc_id + 1
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT p.a, p.b, COUNT(*) AS ncom
+      FROM prs p
+      JOIN shingled x ON x.doc = p.a
+      JOIN shingled y ON y.doc = p.b AND y.shingle = x.shingle
+      GROUP BY p.a, p.b
+    ),
+    j AS (
+      SELECT p.label,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+             COALESCE(i.ncom, 0) AS ncom,
+             za.n + zb.n - COALESCE(i.ncom, 0) AS un
+      FROM prs p
+      JOIN sig sa ON sa.doc = p.a
+      JOIN sig sb ON sb.doc = p.b
+      JOIN sizes za ON za.doc = p.a
+      JOIN sizes zb ON zb.doc = p.b
+      LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    )
+    SELECT label, hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN un > 0
+                         THEN (2 * ncom * 1000000 + un) // (2 * un)
+                         ELSE 0 END) AS DOUBLE) / 1000000 / COUNT(*)
+             AS mean_jaccard
+    FROM j GROUP BY label, hamming
+    """,
+)
+def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sigs = simh_ops.simhash(corpus, "doc_id", "text")
+    orig = load_table(spark, sf_dir, "documents").select("doc_id")
+    dup = orig.select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + _DUP_OFFSET).alias("b"),
+        F.lit("dup").alias("label"),
+    )
+    nxt = orig.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    nondup = nxt.join(
+        orig.select(F.col("doc_id").alias("b")), "b", "left_semi"
+    ).withColumn("label", F.lit("non_dup"))
+    prs = dup.unionByName(nondup.select("a", "b", "label"))
+    sh = jac_ops.shingle_index(corpus, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ia = sh.select(F.col("doc").alias("a"), "shingle").join(
+        prs.select("a", "b"), "a"
+    )
+    inter = (
+        ia.join(sh.select(F.col("doc").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ncom"))
+    )
+    j = (
+        prs.join(
+            sigs.select(F.col("doc").alias("a"), F.col("simhash").alias("sa")), "a"
+        )
+        .join(sigs.select(F.col("doc").alias("b"), F.col("simhash").alias("sb")), "b")
+        .join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb")), "b")
+        .join(inter, ["a", "b"], "left")
+        .select(
+            "label",
+            F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+            F.coalesce(F.col("ncom"), F.lit(0)).alias("ncom"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("ncom"), F.lit(0))).alias(
+                "un"
+            ),
+        )
+    )
+    return j.groupBy("label", "hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(
+                    F.col("un") > 0,
+                    F.expr("(2 * ncom * 1000000 + un) DIV (2 * un)"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 1000000
+            / F.count(F.lit(1))
+        ).alias("mean_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-node clustering coefficient on the co-purchase graph: the
+# local triangle density 2T(v) / deg(v)(deg(v)-1) (Watts-Strogatz) —
+# the node-level refinement of q_triangle_count, sharing its
+# degree-oriented wedge machinery (Suri & Vassilvitskii, WWW'11):
+# each triangle is still enumerated once at its lowest-degree
+# vertex, then credited to all three corners with one explode.
+# Coefficients are exact integer micros; the node dimension is
+# bounded by |part|, so the output relation is dimension-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "q_clustering_coeff",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey,
+             LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (SELECT DISTINCT u, v FROM pairs),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tn AS (
+      SELECT node, COUNT(*) AS t
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      GROUP BY n
+    )
+    SELECT deg.n AS node, CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+           CAST((4 * COALESCE(t, 0) * 1000000 + d * (d - 1))
+                // (2 * d * (d - 1)) AS BIGINT) AS clustering_micros
+    FROM deg LEFT JOIN tn ON tn.node = deg.n
+    WHERE d >= 2
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
+    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    wedges = w1.join(w2, "p").filter(F.col("a") < F.col("b"))
+    canon = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    tri_nodes = (
+        wedges.join(canon, ["a", "b"])
+        .select(F.explode(F.array("p", "a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_nodes, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST((4 * COALESCE(t, 0) * 1000000 + deg * (deg - 1))"
+                " DIV (2 * deg * (deg - 1)) AS BIGINT)"
+            ).alias("clustering_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction on the co-purchase graph: for part
+# pairs NOT yet co-purchased, count shared neighbors and score with
+# neighborhood Jaccard (Liben-Nowell & Kleinberg, CIKM'03) — the
+# "customers also bought" candidate list. Candidate pairs come from
+# per-pivot sorted-adjacency i<j expansion, with pivots capped at
+# degree <= _LP_MAX_DEG (the posting-list stop-shingle pattern: a
+# hub pivot is D^2 pairs and near-zero signal; the cap is mirrored
+# in the oracle). Existing edges drop via one anti-join; the result
+# is a deterministic top-20 under the strict (common, a, b) order.
+# ---------------------------------------------------------------------------
+_LP_MAX_DEG = 1024
+
+
+@register(
+    "q_link_prediction",
+    f"""
+    WITH pairs0 AS (
+      SELECT DISTINCT a.l_orderkey,
+             LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (SELECT DISTINCT u, v FROM pairs0),
+    nb AS (SELECT u AS p, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT p, COUNT(*) AS d FROM nb GROUP BY p),
+    cand AS (
+      SELECT x.n AS a2, y.n AS b2, COUNT(*) AS common
+      FROM nb x
+      JOIN nb y ON x.p = y.p AND x.n < y.n
+      JOIN deg ON deg.p = x.p AND deg.d <= {_LP_MAX_DEG}
+      GROUP BY 1, 2
+    ),
+    newl AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN e ON e.u = c.a2 AND e.v = c.b2
+      WHERE e.u IS NULL
+    )
+    SELECT a2 AS part_a, b2 AS part_b,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST((2 * common * 1000 + (da.d + db.d - common))
+                // (2 * (da.d + db.d - common)) AS BIGINT) AS jaccard_milli
+    FROM newl
+    JOIN deg da ON da.p = a2
+    JOIN deg db ON db.p = b2
+    ORDER BY common_neighbors DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    nb = edges.select(F.col("u").alias("p"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("p"), F.col("u").alias("n"))
+    )
+    adj = (
+        nb.groupBy("p")
+        .agg(F.array_sort(F.collect_list("n")).alias("ns"))
+        .filter((F.size("ns") >= 2) & (F.size("ns") <= _LP_MAX_DEG))
+    )
+    cand = (
+        adj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("w")
+        )
+        .select("w.a", "w.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    canon = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    newl = cand.join(canon, ["a", "b"], "left_anti")
+    deg = nb.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        newl.join(deg.select(F.col("p").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("p").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.expr(
+                "CAST((2 * common * 1000 + (da + db - common))"
+                " DIV (2 * (da + db - common)) AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(20)
+    )
