@@ -101,6 +101,11 @@ BENCH_QUERIES = {
     "gopher_full": Q.q_gopher_full,
     "incremental_dedup": Q.q_incremental_dedup,
     "lsh_bucket_stats": Q.q_lsh_bucket_stats,
+    "skyline": Q.q_skyline,
+    "ccnet_buckets": Q.q_ccnet_buckets,
+    "fertility": Q.q_fertility,
+    "simhash_accuracy": Q.q_simhash_accuracy,
+    "clustering_coeff": Q.q_clustering_coeff,
 }
 
 
