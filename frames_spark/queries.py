@@ -15966,3 +15966,106 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic dedup (dedup/semdedup.py; Abbas
+# et al. 2023, arXiv:2303.09540). The k-means codebook is replaced by
+# a deterministic md5-seeded ±1 codebook so the ENTIRE pipeline —
+# assignment argmax, within-cluster pairs, greedy min-id drops — is
+# reproduced bit-for-bit by the oracle (the q_dedup_embed_lsh trade).
+# Corpus = vec_id < 1000 plus perturbed near-copies, so true semantic
+# dups exist at every SF and the within-cluster pair expansion stays
+# oracle-feasible at sf0.1. The max_cluster=4000 guard (the scale
+# posture: never expand a degenerate codebook cell quadratically) is
+# mirrored in the oracle's csize CTE.
+# ---------------------------------------------------------------------------
+from frames_spark.dedup import semdedup as sem_ops  # noqa: E402
+
+_SEM_K = 16
+_SEM_TAU = 0.9
+_SEM_MAX_CLUSTER = 4000
+_SEM_CORPUS_SQL = _emb_corpus_sql("WHERE vec_id < 1000")
+
+
+def _sem_cents_values() -> str:
+    return ",".join(
+        f"({c},{i + 1},{s})"
+        for c in range(_SEM_K)
+        for i, s in enumerate(sem_ops.centroid_components(c, 64))
+    )
+
+
+def _semdedup_oracle(final_select: str) -> str:
+    return f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus=_SEM_CORPUS_SQL)}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    cents AS (SELECT * FROM (VALUES {_sem_cents_values()}) t(c, i, s)),
+    cdots AS (
+      SELECT f.vec_id, c.c, SUM(f.e * c.s) AS dot
+      FROM fixed f JOIN cents c USING (i) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c ASC) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ),
+    csize AS (SELECT cluster, COUNT(*) AS n FROM best GROUP BY cluster),
+    ok AS (SELECT cluster FROM csize WHERE n <= {_SEM_MAX_CLUSTER}),
+    pairdots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, ba.cluster,
+             SUM(a.e * b.e) AS dot
+      FROM fixed a
+      JOIN best ba ON ba.vec_id = a.vec_id
+      JOIN fixed b ON a.i = b.i AND a.vec_id < b.vec_id
+      JOIN best bb ON bb.vec_id = b.vec_id AND bb.cluster = ba.cluster
+      JOIN ok ON ok.cluster = ba.cluster
+      GROUP BY 1, 2, 3
+    ),
+    sim AS (
+      SELECT id_a, id_b, cluster
+      FROM pairdots
+      JOIN norms na ON id_a = na.vec_id
+      JOIN norms nb ON id_b = nb.vec_id
+      WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            >= {_SEM_TAU}
+    )
+    {final_select}
+    """
+
+
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return _with_perturbed_copies(emb)
+
+
+@register(
+    "q_semdedup",
+    _semdedup_oracle("SELECT DISTINCT id_b AS vec_id, cluster FROM sim"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sem_ops.semdedup_drops(
+        _sem_corpus(spark, sf_dir), "vec_id", "embedding",
+        n_centroids=_SEM_K, threshold=_SEM_TAU, max_cluster=_SEM_MAX_CLUSTER,
+    )
+
+
+@register(
+    "q_semdedup_summary",
+    _semdedup_oracle("""
+    , memb AS (SELECT cluster, COUNT(*) AS n_members FROM best GROUP BY cluster),
+    drops AS (SELECT cluster, COUNT(DISTINCT id_b) AS nd FROM sim GROUP BY cluster)
+    SELECT m.cluster, m.n_members,
+           CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dropped
+    FROM memb m LEFT JOIN drops d USING (cluster)
+    """),
+)
+def q_semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sem_ops.semdedup_summary(
+        _sem_corpus(spark, sf_dir), "vec_id", "embedding",
+        n_centroids=_SEM_K, threshold=_SEM_TAU, max_cluster=_SEM_MAX_CLUSTER,
+    )
