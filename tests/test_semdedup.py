@@ -1,0 +1,111 @@
+"""SemDeDup (dedup/semdedup.py): deterministic codebook assignment,
+planted-duplicate recovery, guard behavior, summary consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.dedup import semdedup
+from frames_spark.queries import _with_perturbed_copies
+from frames_spark.sources.tables import load_table
+
+
+def _corpus(spark, sf_dir, n=200):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < n)
+    return _with_perturbed_copies(emb)
+
+
+def test_codebook_is_deterministic_and_pm1():
+    a = semdedup.centroid_components(3, 64)
+    b = semdedup.centroid_components(3, 64)
+    assert a == b
+    assert set(a) <= {-1, 1}
+    # distinct centroids differ
+    assert a != semdedup.centroid_components(4, 64)
+
+
+def test_assignment_is_total_and_stable(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    assigned = semdedup.assign_clusters(corpus, "vec_id", "embedding", 16)
+    rows = assigned.select("vid", "cluster").collect()
+    assert len(rows) == corpus.count()
+    assert all(0 <= r.cluster < 16 for r in rows)
+    again = dict(
+        semdedup.assign_clusters(corpus, "vec_id", "embedding", 16)
+        .select("vid", "cluster")
+        .collect()
+    )
+    assert dict(rows) == again
+
+
+def test_planted_copies_drop(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count() // 2
+    drops = semdedup.semdedup_drops(
+        corpus, "vec_id", "embedding", n_centroids=16, threshold=0.9
+    )
+    dropped = {r.vec_id for r in drops.collect()}
+    # a perturbed copy is near-identical to its original; whenever the
+    # pair lands in one codebook cell the copy (larger id) must drop.
+    # The ±1 codebook splits some boundary pairs across cells — accept
+    # a 60% floor, which a broken pair stage cannot reach.
+    planted_hits = sum(1 for d in dropped if d >= 1_000_000)
+    assert planted_hits >= n * 0.6
+    # keep rule: an id drops only if some smaller same-cluster id is
+    # similar — originals with no smaller near-dup survive
+    assert len(dropped) < corpus.count()
+
+
+def test_pairs_are_within_cluster_and_ordered(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir, n=100)
+    pairs = semdedup.semdedup_pairs(
+        corpus, "vec_id", "embedding", n_centroids=8, threshold=0.9
+    )
+    assigned = dict(
+        semdedup.assign_clusters(corpus, "vec_id", "embedding", 8)
+        .select("vid", "cluster")
+        .collect()
+    )
+    for r in pairs.collect():
+        assert r.id_a < r.id_b
+        assert assigned[r.id_a] == r.cluster
+        assert assigned[r.id_b] == r.cluster
+        assert r.cosine >= 0.9
+
+
+def test_max_cluster_guard_drops_degenerate_cells(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir, n=100)
+    # with ONE centroid everything lands in one cell; a guard below
+    # the corpus size must suppress every pair
+    guarded = semdedup.semdedup_pairs(
+        corpus, "vec_id", "embedding", n_centroids=1, threshold=0.9,
+        max_cluster=10,
+    )
+    assert guarded.count() == 0
+    unguarded = semdedup.semdedup_pairs(
+        corpus, "vec_id", "embedding", n_centroids=1, threshold=0.9,
+        max_cluster=None,
+    )
+    assert unguarded.count() > 0
+
+
+def test_summary_is_consistent_with_drops(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    summary = semdedup.semdedup_summary(
+        corpus, "vec_id", "embedding", n_centroids=16, threshold=0.9
+    ).collect()
+    drops = semdedup.semdedup_drops(
+        corpus, "vec_id", "embedding", n_centroids=16, threshold=0.9
+    )
+    by_cluster = {
+        r.cluster: r.cnt
+        for r in drops.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert sum(r.n_members for r in summary) == corpus.count()
+    for r in summary:
+        assert r.n_dropped == by_cluster.get(r.cluster, 0)
+        assert 0 <= r.n_dropped < r.n_members or (
+            r.n_dropped == 0 and r.n_members == 0
+        )
