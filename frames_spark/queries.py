@@ -16069,3 +16069,61 @@ def q_semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sem_corpus(spark, sf_dir), "vec_id", "embedding",
         n_centroids=_SEM_K, threshold=_SEM_TAU, max_cluster=_SEM_MAX_CLUSTER,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (pipelines/dsir.py; Xie et al. 2023,
+# arXiv:2302.03169): hashed-unigram bucket models over a TARGET
+# corpus (lang='en' as the proxy) vs the RAW corpus; per-doc
+# importance log-weight = sum of quantized per-bucket log-ratios —
+# exact integers after the one ln per bucket (q_kl_source idiom),
+# deterministic top-100 selection. Bucket models are n_buckets-row
+# bounded broadcasts; the corpus tokenizes once.
+# ---------------------------------------------------------------------------
+from frames_spark.pipelines import dsir as dsir_ops  # noqa: E402
+
+_DSIR_B = 4096
+
+
+@register(
+    "q_dsir",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), tk AS (
+      SELECT doc_id, lang,
+             {hash60_sql("term", "dsir")} % {_DSIR_B} AS bucket
+      FROM tok WHERE term <> ''
+    ), db AS (
+      SELECT doc_id, lang, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2, 3
+    ), cr AS (
+      SELECT bucket, SUM(c) AS cr FROM db GROUP BY bucket
+    ), ct AS (
+      SELECT bucket, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(c) AS nr,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS nt
+      FROM db
+    ), lam AS (
+      SELECT cr.bucket,
+             CAST(FLOOR(ln(
+               (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  * (CAST(tot.nr AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+               / (CAST(cr.cr + 1 AS DOUBLE)
+                  * (CAST(tot.nt AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+             ) * 1000000000 + 0.5) AS BIGINT) AS lam_nanos
+      FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot
+    ), s AS (
+      SELECT doc_id, SUM(c * lam_nanos) AS logw_nanos
+      FROM db JOIN lam USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(logw_nanos AS BIGINT) AS logw_nanos
+    FROM s ORDER BY logw_nanos DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    return dsir_ops.dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        k=100, n_buckets=_DSIR_B,
+    )

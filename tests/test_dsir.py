@@ -1,0 +1,69 @@
+"""DSIR importance weights (pipelines/dsir.py): planted-vocabulary
+selection, target-alignment direction, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frames_spark.pipelines import dsir
+from frames_spark.sources.tables import load_table
+
+
+def test_planted_target_vocab_ranks_top(spark):
+    # target vocabulary {aa..ae}, raw-only vocabulary {zz..zv}: docs
+    # written in target vocab must out-score docs in raw vocab.
+    t_words = ["aa", "ab", "ac", "ad", "ae"]
+    r_words = ["zz", "zy", "zx", "zw", "zv"]
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(t_words * 4), True))  # target corpus
+    for i in range(10, 30):
+        w = t_words if i < 20 else r_words
+        rows.append((i, " ".join(w * 4), False))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    scores = dsir.dsir_logweights(docs, "doc_id", "text", F.col("tgt"))
+    by_id = {r.doc_id: r.logw_nanos for r in scores.collect()}
+    assert len(by_id) == 30
+    target_like = [by_id[i] for i in range(10, 20)]
+    raw_only = [by_id[i] for i in range(20, 30)]
+    assert min(target_like) > max(raw_only)
+
+
+def test_selection_is_topk_and_deterministic(spark):
+    rows = [(i, f"w{i % 7} w{i % 5} common", i % 3 == 0) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    sel1 = dsir.dsir_select(docs, "doc_id", "text", F.col("tgt"), k=10)
+    sel2 = dsir.dsir_select(docs, "doc_id", "text", F.col("tgt"), k=10)
+    r1 = [(r.doc_id, r.logw_nanos) for r in sel1.collect()]
+    r2 = [(r.doc_id, r.logw_nanos) for r in sel2.collect()]
+    assert r1 == r2
+    assert len(r1) == 10
+    # top-k really is the k max log-weights
+    all_scores = sorted(
+        (
+            (-r.logw_nanos, r.doc_id)
+            for r in dsir.dsir_logweights(
+                docs, "doc_id", "text", F.col("tgt")
+            ).collect()
+        )
+    )[:10]
+    assert [(i, -s) for s, i in all_scores] == r1
+
+
+def test_en_target_scores_en_higher_on_real_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir.dsir_logweights(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+    joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.grp: r.m
+        for r in joined.select(
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp"),
+            "logw_nanos",
+        )
+        .groupBy("grp")
+        .agg(F.avg("logw_nanos").alias("m"))
+        .collect()
+    }
+    assert means["en"] > means["other"]
