@@ -16127,3 +16127,55 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", F.col("lang") == "en",
         k=100, n_buckets=_DSIR_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's built-in F.session_window (the
+# operator the streaming engine uses for session state) run in batch
+# and proven against the gaps-and-islands reference semantics.
+# Boundary: an event exactly `gap` after its predecessor starts a NEW
+# session — session windows are half-open [start, last + gap), so the
+# oracle's new-session predicate is >= (q_sessionize's custom
+# sessionizer implements the closed variant with >, documented there;
+# both are correct, they are different published operators).
+# Handoff in integral micros (epoch_us/unix_micros) — whole-second
+# timestamp keys diverge between engines at sf0.1 densities.
+# ---------------------------------------------------------------------------
+@register(
+    "q_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                            OVER (PARTITION BY user_id ORDER BY ts)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(tus) AS BIGINT) AS start_us,
+           CAST(MAX(tus) + 1800000000 AS BIGINT) AS end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
