@@ -16179,3 +16179,78 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned classifier: multinomial naive Bayes over hashed unigram
+# buckets (pipelines/nbayes.py; McCallum & Nigam 1998). Trains per-
+# class token distributions on doc_id % 5 != 0 in ONE aggregation
+# pass, scores the held-out fifth with exact integer log-prob sums
+# (every ln quantized to nanos at the call — the q_kl_source idiom),
+# and returns the confusion matrix. The model relations are bounded
+# broadcasts (≤ n_buckets x n_classes); the corpus shuffles once,
+# keyed by doc. Complements q_langid's fixed heuristic with a
+# trained model under the same hard oracle gate.
+# ---------------------------------------------------------------------------
+from frames_spark.pipelines import nbayes as nb_ops  # noqa: E402
+
+_NB_B = 4096
+
+
+@register(
+    "q_nb_confusion",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), tk AS (
+      SELECT doc_id, lang,
+             {hash60_sql("term", "nb")} % {_NB_B} AS bucket
+      FROM tok WHERE term <> ''
+    ), db AS (
+      SELECT doc_id, lang, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2, 3
+    ), train AS (SELECT * FROM db WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM db WHERE doc_id % 5 = 0),
+    ncb AS (SELECT lang AS cand, bucket, SUM(c) AS ncb FROM train GROUP BY 1, 2),
+    nc AS (SELECT cand, SUM(ncb) AS nc FROM ncb GROUP BY 1),
+    dc AS (SELECT lang AS cand, COUNT(DISTINCT doc_id) AS dcount FROM train GROUP BY 1),
+    dtot AS (SELECT COUNT(DISTINCT doc_id) AS dt FROM train),
+    lp AS (
+      SELECT cand, bucket,
+             CAST(FLOOR(ln(CAST(ncb + 1 AS DOUBLE)
+                           / (CAST(nc AS DOUBLE) + CAST({_NB_B} AS DOUBLE)))
+                        * 1000000000 + 0.5) AS BIGINT) AS lp_nanos
+      FROM ncb JOIN nc USING (cand)
+    ), stats AS (
+      SELECT nc.cand,
+             CAST(FLOOR(ln(CAST(1 AS DOUBLE)
+                           / (CAST(nc AS DOUBLE) + CAST({_NB_B} AS DOUBLE)))
+                        * 1000000000 + 0.5) AS BIGINT) AS def_nanos,
+             CAST(FLOOR(ln(CAST(dcount AS DOUBLE) / CAST(dt AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS prior_nanos
+      FROM nc JOIN dc USING (cand) CROSS JOIN dtot
+    ), terms AS (
+      SELECT t.doc_id, t.lang, s.cand, s.prior_nanos,
+             t.c * COALESCE(lp.lp_nanos, s.def_nanos) AS term
+      FROM test t
+      CROSS JOIN stats s
+      LEFT JOIN lp ON lp.cand = s.cand AND lp.bucket = t.bucket
+    ), scored AS (
+      SELECT doc_id, lang, cand,
+             SUM(term) + prior_nanos AS score
+      FROM terms GROUP BY doc_id, lang, cand, prior_nanos
+    ), pred AS (
+      SELECT doc_id, lang, cand AS pred FROM (
+        SELECT doc_id, lang, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred
+    """,
+)
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    return nb_ops.nb_confusion(
+        docs, "doc_id", "text", "lang", n_buckets=_NB_B
+    ).select(F.col("_label").alias("lang"), "pred", F.col("n").cast("long").alias("n"))
