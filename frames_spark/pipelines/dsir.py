@@ -140,3 +140,39 @@ def dsir_select(
     any partition layout)."""
     w = dsir_logweights(docs, id_col, text_col, target, n_buckets, seed)
     return w.orderBy(F.desc("logw_nanos"), F.asc(id_col)).limit(k)
+
+
+def dsir_sample(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    k: int,
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+    noise_seed: str = "dsirg",
+) -> DataFrame:
+    """The paper's ACTUAL selection rule: sample k docs without
+    replacement with probability ∝ w(x), via the Gumbel-top-k trick —
+    argtop-k of (log w + Gumbel noise) is an exact sample from the
+    importance distribution (Vieira 2014; Kool et al. 2019). The
+    Gumbel is deterministic in (id, noise_seed): u = (hash60(id)+1)/2^60,
+    g = -ln(-ln(u)) — quantized to the same nanos scale as the
+    log-weight so the noisy key stays an exact integer and the
+    selected SET is reproducible on any partition layout (the
+    weighted_sample A-ES device, in Gumbel form)."""
+    from frames_spark.functions.hashing import hash60
+
+    w = dsir_logweights(docs, id_col, text_col, target, n_buckets, seed)
+    u = (
+        hash60(F.col(id_col).cast("string"), seed=noise_seed) + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    g_nanos = F.floor(-F.log(-F.log(u)) * 1_000_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        w.withColumn("gumbel_key", F.col("logw_nanos") + g_nanos)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "logw_nanos", "gumbel_key")
+    )

@@ -16254,3 +16254,61 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_ops.nb_confusion(
         docs, "doc_id", "text", "lang", n_buckets=_NB_B
     ).select(F.col("_label").alias("lang"), "pred", F.col("n").cast("long").alias("n"))
+
+
+# Gumbel-top-k DSIR resampling — the paper's actual selection rule:
+# k docs sampled without replacement ∝ importance weight via
+# argtop-k(log w + Gumbel) (Vieira 2014; Kool et al. 2019). The
+# Gumbel is deterministic in (doc_id, seed) and quantized to the same
+# integer nanos scale as the log-weight, so the sampled SET is
+# engine- and layout-independent — the A-ES trick of
+# q_weighted_sample, in Gumbel form, riding the q_dsir weights.
+@register(
+    "q_dsir_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), tk AS (
+      SELECT doc_id, lang,
+             {hash60_sql("term", "dsir")} % {_DSIR_B} AS bucket
+      FROM tok WHERE term <> ''
+    ), db AS (
+      SELECT doc_id, lang, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2, 3
+    ), cr AS (
+      SELECT bucket, SUM(c) AS cr FROM db GROUP BY bucket
+    ), ct AS (
+      SELECT bucket, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(c) AS nr,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS nt
+      FROM db
+    ), lam AS (
+      SELECT cr.bucket,
+             CAST(FLOOR(ln(
+               (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  * (CAST(tot.nr AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+               / (CAST(cr.cr + 1 AS DOUBLE)
+                  * (CAST(tot.nt AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+             ) * 1000000000 + 0.5) AS BIGINT) AS lam_nanos
+      FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot
+    ), s AS (
+      SELECT doc_id, SUM(c * lam_nanos) AS logw_nanos
+      FROM db JOIN lam USING (bucket) GROUP BY doc_id
+    ), keyed AS (
+      SELECT doc_id, CAST(logw_nanos AS BIGINT) AS logw_nanos,
+             CAST(logw_nanos AS BIGINT) + CAST(FLOOR(
+               -ln(-ln(CAST({hash60_sql("CAST(doc_id AS VARCHAR)", "dsirg")} + 1 AS DOUBLE)
+                       / {float(1 << 60)}))
+               * 1000000000 + 0.5) AS BIGINT) AS gumbel_key
+      FROM s
+    )
+    SELECT doc_id, logw_nanos, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    return dsir_ops.dsir_sample(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        k=100, n_buckets=_DSIR_B,
+    )

@@ -67,3 +67,28 @@ def test_en_target_scores_en_higher_on_real_corpus(spark, sf_dir):
         .collect()
     }
     assert means["en"] > means["other"]
+
+
+def test_gumbel_sample_is_weight_biased_and_deterministic(spark):
+    # two vocab groups; target-like docs carry much larger weights,
+    # so the 10-of-40 sample must be dominated by them
+    t_words = ["aa", "ab", "ac", "ad", "ae"]
+    r_words = ["zz", "zy", "zx", "zw", "zv"]
+    rows = [(i, " ".join(t_words * 4), True) for i in range(10)]
+    rows += [
+        (i, " ".join((t_words if i < 30 else r_words) * 4), False)
+        for i in range(10, 50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    s1 = dsir.dsir_sample(docs, "doc_id", "text", F.col("tgt"), k=10)
+    s2 = dsir.dsir_sample(docs, "doc_id", "text", F.col("tgt"), k=10)
+    r1 = [(r.doc_id, r.gumbel_key) for r in s1.collect()]
+    assert r1 == [(r.doc_id, r.gumbel_key) for r in s2.collect()]
+    assert len(r1) == 10
+    # log-weight gap between groups dwarfs Gumbel noise here
+    assert sum(1 for i, _ in r1 if i < 30) >= 9
+    # different noise seed -> (almost surely) different tie ordering
+    s3 = dsir.dsir_sample(
+        docs, "doc_id", "text", F.col("tgt"), k=10, noise_seed="other"
+    )
+    assert [(r.doc_id, r.gumbel_key) for r in s3.collect()] != r1
