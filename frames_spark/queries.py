@@ -16312,3 +16312,66 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", F.col("lang") == "en",
         k=100, n_buckets=_DSIR_B,
     )
+
+
+# Domain-level importance: mean DSIR log-weight per source — the
+# DoReMi-adjacent view (which DOMAINS to upweight, not which docs).
+# Mean as exact integer floor-div of the nanos sum; rides the same
+# bucket models as q_dsir.
+@register(
+    "q_dsir_by_source",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), tk AS (
+      SELECT doc_id, lang, source,
+             {hash60_sql("term", "dsir")} % {_DSIR_B} AS bucket
+      FROM tok WHERE term <> ''
+    ), db AS (
+      SELECT doc_id, lang, source, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2, 3, 4
+    ), cr AS (
+      SELECT bucket, SUM(c) AS cr FROM db GROUP BY bucket
+    ), ct AS (
+      SELECT bucket, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(c) AS nr,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS nt
+      FROM db
+    ), lam AS (
+      SELECT cr.bucket,
+             CAST(FLOOR(ln(
+               (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  * (CAST(tot.nr AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+               / (CAST(cr.cr + 1 AS DOUBLE)
+                  * (CAST(tot.nt AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+             ) * 1000000000 + 0.5) AS BIGINT) AS lam_nanos
+      FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot
+    ), s AS (
+      SELECT doc_id, MIN(source) AS source, SUM(c * lam_nanos) AS logw_nanos
+      FROM db JOIN lam USING (bucket) GROUP BY doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST((SUM(logw_nanos) - ((SUM(logw_nanos) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                / COUNT(*) AS BIGINT) AS mean_logw_nanos
+    FROM s GROUP BY source
+    """,
+)
+def q_dsir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    w = dsir_ops.dsir_logweights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+    per_doc = w.join(docs.select("doc_id", "source"), "doc_id")
+    # floor division toward -inf on both engines: Spark's pmod trick
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            (
+                F.sum("logw_nanos")
+                - F.pmod(F.sum("logw_nanos"), F.count(F.lit(1)))
+            )
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_logw_nanos"),
+    )
