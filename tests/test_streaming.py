@@ -366,3 +366,30 @@ def test_hopping_rollup_matches_batch(spark, sf_dir):
         for r in Q.q_hopping_window(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_rollup_matches_q_session_window_exactly(spark, sf_dir):
+    """The streaming session operator and the registered (oracle-
+    gated) batch q_session_window must agree bit-for-bit: same
+    half-open [start, last+gap) windows, same counts."""
+    from frames_spark.queries import QUERIES
+
+    stream = sev.read_event_stream(spark, sf_dir)
+    result = sev.run_to_memory(sev.session_rollup(stream), "sess_parity")
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in result.collect()
+    }
+    batch = QUERIES["q_session_window"](spark, sf_dir)
+    want = {}
+    for r in batch.collect():
+        import datetime
+
+        s = datetime.datetime.fromtimestamp(
+            r.start_us / 1e6, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+        e = datetime.datetime.fromtimestamp(
+            r.end_us / 1e6, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+        want[(r.user_id, s, e)] = r.n_events
+    assert got == want
