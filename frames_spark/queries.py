@@ -16375,3 +16375,93 @@ def q_dsir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_logw_nanos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal-Rank Fusion (similarity/fusion.py;
+# Cormack et al. SIGIR'09) of a lexical leg (distinct-token overlap
+# via a broadcast inverted index — never doc x doc) and an embedding
+# leg (exact brute-force cosine, the q_ann_bruteforce machinery) for
+# query docs {0,1,2}, treating doc_id == vec_id. Every leg rank is a
+# row_number under a strict total order and every reciprocal is the
+# exact integer 1000000 DIV (60 + rank), so fused scores are exact
+# integer sums — full oracle.
+# ---------------------------------------------------------------------------
+from frames_spark.similarity import fusion as fusion_ops  # noqa: E402
+
+_RRF_DEPTH = 20
+
+
+@register(
+    "q_rrf_hybrid",
+    f"""
+    WITH ltok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS term FROM documents
+    ), lq AS (
+      SELECT doc_id AS query_id, term FROM ltok WHERE doc_id < 3 AND term <> ''
+    ), ld AS (
+      SELECT doc_id, term FROM ltok WHERE term <> ''
+    ), lov AS (
+      SELECT lq.query_id, ld.doc_id, COUNT(*) AS overlap
+      FROM ld JOIN lq USING (term)
+      WHERE ld.doc_id <> lq.query_id
+      GROUP BY 1, 2
+    ), lleg AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY overlap DESC, doc_id ASC) AS rnk
+        FROM lov
+      ) WHERE rnk <= {_RRF_DEPTH}
+    ), fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    edots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id, SUM(q.e * c.e) AS dot
+      FROM fixed q JOIN fixed c ON q.i = c.i AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 3
+      GROUP BY 1, 2
+    ), escored AS (
+      SELECT query_id, doc_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM edots JOIN norms nq ON query_id = nq.vec_id
+                 JOIN norms nc ON doc_id = nc.vec_id
+    ), eleg AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id ASC) AS rnk
+        FROM escored
+      ) WHERE rnk <= {_RRF_DEPTH}
+    ), contrib AS (
+      SELECT query_id, doc_id, 1000000 // (60 + rnk) AS contrib FROM lleg
+      UNION ALL
+      SELECT query_id, doc_id, 1000000 // (60 + rnk) AS contrib FROM eleg
+    ), fused AS (
+      SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_micros
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_micros, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, doc_id, rrf_micros,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micros DESC, doc_id ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    lex = fusion_ops.lexical_overlap_leg(
+        docs, "doc_id", "text", [0, 1, 2], depth=_RRF_DEPTH
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    from frames_spark.similarity.ann import brute_force_topk
+
+    eleg = brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=_RRF_DEPTH
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = fusion_ops.rrf_fuse([lex, eleg], k=60, topk=10)
+    return fused.select(
+        "query_id", "doc_id", "rrf_micros", F.col("rank").cast("long").alias("rank")
+    )
