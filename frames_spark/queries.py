@@ -16465,3 +16465,67 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "query_id", "doc_id", "rrf_micros", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset: greedy farthest-point traversal (similarity/
+# coreset.py; Gonzalez 1985) — k maximally-spread exemplars, the
+# classic diverse-subset selector. Exact integer squared-L2 over the
+# fixed-point vectors makes every round's argmax deterministic, so
+# the ENTIRE k-round trace carries a full oracle: one unrolled
+# MATERIALIZED CTE per round (the q_markov_stationary device —
+# default CTE inlining re-expands the chain exponentially).
+# ---------------------------------------------------------------------------
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    # each round's center row is materialized FIRST (c{r}: 64 rows) —
+    # a scalar subquery inside the join condition does not get pushed
+    # into the scan of `b`, which would make every round a full
+    # i-join of the corpus with itself
+    parts = [
+        f"WITH fixed AS MATERIALIZED ({_FIXED_SQL.format(corpus='SELECT vec_id, embedding FROM embeddings')}),",
+        "seed AS (SELECT MIN(vec_id) AS sid FROM fixed),",
+        """c1 AS MATERIALIZED (
+          SELECT i, e FROM fixed WHERE vec_id = (SELECT sid FROM seed)
+        ),
+        m1 AS MATERIALIZED (
+          SELECT a.vec_id, SUM((a.e - b.e) * (a.e - b.e)) AS mind
+          FROM fixed a JOIN c1 b ON a.i = b.i
+          GROUP BY a.vec_id
+        ),
+        s1 AS (SELECT vec_id, mind FROM m1 ORDER BY mind DESC, vec_id LIMIT 1)""",
+    ]
+    for r in range(2, k):
+        parts.append(
+            f""",
+        c{r} AS MATERIALIZED (
+          SELECT i, e FROM fixed WHERE vec_id = (SELECT vec_id FROM s{r - 1})
+        ),
+        d{r} AS MATERIALIZED (
+          SELECT a.vec_id, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+          FROM fixed a JOIN c{r} b ON a.i = b.i
+          GROUP BY a.vec_id
+        ),
+        m{r} AS MATERIALIZED (
+          SELECT m{r - 1}.vec_id, LEAST(m{r - 1}.mind, d{r}.d2) AS mind
+          FROM m{r - 1} JOIN d{r} USING (vec_id)
+        ),
+        s{r} AS (SELECT vec_id, mind FROM m{r} ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS round, sid AS vec_id, CAST(0 AS BIGINT) AS dist2 FROM seed"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT) AS round, vec_id, CAST(mind AS BIGINT) AS dist2 FROM s{r}"
+        for r in range(1, k)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("q_kcenter", _kcenter_oracle(_KC_K))
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity import coreset as coreset_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coreset_ops.kcenter_trace_df(spark, emb, "vec_id", "embedding", k=_KC_K)
