@@ -71,3 +71,88 @@ def edit1_pairs(
         .distinct()
         .filter(F.levenshtein("a", "b") <= 1)
     )
+
+
+def qgram_multiset(s: Column, q: int = 3) -> Column:
+    """Positional q-gram multiset of ``s`` as an array (may repeat)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s) - (q - 1)),
+        lambda i: s.substr(i, F.lit(q)),
+    )
+
+
+def qgram_edit_pairs(
+    df: DataFrame,
+    col: str,
+    k: int = 2,
+    q: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (a, b, lev) with a < b and levenshtein(a, b) <= k —
+    the prefix-filtered q-gram similarity join (Gravano et al.
+    VLDB'01 count bound; Chaudhuri, Ganti & Kaushik ICDE'06 prefix
+    filter).
+
+    Candidate generation: each string's q-gram MULTISET entries
+    (gram, occurrence#) are ranked by global rarity (document
+    frequency, ties by gram then occurrence — one total order on both
+    engines) and only the k*q+1 RAREST form its prefix. Two strings
+    within edit distance k share >= |G(s)| - k*q multiset q-grams
+    (count bound), so they MUST collide on a prefix entry — the
+    candidate set is exact (no recall loss), and only prefix entries
+    ever enter posting lists: 7 entries/string at the defaults, with
+    bucket sizes bounded by gram rarity rather than corpus size.
+    Pairs expand in-array i<j per bucket (the LSH-band shape), then
+    the exact levenshtein verify drops false positives. ``max_bucket``
+    is a belt-and-braces guard for adversarial low-entropy corpora
+    (mirror it in any oracle).
+
+    At 100 TB: shuffle volume is O(7 * |vocab|) posting entries plus
+    the rarity-join on the (gram, occ) vocabulary relation; never a
+    corpus x corpus product. Edit-distance-1 workloads should prefer
+    edit1_pairs (deletion neighborhoods need no df pass)."""
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(F.col(col).alias("s"))
+        .filter(F.length("s") >= q)
+        .distinct()
+    )
+    gc = (
+        vocab.select("s", F.explode(qgram_multiset(F.col("s"), q)).alias("gram"))
+        .groupBy("s", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    occ = gc.select(
+        "s", "gram", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("o")
+    )
+    dfreq = occ.groupBy("gram", "o").agg(F.count(F.lit(1)).alias("dfr"))
+    w = Window.partitionBy("s").orderBy("dfr", "gram", "o")
+    prefix = (
+        occ.join(dfreq, ["gram", "o"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * q + 1)
+    )
+    buckets = (
+        prefix.groupBy("gram", "o")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ss") <= max_bucket)
+    expand = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    cand = (
+        buckets.select(F.explode(expand).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+        .filter(
+            F.abs(F.length("a") - F.length("b")) <= k
+        )
+    )
+    return cand.withColumn("lev", F.levenshtein("a", "b").cast("long")).filter(
+        F.col("lev") <= k
+    )

@@ -16529,3 +16529,93 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return coreset_ops.kcenter_trace_df(spark, emb, "vec_id", "embedding", k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered edit-distance join (dedup/editdist.py
+# qgram_edit_pairs; Gravano VLDB'01 + Chaudhuri ICDE'06): all pairs
+# within levenshtein <= 2 over a high-entropy deterministic corpus
+# (md5-hex keys of every 7th customer, plus planted 1- and 2-deletion
+# variants, so true pairs exist at every SF and natural collisions
+# are negligible — the synthetic names themselves are too low-entropy
+# for a similarity join to be meaningful: nearly half of all name
+# pairs are within distance 2). Candidate generation is EXACT (the
+# count bound guarantees prefix collision), posting lists hold only
+# the 7 rarest multiset grams per string, and the oracle mirrors the
+# whole pipeline including the final levenshtein verify.
+# ---------------------------------------------------------------------------
+from frames_spark.dedup import editdist as edit_ops  # noqa: E402
+
+_EDIT_CORPUS_SQL = """
+  SELECT s FROM (
+    SELECT substr(md5('ed#' || CAST(c_custkey AS VARCHAR)), 1, 16) AS s
+    FROM customer WHERE c_custkey % 7 = 0
+  )
+  UNION
+  SELECT substr(s, 1, 8) || substr(s, 10, len(s)) AS s FROM (
+    SELECT substr(md5('ed#' || CAST(c_custkey AS VARCHAR)), 1, 16) AS s
+    FROM customer WHERE c_custkey % 7 = 0
+  )
+  UNION
+  SELECT substr(s, 1, 3) || substr(s, 5, 4) || substr(s, 10, len(s)) AS s FROM (
+    SELECT substr(md5('ed#' || CAST(c_custkey AS VARCHAR)), 1, 16) AS s
+    FROM customer WHERE c_custkey % 7 = 0
+  )
+"""
+
+
+@register(
+    "q_edit_join",
+    f"""
+    WITH vocab AS ({_EDIT_CORPUS_SQL}),
+    g AS (
+      SELECT s, unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS gram
+      FROM vocab WHERE len(s) >= 3
+    ), gc AS (SELECT s, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    occ AS (SELECT s, gram, unnest(range(1, CAST(c + 1 AS INT))) AS o FROM gc),
+    dfr AS (SELECT gram, o, COUNT(*) AS dfr FROM occ GROUP BY 1, 2),
+    pref AS (
+      SELECT s, gram, o FROM (
+        SELECT occ.s, occ.gram, occ.o,
+               ROW_NUMBER() OVER (PARTITION BY occ.s
+                                  ORDER BY dfr.dfr, occ.gram, occ.o) AS rn
+        FROM occ JOIN dfr USING (gram, o)
+      ) WHERE rn <= 7
+    ), b AS (
+      SELECT gram, o, list(s ORDER BY s) AS ss FROM pref
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), cand AS (
+      SELECT DISTINCT v1.s AS a, v2.s AS b
+      FROM (SELECT gram, o, unnest(ss) AS s FROM b) v1
+      JOIN (SELECT gram, o, unnest(ss) AS s FROM b) v2
+        ON v1.gram = v2.gram AND v1.o = v2.o AND v1.s < v2.s
+      WHERE abs(len(v1.s) - len(v2.s)) <= 2
+    )
+    SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS lev
+    FROM cand WHERE levenshtein(a, b) <= 2
+    """,
+)
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    base = cust.select(
+        F.substring(
+            F.md5(F.concat(F.lit("ed#"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("s")
+    )
+    s = F.col("s")
+    del1 = base.select(
+        F.concat(s.substr(F.lit(1), F.lit(8)), s.substr(F.lit(10), F.length(s))).alias("s")
+    )
+    del2 = base.select(
+        F.concat(
+            s.substr(F.lit(1), F.lit(3)),
+            s.substr(F.lit(5), F.lit(4)),
+            s.substr(F.lit(10), F.length(s)),
+        ).alias("s")
+    )
+    corpus = base.union(del1).union(del2).distinct()
+    return edit_ops.qgram_edit_pairs(corpus, "s", k=2, q=3)

@@ -58,3 +58,37 @@ def test_pack_single_oversized_doc(spark):
         df, "source", "doc_id", "n_tokens", capacity=2048).collect()}
     assert rows[1] == (0, 0)
     assert rows[2] == (2, 5000 % 2048)  # next doc lands after the giant
+
+
+def test_qgram_edit_pairs_exact_recall_vs_bruteforce(spark):
+    """Prefix-filter candidate generation must be lossless: compare
+    against brute-force levenshtein over a small random-ish corpus."""
+    import hashlib
+    import itertools
+
+    from frames_spark.dedup.editdist import qgram_edit_pairs
+
+    base = [hashlib.md5(f"qg{i}".encode()).hexdigest()[:12] for i in range(60)]
+    corpus = set(base)
+    corpus.update(s[:4] + s[5:] for s in base)          # 1 deletion
+    corpus.update(s[:2] + s[3:7] + s[8:] for s in base)  # 2 deletions
+    strings = sorted(corpus)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(strings, 2)
+        if lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {(r.a, r.b, r.lev) for r in qgram_edit_pairs(df, "s", k=2).collect()}
+    assert got == want
+    assert len(got) > 0
