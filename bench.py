@@ -106,6 +106,13 @@ BENCH_QUERIES = {
     "fertility": Q.q_fertility,
     "simhash_accuracy": Q.q_simhash_accuracy,
     "clustering_coeff": Q.q_clustering_coeff,
+    "semdedup": Q.q_semdedup,
+    "dsir": Q.q_dsir,
+    "nb_confusion": Q.q_nb_confusion,
+    "kcenter": Q.q_kcenter,
+    "edit_join": Q.q_edit_join,
+    "rrf_hybrid": Q.q_rrf_hybrid,
+    "session_window": Q.q_session_window,
 }
 
 

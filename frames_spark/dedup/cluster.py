@@ -68,11 +68,28 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    # convergence probe: sum of labels is strictly decreasing until
-    # fixpoint. DECIMAL(38,0) so the probe can't overflow at any node
-    # count (sum-of-longs can wrap at ~10^10 nodes x 10^9 ids).
+    # convergence probe. Numeric ids: sum of labels is strictly
+    # decreasing until fixpoint — DECIMAL(38,0) so the probe can't
+    # overflow at any node count (sum-of-longs can wrap at ~10^10
+    # nodes x 10^9 ids). Non-numeric ids (string entities): the
+    # star-CC (count, xxhash64-sum) checksum — labels still only
+    # decrease per node, so any round that changes anything changes
+    # the (node, component) multiset the hash folds over.
+    numeric = labels.schema["component"].dataType.typeName() in {
+        "long", "integer", "short", "byte", "decimal",
+    }
+
     def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+        if numeric:
+            return df.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).first()[0]
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")),
+            ).first()
+        )
 
     prev_sum = _label_sum(labels)
     converged = False

@@ -16596,6 +16596,12 @@ _EDIT_CORPUS_SQL = """
     """,
 )
 def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_ops.qgram_edit_pairs(
+        _edit_corpus(spark, sf_dir), "s", k=2, q=3
+    )
+
+
+def _edit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") % 7 == 0
     )
@@ -16617,5 +16623,41 @@ def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.substr(F.lit(10), F.length(s)),
         ).alias("s")
     )
-    corpus = base.union(del1).union(del2).distinct()
-    return edit_ops.qgram_edit_pairs(corpus, "s", k=2, q=3)
+    return base.union(del1).union(del2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: connected components over the edit-distance
+# graph — every cluster of mutually-similar strings labeled by its
+# lexicographically-smallest member (dedup/cluster.py iterative
+# min-label CC, deterministic fixpoint). The oracle computes the
+# SAME components from first principles: the full prefix-filter edit
+# join (reused verbatim from q_edit_join's SQL) plus a recursive-CTE
+# reachability closure + MIN(label) — an end-to-end independent
+# derivation, feasible because edit components are tiny (planted
+# triplets), while the Spark side's min-label iteration is the
+# 100 TB path.
+# ---------------------------------------------------------------------------
+@register(
+    "q_entity_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({ORACLES["q_edit_join"]}),
+    nodes AS (SELECT a AS s FROM pairs UNION SELECT b AS s FROM pairs),
+    sym AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    reach(s, r) AS (
+      SELECT s, s AS r FROM nodes
+      UNION
+      SELECT e.b AS s, reach.r FROM reach JOIN sym e ON e.a = reach.s
+    )
+    SELECT s AS node, MIN(r) AS component FROM reach GROUP BY s
+    """,
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = edit_ops.qgram_edit_pairs(
+        _edit_corpus(spark, sf_dir), "s", k=2, q=3
+    )
+    return cluster_ops.connected_components(pairs, "a", "b").select(
+        "node", "component"
+    )
