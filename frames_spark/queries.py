@@ -16661,3 +16661,77 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_ops.connected_components(pairs, "a", "b").select(
         "node", "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN (similarity/ann.py multiprobe_topk; Lv et al.
+# VLDB'07): queries probe their bucket plus every Hamming-1 neighbor
+# bucket — query-side fan-out instead of corpus-side table fan-out
+# (the corpus is hashed and shuffled ONCE). Faithful-candidate
+# oracle: the probe-set generation (per-bit sign flips) is mirrored
+# bit-for-bit, so the gate is deterministic; recall vs exact is the
+# adjacent q_ann_* recall-witness pattern.
+# ---------------------------------------------------------------------------
+_MP_PLANES = 6
+
+
+def _mp_flip_sql(i: int) -> str:
+    return (
+        f"substr(bucket, 1, {i - 1}) || "
+        f"(CASE substr(bucket, {i}, 1) WHEN '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, {i + 1}, {_MP_PLANES})"
+    )
+
+
+@register(
+    "q_ann_multiprobe",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(_MP_PLANES)}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id
+    ),
+    qprobes AS (
+      SELECT vec_id, bucket FROM buckets WHERE vec_id < 3
+      {"".join(f" UNION SELECT vec_id, {_mp_flip_sql(i)} AS bucket FROM buckets WHERE vec_id < 3" for i in range(1, _MP_PLANES + 1))}
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qprobes q JOIN buckets c ON q.bucket = c.bucket
+      WHERE c.vec_id <> q.vec_id
+    ),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    dots AS (
+      SELECT query_id, neighbor_id, SUM(a.e * b.e) AS dot
+      FROM pairs
+      JOIN fixed a ON a.vec_id = query_id
+      JOIN fixed b ON b.vec_id = neighbor_id AND b.i = a.i
+      GROUP BY query_id, neighbor_id
+    ),
+    cos AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM cos
+    ) ranked WHERE rn <= 5
+    """,
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ops.multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=5, num_planes=_MP_PLANES,
+    )
