@@ -16735,3 +16735,149 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
         k=5, num_planes=_MP_PLANES,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking quality: NDCG@5 of the multi-probe LSH ranking against the
+# exact brute-force ideal (binary relevance: neighbor in the exact
+# top-5). Completes the IR-metric family (recall@k, MRR) with the
+# position-discounted view. Each 1/log2(rank+1) gain is quantized to
+# micros BEFORE summing, and the final ratio is micros-quantized —
+# exact integers everywhere but one log2 per rank (the q_kl_source
+# idiom). Ideal DCG = the same gains over the first min(|exact|, 5)
+# positions.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ann_ndcg",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(_MP_PLANES)}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id
+    ),
+    qprobes AS (
+      SELECT vec_id, bucket FROM buckets WHERE vec_id < 20
+      {"".join(f" UNION SELECT vec_id, {_mp_flip_sql(i)} AS bucket FROM buckets WHERE vec_id < 20" for i in range(1, _MP_PLANES + 1))}
+    ),
+    cpairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qprobes q JOIN buckets c ON q.bucket = c.bucket
+      WHERE c.vec_id <> q.vec_id
+    ),
+    epairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    alldots AS (
+      SELECT query_id, neighbor_id, SUM(a.e * b.e) AS dot
+      FROM epairs
+      JOIN fixed a ON a.vec_id = query_id
+      JOIN fixed b ON b.vec_id = neighbor_id AND b.i = a.i
+      GROUP BY query_id, neighbor_id
+    ),
+    allcos AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM alldots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON neighbor_id = nc.vec_id
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM allcos
+      ) WHERE rn <= 5
+    ),
+    approx5 AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT a.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.cosine DESC, a.neighbor_id) AS rn
+        FROM allcos a JOIN cpairs USING (query_id, neighbor_id)
+      ) WHERE rn <= 5
+    ),
+    dcg AS (
+      SELECT a.query_id,
+             SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                      THEN CAST(FLOOR(1000000 / log2(a.rn + 1) + 0.5) AS BIGINT)
+                      ELSE 0 END) AS dcg_micros
+      FROM approx5 a
+      LEFT JOIN exact5 e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+      GROUP BY a.query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             SUM(CAST(FLOOR(1000000 / log2(rn + 1) + 0.5) AS BIGINT)) AS idcg_micros
+      FROM (
+        SELECT query_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY neighbor_id) AS rn
+        FROM exact5
+      ) WHERE rn <= 5
+      GROUP BY query_id
+    )
+    SELECT i.query_id,
+           CAST(COALESCE(d.dcg_micros, 0) AS BIGINT) AS dcg_micros,
+           CAST(i.idcg_micros AS BIGINT) AS idcg_micros,
+           CAST(FLOOR(COALESCE(d.dcg_micros, 0) * 1000000.0 / i.idcg_micros + 0.5) AS BIGINT) AS ndcg_micros
+    FROM ideal i LEFT JOIN dcg d USING (query_id)
+    """,
+)
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = ann_ops.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ann_ops.multiprobe_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_planes=_MP_PLANES
+    )
+    gain = F.floor(
+        F.lit(1_000_000) / F.log2(F.col("rank") + 1) + F.lit(0.5)
+    ).cast("long")
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id").withColumn("rel", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("rel").isNotNull(), gain).otherwise(F.lit(0))
+        ).alias("dcg_micros")
+    )
+    ideal = (
+        exact.select(
+            "query_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy("neighbor_id")
+            )
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("idcg_micros"))
+    )
+    return ideal.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("dcg_micros", F.lit(0)).cast("long").alias("dcg_micros"),
+        F.col("idcg_micros").cast("long").alias("idcg_micros"),
+        F.floor(
+            F.coalesce("dcg_micros", F.lit(0)) * F.lit(1_000_000.0)
+            / F.col("idcg_micros")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ndcg_micros"),
+    )
