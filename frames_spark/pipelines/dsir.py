@@ -69,6 +69,59 @@ def _lambda_nanos(
     return F.floor(F.log(num / den) * 1_000_000_000 + F.lit(0.5)).cast("long")
 
 
+def _bucket_model(db: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, lam_nanos) from a (_id, _is_target, bucket, c)
+    relation — the trained model both the batch scorer and the
+    streaming scorer consume."""
+    cr = db.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    ct = (
+        db.filter(F.col("_is_target"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    totals = db.agg(
+        F.sum("c").alias("nr"),
+        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "nt"
+        ),
+    )
+    return (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            _lambda_nanos(
+                F.coalesce(F.col("ct"), F.lit(0)),
+                F.col("cr"),
+                F.col("nt"),
+                F.col("nr"),
+                n_buckets,
+            ).alias("lam_nanos"),
+        )
+    )
+
+
+def dsir_model(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Train the (bucket, lam_nanos) model alone — for persisting and
+    for feeding dsir_score_stream."""
+    db = _doc_buckets(
+        docs.withColumn("_is_target", target),
+        id_col,
+        text_col,
+        n_buckets,
+        seed,
+        ["_is_target"],
+    )
+    return _bucket_model(db, n_buckets)
+
+
 def dsir_logweights(
     docs: DataFrame,
     id_col: str,
@@ -89,32 +142,7 @@ def dsir_logweights(
         seed,
         ["_is_target"],
     ).persist()  # one tokenize scan feeds the bucket models AND scoring
-    cr = db.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    ct = (
-        db.filter(F.col("_is_target"))
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("ct"))
-    )
-    totals = db.agg(
-        F.sum("c").alias("nr"),
-        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias(
-            "nt"
-        ),
-    )
-    lam = (
-        cr.join(ct, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            _lambda_nanos(
-                F.coalesce(F.col("ct"), F.lit(0)),
-                F.col("cr"),
-                F.col("nt"),
-                F.col("nr"),
-                n_buckets,
-            ).alias("lam_nanos"),
-        )
-    )
+    lam = _bucket_model(db, n_buckets)
     scores = (
         db.join(F.broadcast(lam), "bucket")
         .groupBy("_id")
@@ -175,4 +203,46 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
         .select(id_col, "logw_nanos", "gumbel_key")
+    )
+
+
+def dsir_score_stream(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: DataFrame,
+    n_buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Streaming DSIR scorer: apply an OFFLINE-trained bucket model
+    (``lam``: (bucket, lam_nanos), the dsir_logweights intermediate)
+    to a document stream — the production split where the target/raw
+    models retrain daily while the scorer runs on the live firehose.
+
+    The model is bounded (<= n_buckets rows) so it constant-folds
+    into the plan as a literal map, and the per-doc sum is ONE pure
+    scan expression (aggregate over the token array) — NO explode, NO
+    streaming aggregation state, no watermark or output-mode
+    constraint: the result is an append-mode row-per-document stream.
+    For models far beyond ~10^4 buckets, run the batch scorer inside
+    foreachBatch instead (the join form); a literal map that size
+    stops being a sensible plan constant."""
+    entries = lam.collect()  # bounded by n_buckets — the model IS tiny
+    model = F.create_map(
+        *[
+            F.lit(v)
+            for r in entries
+            for v in (int(r["bucket"]), int(r["lam_nanos"]))
+        ]
+    )
+    toks = F.filter(
+        text_fns.tokens(F.col(text_col)), lambda t: t != F.lit("")
+    )
+    score = F.aggregate(
+        F.transform(toks, lambda t: hash60(t, seed=seed) % n_buckets),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.coalesce(model[b], F.lit(0).cast("long")),
+    )
+    return docs_stream.select(
+        F.col(id_col), score.cast("long").alias("logw_nanos")
     )

@@ -92,3 +92,44 @@ def test_gumbel_sample_is_weight_biased_and_deterministic(spark):
         docs, "doc_id", "text", F.col("tgt"), k=10, noise_seed="other"
     )
     assert [(r.doc_id, r.gumbel_key) for r in s3.collect()] != r1
+
+
+def test_stream_scorer_matches_batch_logweights(spark, sf_dir, tmp_path):
+    """dsir_score_stream over a file stream of the same corpus must
+    reproduce dsir_logweights exactly (unseen-bucket contribution is
+    0 by construction when scoring the training corpus)."""
+    import shutil
+
+    from frames_spark.sources.tables import load_table
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "docs.parquet")
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = dsir.dsir_model(docs, "doc_id", "text", F.col("lang") == "en")
+    want = {
+        r.doc_id: r.logw_nanos
+        for r in dsir.dsir_logweights(
+            docs, "doc_id", "text", F.col("lang") == "en"
+        ).collect()
+    }
+
+    schema = spark.read.parquet(str(src / "docs.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(src))
+    )
+    scored = dsir.dsir_score_stream(stream, "doc_id", "text", model)
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dsir_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: r.logw_nanos
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    assert got == want
