@@ -73,8 +73,13 @@ _BOUNDING_NODES = ("Aggregate [", "GlobalLimit", "LocalLimit", "Deduplicate")
 # A Filter that pins the scan's id/key column to literals (IN-list,
 # equality, or a small upper bound) is an explicit query set — e.g.
 # ANN query vectors `vec_id < 3` — bounded by the literal, not by SF.
+# The column reference may sit inside an implicit-coercion wrapper
+# (`cast(doc_id#12L as bigint) IN (...)` — Spark upcasts the column
+# when the IN-list literals are a narrower type), which the optional
+# `as <type>)` group absorbs.
 _BOUNDED_FILTER = re.compile(
-    r"Filter .*(?:%s)#\d+L?(?:\)|\s)*\s(?:IN \(|<=? |= )" % "|".join(_SCALED_SIGNATURES)
+    r"Filter .*(?:%s)#\d+L?(?:\s+as\s+\w+\))?(?:\)|\s)*\s(?:IN \(|<=? |= )"
+    % "|".join(_SCALED_SIGNATURES)
 )
 
 

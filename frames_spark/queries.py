@@ -15996,9 +15996,9 @@ def _sem_cents_values() -> str:
     )
 
 
-def _semdedup_oracle(final_select: str) -> str:
+def _semdedup_oracle(final_select: str, corpus_sql: str | None = None) -> str:
     return f"""
-    WITH fixed AS ({_FIXED_SQL.format(corpus=_SEM_CORPUS_SQL)}),
+    WITH fixed AS ({_FIXED_SQL.format(corpus=corpus_sql or _SEM_CORPUS_SQL)}),
     norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
     cents AS (SELECT * FROM (VALUES {_sem_cents_values()}) t(c, i, s)),
     cdots AS (
@@ -16880,4 +16880,50 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("ndcg_micros"),
+    )
+
+
+# Quantitative recall witness for the SemDeDup tier (the
+# q_embed_lsh_recall pattern): on a small deterministic subset
+# (vec_id < 200 + perturbed copies), compare the within-cluster pair
+# set against the EXACT all-pairs threshold cosine. Both sides are
+# modeled in the oracle — the exact side as the all-pairs join, the
+# cluster side bit-for-bit — so the metric itself is deterministic
+# and gate-checkable. Pairs split across codebook cells are the
+# tier's only loss; this measures it.
+_SEM_SMALL_SQL = _emb_corpus_sql("WHERE vec_id < 200")
+
+
+@register(
+    "q_semdedup_recall",
+    f"""
+    WITH exact AS ({_emb_exact_oracle(_SEM_SMALL_SQL)}),
+    cl AS (
+      SELECT id_a, id_b FROM (
+        {_semdedup_oracle("SELECT id_a, id_b FROM sim", _SEM_SMALL_SQL)}
+      )
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM exact JOIN cl USING (id_a, id_b)) AS n_found,
+           CAST((SELECT COUNT(*) FROM exact JOIN cl USING (id_a, id_b)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact) AS recall
+    """,
+)
+def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    subset = _with_perturbed_copies(emb)
+    exact = embed_ops.cosine_pairs(subset, "vec_id", "embedding", 0.9)
+    cl = sem_ops.semdedup_pairs(
+        subset, "vec_id", "embedding",
+        n_centroids=_SEM_K, threshold=_SEM_TAU, max_cluster=_SEM_MAX_CLUSTER,
+    ).select("id_a", "id_b")
+    found = exact.join(cl, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_exact.crossJoin(F.broadcast(n_found)).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_found").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
     )

@@ -154,6 +154,11 @@ KNOWN_UNPUSHABLE = {
     "q_sample_hash",
     "q_sample_estimate",
     "q_table_diff",
+    # c_custkey % 7 = 0 deterministic-sample filter — modulo is a
+    # derived expression, intentionally scan-stage (the q_sample_hash
+    # class); the corpus it feeds is the planted edit-join vocabulary
+    "q_edit_join",
+    "q_entity_clusters",
 }
 
 
