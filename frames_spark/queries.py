@@ -16927,3 +16927,68 @@ def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# The partition the k-center traversal induces: every corpus vector
+# assigned to its nearest selected center (ties to the lowest center
+# index) — (center_idx, n_points, sum_dist2). The oracle extends the
+# unrolled-CTE trace: per-center distance relations m1/d2..d{k-1}
+# joined once per vector, argmin via an in-order CASE (first match =
+# lowest index). Spark side = ONE scan with the centers as a literal
+# matrix (similarity/coreset.py assign_to_centers).
+def _kcenter_assign_oracle(k: int) -> str:
+    base = _kcenter_oracle(k)
+    # reuse the full CTE chain; strip its final UNION-ALL select, and
+    # add the LAST selected center's distance relation (the trace
+    # chain only needs dists to centers 0..k-2 — assignment needs all k)
+    ctes = base[: base.index("SELECT CAST(0 AS BIGINT) AS round")]
+    ctes += f""",
+    c{k} AS MATERIALIZED (
+      SELECT i, e FROM fixed WHERE vec_id = (SELECT vec_id FROM s{k - 1})
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT a.vec_id, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+      FROM fixed a JOIN c{k} b ON a.i = b.i
+      GROUP BY a.vec_id
+    )"""
+    dist_cols = ["m1.mind"] + [f"d{r}.d2" for r in range(2, k + 1)]
+    joins = "".join(
+        f" JOIN d{r} ON d{r}.vec_id = m1.vec_id" for r in range(2, k + 1)
+    )
+    least = "LEAST(" + ", ".join(dist_cols) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {c} = best THEN {i}" for i, c in enumerate(dist_cols)
+    ) + " END"
+    return f"""{ctes},
+    alld AS (
+      SELECT m1.vec_id, {", ".join(f"{c} AS c{i}" for i, c in enumerate(dist_cols))},
+             {least} AS best
+      FROM m1{joins}
+    ),
+    assigned AS (
+      SELECT vec_id, best AS dist2,
+             {"CASE " + " ".join(f"WHEN c{i} = best THEN {i}" for i in range(len(dist_cols))) + " END"} AS center_idx
+      FROM alld
+    )
+    SELECT CAST(center_idx AS BIGINT) AS center_idx,
+           COUNT(*) AS n_points,
+           CAST(SUM(dist2) AS BIGINT) AS sum_dist2
+    FROM assigned GROUP BY center_idx
+    """
+
+
+@register("q_kcenter_assign", _kcenter_assign_oracle(_KC_K))
+def q_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity import coreset as coreset_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trace = coreset_ops.kcenter_select(emb, "vec_id", "embedding", k=_KC_K)
+    fixed = embed_ops._fixed(emb, "vec_id", "embedding")
+    by_id = {r["vid"]: list(r["fvec"]) for r in
+             fixed.filter(F.col("vid").isin([i for _, i, _ in trace])).collect()}
+    centers = [by_id[i] for _, i, _ in trace]
+    assigned = coreset_ops.assign_to_centers(emb, "vec_id", "embedding", centers)
+    return assigned.groupBy("center_idx").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dist2").cast("long").alias("sum_dist2"),
+    )
