@@ -16992,3 +16992,84 @@ def q_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum("dist2").cast("long").alias("sum_dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation selection: Gopher-gate the corpus (the
+# q_gopher_quality triple: word count / mean word length / alpha
+# fraction), then DSIR-score the SURVIVORS against the lang='en'
+# target fitted ON the gated corpus, and select the top-50 — the
+# gate→score→select composition a curation run actually executes
+# (garbage never contaminates the importance models). One nested
+# oracle; all the determinism devices of the component queries.
+# ---------------------------------------------------------------------------
+@register(
+    "q_curate_select",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             len({_TOKENS_SQL}) AS n_words,
+             length(replace({_NORM_SQL}, ' ', '')) AS word_chars,
+             len(list_filter({_TOKENS_SQL}, t -> regexp_matches(t, '[a-z]')))
+               AS alpha_words
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang, text FROM m
+      WHERE n_words BETWEEN 25 AND 100000
+        AND {_MICROS_SQL.format(expr='word_chars * 1.0 / n_words')}
+            BETWEEN 3000000 AND 10000000
+        AND {_MICROS_SQL.format(expr='alpha_words * 1.0 / n_words')}
+            >= 800000
+    ), tok AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM gated
+    ), tk AS (
+      SELECT doc_id, lang,
+             {hash60_sql("term", "dsir")} % {_DSIR_B} AS bucket
+      FROM tok WHERE term <> ''
+    ), db AS (
+      SELECT doc_id, lang, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2, 3
+    ), cr AS (
+      SELECT bucket, SUM(c) AS cr FROM db GROUP BY bucket
+    ), ct AS (
+      SELECT bucket, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(c) AS nr,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS nt
+      FROM db
+    ), lam AS (
+      SELECT cr.bucket,
+             CAST(FLOOR(ln(
+               (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  * (CAST(tot.nr AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+               / (CAST(cr.cr + 1 AS DOUBLE)
+                  * (CAST(tot.nt AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+             ) * 1000000000 + 0.5) AS BIGINT) AS lam_nanos
+      FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot
+    ), s AS (
+      SELECT doc_id, SUM(c * lam_nanos) AS logw_nanos
+      FROM db JOIN lam USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(logw_nanos AS BIGINT) AS logw_nanos
+    FROM s ORDER BY logw_nanos DESC, doc_id LIMIT 50
+    """,
+)
+def q_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    norm = text_fns.normalize(text)
+    toks = text_fns.tokens(text)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    gate = (
+        n_words.between(25, 100000)
+        & _micros(word_chars.cast("double") / n_words).between(
+            3000000, 10000000
+        )
+        & (_micros(alpha_words.cast("double") / n_words) >= 800000)
+    )
+    gated = docs.filter(gate).select("doc_id", "lang", "text")
+    return dsir_ops.dsir_select(
+        gated, "doc_id", "text", F.col("lang") == "en",
+        k=50, n_buckets=_DSIR_B,
+    )
