@@ -148,10 +148,10 @@ def qgram_edit_pairs(
     cand = (
         buckets.select(F.explode(expand).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        # length precondition BEFORE the distinct: cheap map-side cut
+        # of the cross-bucket duplicate volume entering the exchange
+        .filter(F.abs(F.length("a") - F.length("b")) <= k)
         .distinct()
-        .filter(
-            F.abs(F.length("a") - F.length("b")) <= k
-        )
     )
     return cand.withColumn("lev", F.levenshtein("a", "b").cast("long")).filter(
         F.col("lev") <= k

@@ -20,6 +20,7 @@ format — the same contract as sources/csv.py and sources/jsonl.py:
 
 from __future__ import annotations
 
+import io
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,7 +53,7 @@ def _sample_rows(head: bytes, row_tag: str, sample_rows: int) -> list[str]:
     banked, which is exactly the prefix semantics we want."""
     rows: list[str] = []
     try:
-        for event, elem in ET.iterparse(__import__("io").BytesIO(head)):
+        for event, elem in ET.iterparse(io.BytesIO(head)):
             if event == "end" and elem.tag == row_tag:
                 rows.append(ET.tostring(elem, encoding="unicode"))
                 if len(rows) >= sample_rows:
