@@ -113,6 +113,9 @@ BENCH_QUERIES = {
     "edit_join": Q.q_edit_join,
     "rrf_hybrid": Q.q_rrf_hybrid,
     "session_window": Q.q_session_window,
+    "entity_clusters": Q.q_entity_clusters,
+    "ann_multiprobe": Q.q_ann_multiprobe,
+    "curate_select": Q.q_curate_select,
 }
 
 
