@@ -246,3 +246,83 @@ def read_cms(spark, path: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("c").alias("c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) with ORACLE-EXACT cells — the
+# same portability trade count_min_build makes: the hash is the
+# md5-based hash60, so the entire cell relation (bucket, max_rho) is
+# reproducible bit-for-bit in any engine. Engine-native HLL (Spark's
+# approx_count_distinct) stays available for raw speed; this one is
+# for sketches that must be STORED, MERGED across systems, and
+# value-checked. Merge = union + re-max, associative and idempotent,
+# exactly like the CMS cell relation.
+# ---------------------------------------------------------------------------
+HLL_P = 6  # 2^6 = 64 buckets
+HLL_ALPHA = 0.709  # the published alpha_64 constant
+
+
+def hll_cells(
+    df: DataFrame, key_col: str, seed: str = "hll"
+) -> DataFrame:
+    """(bucket, max_rho): the HLL register relation over the distinct
+    values of ``key_col``. rho = 1 + leading zeros of the remaining
+    54 hash bits (bin() strips leading zeros identically in Spark and
+    DuckDB, so rho = 54 - length(bin(rem)) + 1; rem = 0 means all 54
+    bits are zero -> rho 55). One groupBy, map-side combined."""
+    from frames_spark.functions.hashing import hash60
+
+    m = 1 << HLL_P
+    h = hash60(F.col(key_col).cast("string"), seed=seed)
+    keyed = df.select((h % m).alias("bucket"), h.alias("_h"))
+    rem = (F.col("_h") - F.col("bucket")) / m
+    rem = rem.cast("long")
+    rho = F.when(rem == 0, F.lit(60 - HLL_P + 1)).otherwise(
+        F.lit(60 - HLL_P) - F.length(F.bin(rem)) + 1
+    )
+    return (
+        keyed.withColumn("rho", rho.cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*cells: DataFrame) -> DataFrame:
+    """Merge register relations: union + re-max (associative,
+    idempotent — replay-safe)."""
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionAll, cells)
+    return merged.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(cells: DataFrame) -> DataFrame:
+    """(est_micros, raw_micros, n_empty): est applies the standard
+    small-range linear-counting correction (raw HLL overshoots at
+    n << m); raw is the uncorrected alpha * m^2 / (sum 2^-rho +
+    n_empty). Every 2^-rho term is an exact dyadic double and the
+    sum has <= m terms; one ln and one division close in double —
+    deterministic on any engine, micros-quantized."""
+    m = 1 << HLL_P
+    agg = cells.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    empty = (F.lit(m) - F.col("nb")).cast("double")
+    raw = F.lit(HLL_ALPHA * m * m) / (F.col("z") + empty)
+    # the standard small-range correction (Flajolet §4): below 2.5m
+    # with empty registers, linear counting m*ln(m/empty) is the
+    # unbiased regime — raw HLL overshoots badly at n << m
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return agg.select(
+        F.floor(corrected * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "est_micros"
+        ),
+        F.floor(raw * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "raw_micros"
+        ),
+        (F.lit(m) - F.col("nb")).cast("long").alias("n_empty"),
+    )

@@ -17073,3 +17073,75 @@ def q_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, "doc_id", "text", F.col("lang") == "en",
         k=50, n_buckets=_DSIR_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact HyperLogLog (operators/sketches.py hll_cells;
+# Flajolet et al. 2007): the register relation over event users is
+# reproducible bit-for-bit in DuckDB (portable md5 hash60; bin()
+# strips leading zeros identically in both engines), so — unlike the
+# engine-native q_approx_distinct, which stays rows-only by design —
+# the stored, MERGEABLE sketch itself is value-gated, the same
+# upgrade the Count-Min sketch got in round 6. q_hll_estimate checks
+# the raw estimator (exact dyadic 2^-rho sums; one closing division)
+# against the true distinct count.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hll_cells",
+    f"""
+    WITH h AS (
+      SELECT {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h FROM events
+    ), keyed AS (
+      SELECT h % 64 AS bucket, (h - (h % 64)) // 64 AS rem FROM h
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN rem = 0 THEN 55
+                         ELSE 54 - length(bin(rem)) + 1 END) AS INT) AS max_rho
+    FROM keyed GROUP BY bucket
+    """,
+)
+def q_hll_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import hll_cells
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_cells(ev, "user_id").select(
+        "bucket", F.col("max_rho").cast("int").alias("max_rho")
+    )
+
+
+@register(
+    "q_hll_estimate",
+    f"""
+    WITH h AS (
+      SELECT {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h FROM events
+    ), keyed AS (
+      SELECT h % 64 AS bucket, (h - (h % 64)) // 64 AS rem FROM h
+    ), cells AS (
+      SELECT bucket,
+             MAX(CASE WHEN rem = 0 THEN 55
+                      ELSE 54 - length(bin(rem)) + 1 END) AS max_rho
+      FROM keyed GROUP BY bucket
+    ), agg AS (
+      SELECT SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb FROM cells
+    )
+    , r AS (
+      SELECT {0.709 * 64 * 64} / (z + CAST(64 - nb AS DOUBLE)) AS raw,
+             CAST(64 - nb AS DOUBLE) AS empty, nb
+      FROM agg
+    )
+    SELECT CAST(FLOOR(CASE WHEN raw <= {2.5 * 64} AND empty > 0
+                           THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / empty)
+                           ELSE raw END * 1000000 + 0.5) AS BIGINT) AS est_micros,
+           CAST(FLOOR(raw * 1000000 + 0.5) AS BIGINT) AS raw_micros,
+           CAST(64 - nb AS BIGINT) AS n_empty,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+    FROM r
+    """,
+)
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import hll_cells, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_cells(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))

@@ -190,3 +190,32 @@ def test_fourth_moments_raise_not_wrap_at_1000x(spark, stress_dir, qname):
     # sum-x^4 overflow, never return silently wrapped moments
     with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
         QUERIES[qname](spark, stress_dir).collect()
+
+
+def test_hll_merge_equals_full_build_and_estimates_sanely(spark, sf_dir):
+    """Split-build-merge == one-shot build (mergeable cells), and the
+    raw estimate lands within the textbook ~1.04/sqrt(64)=13% band
+    (loose 25% assert: a broken rho computation misses by x2+)."""
+    from pyspark.sql import functions as F
+
+    from frames_spark.operators.sketches import (
+        hll_cells,
+        hll_estimate,
+        hll_merge,
+    )
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    full = {
+        (r.bucket, r.max_rho) for r in hll_cells(ev, "user_id").collect()
+    }
+    a = hll_cells(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = hll_cells(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = {(r.bucket, r.max_rho) for r in hll_merge(a, b).collect()}
+    assert merged == full
+    # idempotent: merging a sketch with itself changes nothing
+    again = {(r.bucket, r.max_rho) for r in hll_merge(a, a).collect()}
+    assert again == {(r.bucket, r.max_rho) for r in a.collect()}
+    est = hll_estimate(hll_cells(ev, "user_id")).first().est_micros / 1e6
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.25
