@@ -326,3 +326,69 @@ def hll_estimate(cells: DataFrame) -> DataFrame:
         ),
         (F.lit(m) - F.col("nb")).cast("long").alias("n_empty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter with ORACLE-EXACT bits (Bloom 1970) — same portability
+# trade as hll_cells/count_min_build: positions come from k seeded
+# md5 hash60 draws, so the bit-set RELATION (one row per set bit) is
+# reproducible in any engine, mergeable by plain UNION (bitwise OR),
+# and value-gateable. Spark's native DataFrameStatFunctions bloom
+# stays the raw-speed option; this one is for filters that are
+# stored, shipped across systems, and audited.
+# ---------------------------------------------------------------------------
+BLOOM_MBITS = 1 << 17
+BLOOM_K = 7
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    mbits: int = BLOOM_MBITS,
+    k: int = BLOOM_K,
+    seed: str = "bf",
+) -> DataFrame:
+    """(pos): the distinct set-bit positions for the distinct values
+    of ``key_col`` — k seeded hashes per key, one explode, one
+    distinct. Merge of two filters = unionAll + distinct."""
+    from frames_spark.functions.hashing import hash60
+
+    s = F.col(key_col).cast("string")
+    positions = F.array(
+        *[hash60(s, seed=f"{seed}{j}") % mbits for j in range(k)]
+    )
+    return (
+        df.select(F.explode(positions).alias("pos")).distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    mbits: int = BLOOM_MBITS,
+    k: int = BLOOM_K,
+    seed: str = "bf",
+) -> DataFrame:
+    """(key, maybe_present): Bloom membership per probe key —
+    maybe_present iff ALL k positions are set. The bit relation
+    joins on pos (at most mbits rows, Aggregate-rooted: broadcast)."""
+    from frames_spark.functions.hashing import hash60
+
+    s = F.col(key_col).cast("string")
+    positions = F.array(
+        *[hash60(s, seed=f"{seed}{j}") % mbits for j in range(k)]
+    )
+    exploded = probes.select(
+        F.col(key_col).alias("key"), F.explode(positions).alias("pos")
+    )
+    hits = (
+        exploded.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
+        )
+        .groupBy("key")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("nset"))
+    )
+    return hits.select(
+        "key", (F.col("nset") == k).alias("maybe_present")
+    )

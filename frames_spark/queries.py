@@ -17145,3 +17145,73 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(hll_cells(ev, "user_id"))
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact Bloom filter audit (operators/sketches.py bloom_bits/
+# bloom_probe; Bloom 1970): build over customer keys, probe an
+# equal-sized ABSENT key range (custkey + 10^9 — guaranteed outside
+# every SF's key space), and report present-recall (must be total —
+# Bloom has no false negatives) plus the OBSERVED false-positive
+# count, which is fully deterministic given the md5 positions and so
+# value-gated, not a statistical assertion.
+# ---------------------------------------------------------------------------
+_BF_PROBE_SQL = """
+  SELECT c_custkey AS key, 1 AS present FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000000 AS key, 0 AS present FROM customer
+"""
+
+
+@register(
+    "q_bloom_fpr",
+    f"""
+    WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    bits AS (
+      SELECT DISTINCT unnest([{",".join(f"{hash60_sql('CAST(k AS VARCHAR)', f'bf{j}')} % 131072" for j in range(7))}]) AS pos
+      FROM keys
+    ),
+    probes AS ({_BF_PROBE_SQL}),
+    ppos AS (
+      SELECT key, present,
+             unnest([{",".join(f"{hash60_sql('CAST(key AS VARCHAR)', f'bf{j}')} % 131072" for j in range(7))}]) AS pos
+      FROM probes
+    ),
+    hits AS (
+      SELECT key, present, COUNT(bits.pos) AS nset
+      FROM ppos LEFT JOIN bits USING (pos)
+      GROUP BY key, present
+    )
+    SELECT CAST(SUM(CASE WHEN present = 1 AND nset = 7 THEN 1 ELSE 0 END) AS BIGINT) AS present_found,
+           CAST(SUM(present) AS BIGINT) AS present_total,
+           CAST(SUM(CASE WHEN present = 0 AND nset = 7 THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+           CAST(SUM(1 - present) AS BIGINT) AS absent_total
+    FROM hits
+    """,
+)
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import bloom_bits, bloom_probe
+
+    cust = load_table(spark, sf_dir, "customer")
+    bits = bloom_bits(cust.select("c_custkey").distinct(), "c_custkey")
+    probes = cust.select(
+        F.col("c_custkey").alias("key"), F.lit(1).alias("present")
+    ).unionAll(
+        cust.select(
+            (F.col("c_custkey") + 1_000_000_000).alias("key"),
+            F.lit(0).alias("present"),
+        )
+    )
+    res = bloom_probe(probes, bits, "key").join(
+        probes, "key"
+    )
+    return res.agg(
+        F.sum(
+            F.when((F.col("present") == 1) & F.col("maybe_present"), 1).otherwise(0)
+        ).cast("long").alias("present_found"),
+        F.sum("present").cast("long").alias("present_total"),
+        F.sum(
+            F.when((F.col("present") == 0) & F.col("maybe_present"), 1).otherwise(0)
+        ).cast("long").alias("false_positives"),
+        F.sum(1 - F.col("present")).cast("long").alias("absent_total"),
+    )
