@@ -17215,3 +17215,120 @@ def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("false_positives"),
         F.sum(1 - F.col("present")).cast("long").alias("absent_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (functions/winnow.py; Schleimer, Wilkerson
+# & Aiken SIGMOD'03 — the MOSS algorithm): per-window minimum gram
+# hash with the paper's rightmost tie rule, encoded so the selection
+# is ONE integer min (hash*w + w-1-offset) and the decode an exact
+# bit shift. q_winnow audits per-doc selection (count + min
+# fingerprint; density ~2/(w+1) of grams); q_winnow_matches runs the
+# MOSS use — shared-fingerprint pairs over planted near-copies via
+# the standard posting-list + max_df shape. Full oracles.
+# ---------------------------------------------------------------------------
+def _winnow_sel_sql(corpus: str) -> str:
+    h = hash60_sql("g", "win")
+    # fingerprint key = 40-bit gram hash * 2^20 + (2^20-1 - global
+    # gram position): min key = min hash, tie = rightmost occurrence;
+    # the GLOBAL position makes adjacent windows that pick the same
+    # occurrence contribute one fingerprint (the density invariant)
+    return f"""
+    tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM ({corpus})),
+    gr AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' ')),
+               g -> {h} % 1099511627776) AS hs
+      FROM tok WHERE len(toks) >= 3
+    ),
+    sel AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               i -> list_min(list_transform(
+                      range(0, least(4, len(hs) - i + 1)),
+                      off -> hs[CAST(i + off AS INT)] * 1048576
+                             + (1048575 - (i + off))))
+             )) AS keys
+      FROM gr
+    )"""
+
+
+@register(
+    "q_winnow",
+    f"""
+    WITH {_winnow_sel_sql("SELECT doc_id, text FROM documents")}
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(keys) AS BIGINT) AS n_fps,
+           CAST(list_min(list_transform(keys, k -> k // 1048576)) AS BIGINT) AS min_fp
+    FROM sel
+    """,
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions import winnow as win_fns
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    hs = win_fns.gram_hashes(F.col("text"))
+    keys = win_fns.winnow_keys(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(hs).cast("long").alias("n_grams"),
+        F.size(keys).cast("long").alias("n_fps"),
+        F.array_min(
+            F.transform(keys, lambda k: F.shiftright(k, 20))
+        ).alias("min_fp"),
+    ).filter(F.col("n_grams") >= 1)
+
+
+@register(
+    "q_winnow_matches",
+    f"""
+    WITH {_winnow_sel_sql(f"SELECT doc_id, text FROM ({_NEAR_CORPUS_SQL}) WHERE doc_id % 1000000 < 200")},
+    fps AS (
+      SELECT doc_id, unnest(list_transform(keys, k -> k // 1048576)) AS fp FROM sel
+    ),
+    posting AS (
+      SELECT fp, list(DISTINCT doc_id ORDER BY doc_id) AS ds
+      FROM fps GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM (SELECT fp, unnest(ds) AS doc_id FROM posting) a
+      JOIN (SELECT fp, unnest(ds) AS doc_id FROM posting) b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+    FROM pairs WHERE shared >= 3
+    """,
+)
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions import winnow as win_fns
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    corpus = _with_near_copies(docs)
+    fps = corpus.select(
+        "doc_id",
+        F.explode(win_fns.winnow_fingerprints(F.col("text"))).alias("fp"),
+    )
+    posting = (
+        fps.distinct()
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= 64))
+    )
+    expand = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        posting.select(F.explode(expand).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("doc_a", "doc_b", F.col("shared").cast("long").alias("shared"))
+    )
