@@ -392,3 +392,84 @@ def bloom_probe(
     return hits.select(
         "key", (F.col("nset") == k).alias("maybe_present")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-Minimum-Values / bottom-k) sketch (Bar-Yossef et al. 2002;
+# Beyer et al. SIGMOD'07 for the unbiased estimator and set ops) —
+# the fourth oracle-exact sketch: the k smallest md5 hashes of the
+# distinct keys form a RELATION reproducible in any engine. Merge =
+# union + re-bottom-k; intersection/Jaccard estimates come from the
+# bottom-k of the UNION (Beyer's K'th-minimum framework), which is
+# why production systems ship KMV for cross-dataset overlap where
+# HLL needs inclusion-exclusion gymnastics.
+# ---------------------------------------------------------------------------
+KMV_K = 256
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = KMV_K, seed: str = "kmv"
+) -> DataFrame:
+    """(h): the k smallest hash values over the DISTINCT keys."""
+    from frames_spark.functions.hashing import hash60
+
+    h = hash60(F.col(key_col).cast("string"), seed=seed)
+    return (
+        df.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Bottom-k of the union — associative, idempotent."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionAll, sketches).distinct()
+    return u.orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(est_micros, n_in_sketch): the unbiased distinct-count
+    estimate (k - 1) * 2^60 / h_(k) (Beyer SIGMOD'07). If the sketch
+    holds fewer than k values the count is EXACT (the whole key set
+    hashed into the sketch)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(1 << 60)))
+        / F.col("hk").cast("double")
+    )
+    return agg.select(
+        F.floor(est * 1_000_000 + F.lit(0.5)).cast("long").alias("est_micros"),
+        F.col("n").cast("long").alias("n_in_sketch"),
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """(n_union_k, n_both, jaccard_micros): Jaccard estimate from the
+    bottom-k of the union — the fraction of those union-k hashes
+    present in BOTH sketches (Beyer SIGMOD'07 §4). Exact integers up
+    to the one closing division."""
+    uk = kmv_merge(k, a, b)
+    both = uk.join(a, "h", "left_semi").join(b, "h", "left_semi")
+    n_union = uk.agg(F.count(F.lit(1)).alias("n_union_k"))
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return n_union.crossJoin(F.broadcast(n_both)).select(
+        F.col("n_union_k").cast("long").alias("n_union_k"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.floor(
+            F.col("n_both").cast("double")
+            / F.col("n_union_k").cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jaccard_micros"),
+    )

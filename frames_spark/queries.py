@@ -17332,3 +17332,68 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 3)
         .select("doc_a", "doc_b", F.col("shared").cast("long").alias("shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch (operators/sketches.py kmv_*; Bar-Yossef 2002,
+# Beyer SIGMOD'07): the fourth oracle-exact sketch. q_kmv_users
+# value-gates the stored sketch's estimate against the true distinct
+# count; q_kmv_overlap estimates the Jaccard of two user populations
+# (click vs purchase events) from the bottom-k of the union —
+# the cross-dataset overlap job HLL cannot do without
+# inclusion-exclusion. All integers except one closing division.
+# ---------------------------------------------------------------------------
+@register(
+    "q_kmv_users",
+    f"""
+    WITH s AS (
+      SELECT DISTINCT {hash60_sql("CAST(user_id AS VARCHAR)", "kmv")} AS h
+      FROM events ORDER BY h LIMIT 256
+    ), agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM s)
+    SELECT CAST(FLOOR(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                           ELSE {float(255)} * {float(1 << 60)} / CAST(hk AS DOUBLE)
+                      END * 1000000 + 0.5) AS BIGINT) AS est_micros,
+           CAST(n AS BIGINT) AS n_in_sketch,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+    FROM agg
+    """,
+)
+def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_estimate(kmv_sketch(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "q_kmv_overlap",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT {hash60_sql("CAST(user_id AS VARCHAR)", "kmv")} AS h
+      FROM events WHERE event_type = 'click' ORDER BY h LIMIT 256
+    ), b AS (
+      SELECT DISTINCT {hash60_sql("CAST(user_id AS VARCHAR)", "kmv")} AS h
+      FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 256
+    ), uk AS (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT 256
+    ), nb AS (
+      SELECT COUNT(*) AS n_both FROM uk
+      WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+    ), nu AS (SELECT COUNT(*) AS n_union_k FROM uk)
+    SELECT CAST(n_union_k AS BIGINT) AS n_union_k,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(FLOOR(CAST(n_both AS DOUBLE) / CAST(n_union_k AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS jaccard_micros
+    FROM nu CROSS JOIN nb
+    """,
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(ev.filter(F.col("event_type") == "click"), "user_id")
+    b = kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id")
+    return kmv_jaccard(a, b)

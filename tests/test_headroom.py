@@ -219,3 +219,29 @@ def test_hll_merge_equals_full_build_and_estimates_sanely(spark, sf_dir):
     est = hll_estimate(hll_cells(ev, "user_id")).first().est_micros / 1e6
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.25
+
+
+def test_kmv_merge_estimate_and_small_exactness(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from frames_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # split-merge == full build (mergeable bottom-k)
+    full = [r.h for r in kmv_sketch(ev, "user_id").collect()]
+    a = kmv_sketch(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = kmv_sketch(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = [r.h for r in kmv_merge(256, a, b).collect()]
+    assert sorted(merged) == sorted(full)
+    # sub-k population -> the estimate IS the exact count
+    exact = ev.select("user_id").distinct().count()
+    est = kmv_estimate(kmv_sketch(ev, "user_id")).first()
+    if est.n_in_sketch < 256:
+        assert est.est_micros == exact * 1_000_000
+    else:
+        assert abs(est.est_micros / 1e6 - exact) / exact < 0.2
