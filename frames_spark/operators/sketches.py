@@ -473,3 +473,40 @@ def kmv_jaccard(
         .cast("long")
         .alias("jaccard_micros"),
     )
+
+
+def append_hll_increment(
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    batch_id: int | None = None,
+    seed: str = "hll",
+) -> None:
+    """HLL increment sink (the CMS sink's twin): aggregate one ingest
+    batch to its (bucket, max_rho) cells and land them under a
+    batch_id partition with dynamic overwrite — a REPLAYED
+    foreachBatch epoch replaces its own prior parts. HLL merge is
+    max, so replay-safety is double-armored: even APPENDED duplicate
+    cells cannot move a maximum (idempotent), unlike CMS counts where
+    the partition overwrite carries the whole exactly-once
+    contract."""
+    cells = hll_cells(batch, key_col, seed=seed)
+    if batch_id is None:
+        cells.write.mode("append").parquet(path)
+        return
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_hll(spark, path: str) -> DataFrame:
+    """Merge all landed increments into one register relation."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )

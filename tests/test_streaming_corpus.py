@@ -194,3 +194,43 @@ def test_streaming_gates_match_batch_with_html_and_repetition(
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hll_increment_sink_stream_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch HLL sink over a file stream: merged registers ==
+    one-shot batch build, and a replayed epoch changes nothing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from frames_spark.operators.sketches import (
+        append_hll_increment,
+        hll_cells,
+        read_hll,
+    )
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    sink = str(tmp_path / "hll_cells")
+
+    schema = spark.read.parquet(str(src / "events.parquet")).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: append_hll_increment(b, sink, "user_id", batch_id=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {(r.bucket, r.max_rho) for r in hll_cells(batch, "user_id").collect()}
+    got = {(r.bucket, r.max_rho) for r in read_hll(spark, sink).collect()}
+    assert got == want
+    # replay epoch 0: dynamic overwrite + max-merge -> unchanged
+    append_hll_increment(batch, sink, "user_id", batch_id=0)
+    again = {(r.bucket, r.max_rho) for r in read_hll(spark, sink).collect()}
+    assert again == want
