@@ -116,6 +116,11 @@ BENCH_QUERIES = {
     "entity_clusters": Q.q_entity_clusters,
     "ann_multiprobe": Q.q_ann_multiprobe,
     "curate_select": Q.q_curate_select,
+    "winnow": Q.q_winnow,
+    "winnow_matches": Q.q_winnow_matches,
+    "hll_cells": Q.q_hll_cells,
+    "bloom_fpr": Q.q_bloom_fpr,
+    "kmv_overlap": Q.q_kmv_overlap,
 }
 
 

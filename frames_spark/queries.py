@@ -17270,16 +17270,14 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.functions import winnow as win_fns
 
     docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
-    hs = win_fns.gram_hashes(F.col("text"))
-    keys = win_fns.winnow_keys(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.size(hs).cast("long").alias("n_grams"),
-        F.size(keys).cast("long").alias("n_fps"),
-        F.array_min(
-            F.transform(keys, lambda k: F.shiftright(k, 20))
-        ).alias("min_fp"),
-    ).filter(F.col("n_grams") >= 1)
+    keys = win_fns.winnow_keys_rows(
+        docs, "doc_id", "text", with_counts=True
+    )
+    return keys.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.min(F.shiftright(F.col("key"), 20)).alias("min_fp"),
+    ).select("doc_id", "n_grams", "n_fps", "min_fp")
 
 
 @register(
@@ -17310,9 +17308,8 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     corpus = _with_near_copies(docs)
-    fps = corpus.select(
-        "doc_id",
-        F.explode(win_fns.winnow_fingerprints(F.col("text"))).alias("fp"),
+    fps = win_fns.winnow_keys_rows(corpus, "doc_id", "text").select(
+        "doc_id", F.shiftright(F.col("key"), 20).alias("fp")
     )
     posting = (
         fps.distinct()
