@@ -15996,7 +15996,9 @@ def _sem_cents_values() -> str:
     )
 
 
-def _semdedup_oracle(final_select: str, corpus_sql: str | None = None) -> str:
+def _semdedup_oracle(
+    final_select: str, corpus_sql: str | None = None, tau: float | None = None
+) -> str:
     return f"""
     WITH fixed AS ({_FIXED_SQL.format(corpus=corpus_sql or _SEM_CORPUS_SQL)}),
     norms AS (SELECT vec_id, SUM(e * e) AS n2 FROM fixed GROUP BY vec_id),
@@ -16032,7 +16034,7 @@ def _semdedup_oracle(final_select: str, corpus_sql: str | None = None) -> str:
       JOIN norms nb ON id_b = nb.vec_id
       WHERE CAST(dot AS DOUBLE)
             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-            >= {_SEM_TAU}
+            >= {tau if tau is not None else _SEM_TAU}
     )
     {final_select}
     """
@@ -17394,3 +17396,49 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmv_sketch(ev.filter(F.col("event_type") == "click"), "user_id")
     b = kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id")
     return kmv_jaccard(a, b)
+
+
+# Threshold-sensitivity curve for the semantic tier (the q_dedup_curve
+# sibling the minhash family carries): pairs and distinct drops at
+# tau per-mille in {800, 850, 900, 950}, all derived from ONE
+# within-cluster pair relation at the loosest threshold — the tuning
+# table a curation run reads before fixing tau. The cluster-bounded
+# candidate shape (and its max_cluster guard) is unchanged; only the
+# closing filter sweeps. tau stays an integer column so the group key
+# never hashes a float.
+_SEM_CURVE_FINAL = """
+    , scored AS (
+      SELECT id_b,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM pairdots
+      JOIN norms na ON id_a = na.vec_id
+      JOIN norms nb ON id_b = nb.vec_id
+    ), taus(tau_milli) AS (VALUES (800), (850), (900), (950))
+    SELECT t.tau_milli,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT s.id_b) AS n_dropped
+    FROM taus t JOIN scored s
+      ON s.cosine >= CAST(t.tau_milli AS DOUBLE) / 1000
+    GROUP BY t.tau_milli
+"""
+
+
+@register("q_semdedup_curve", _semdedup_oracle(_SEM_CURVE_FINAL, tau=0.80))
+def q_semdedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = sem_ops.semdedup_pairs(
+        _sem_corpus(spark, sf_dir), "vec_id", "embedding",
+        n_centroids=_SEM_K, threshold=0.80, max_cluster=_SEM_MAX_CLUSTER,
+    )
+    taus = spark.createDataFrame(
+        [(800,), (850,), (900,), (950,)], "tau_milli int"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(taus))
+        .filter(F.col("cosine") >= F.col("tau_milli").cast("double") / 1000)
+        .groupBy("tau_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_dropped"),
+        )
+    )
