@@ -17442,3 +17442,93 @@ def q_semdedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("id_b").cast("long").alias("n_dropped"),
         )
     )
+
+
+# Planted-truth evaluation of the edit join (the recall-witness
+# pattern every approximate tier carries): the md5 corpus construction
+# makes the TRUE pair set derivable — for every sampled custkey the
+# base, 1-deletion, and 2-deletion variants are pairwise within
+# levenshtein 2 (verified, not assumed: the oracle recomputes the
+# distance), so precision/recall of the prefix-filtered join are
+# deterministic integers. Natural md5 collisions (pairs outside the
+# planted triplets) count toward found-but-not-planted, so precision
+# is reported against VERIFIED pairs, recall against the planted set.
+@register(
+    "q_edit_join_eval",
+    f"""
+    WITH base AS (
+      SELECT substr(md5('ed#' || CAST(c_custkey AS VARCHAR)), 1, 16) AS s
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    truth AS (
+      SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM (
+        SELECT s AS x, substr(s, 1, 8) || substr(s, 10, len(s)) AS y FROM base
+        UNION
+        SELECT s AS x,
+               substr(s, 1, 3) || substr(s, 5, 4) || substr(s, 10, len(s)) AS y
+        FROM base
+        UNION
+        SELECT substr(s, 1, 8) || substr(s, 10, len(s)) AS x,
+               substr(s, 1, 3) || substr(s, 5, 4) || substr(s, 10, len(s)) AS y
+        FROM base
+      ) WHERE x <> y AND levenshtein(x, y) <= 2
+    ),
+    found AS (SELECT a, b FROM ({ORACLES["q_edit_join"]}))
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM found) AS n_found,
+           (SELECT COUNT(*) FROM truth JOIN found USING (a, b)) AS n_hit,
+           CAST(FLOOR((SELECT COUNT(*) FROM truth JOIN found USING (a, b))
+                      * 1000000.0 / (SELECT COUNT(*) FROM truth) + 0.5) AS BIGINT)
+             AS recall_micros
+    """,
+)
+def q_edit_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    found = edit_ops.qgram_edit_pairs(
+        _edit_corpus(spark, sf_dir), "s", k=2, q=3
+    ).select("a", "b")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    s = F.substring(
+        F.md5(F.concat(F.lit("ed#"), F.col("c_custkey").cast("string"))), 1, 16
+    )
+    d1 = F.concat(s.substr(F.lit(1), F.lit(8)), s.substr(F.lit(10), F.length(s)))
+    d2 = F.concat(
+        s.substr(F.lit(1), F.lit(3)),
+        s.substr(F.lit(5), F.lit(4)),
+        s.substr(F.lit(10), F.length(s)),
+    )
+    cand = (
+        cust.select(s.alias("x"), d1.alias("y"))
+        .union(cust.select(s.alias("x"), d2.alias("y")))
+        .union(cust.select(d1.alias("x"), d2.alias("y")))
+        .distinct()
+    )
+    truth = (
+        cand.filter(
+            (F.col("x") != F.col("y")) & (F.levenshtein("x", "y") <= 2)
+        )
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_hit = truth.join(found, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_found",
+            "n_hit",
+            F.floor(
+                F.col("n_hit") * F.lit(1_000_000.0) / F.col("n_true") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_micros"),
+        )
+    )
