@@ -510,3 +510,40 @@ def read_hll(spark, path: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )
+
+
+def append_kmv_increment(
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    k: int = KMV_K,
+    batch_id: int | None = None,
+    seed: str = "kmv",
+) -> None:
+    """KMV increment sink: land each epoch's bottom-k under a
+    batch_id partition with dynamic overwrite. Like the HLL sink,
+    replay-safety is double-armored — bottom-k of a union is
+    idempotent under duplicate cells, and the partition overwrite
+    replaces a replayed epoch's parts outright."""
+    cells = kmv_sketch(batch, key_col, k=k, seed=seed)
+    if batch_id is None:
+        cells.write.mode("append").parquet(path)
+        return
+    (
+        cells.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
+    """Merge all landed increments: bottom-k of the union."""
+    return (
+        spark.read.parquet(path)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )

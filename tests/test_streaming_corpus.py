@@ -234,3 +234,39 @@ def test_hll_increment_sink_stream_equals_batch(spark, sf_dir, tmp_path):
     append_hll_increment(batch, sink, "user_id", batch_id=0)
     again = {(r.bucket, r.max_rho) for r in read_hll(spark, sink).collect()}
     assert again == want
+
+
+def test_kmv_increment_sink_stream_equals_batch(spark, sf_dir, tmp_path):
+    import shutil
+
+    from frames_spark.operators.sketches import (
+        append_kmv_increment,
+        kmv_sketch,
+        read_kmv,
+    )
+
+    src = tmp_path / "kmv_in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    sink = str(tmp_path / "kmv_cells")
+
+    schema = spark.read.parquet(str(src / "events.parquet")).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: append_kmv_increment(b, sink, "user_id", batch_id=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(r.h for r in kmv_sketch(batch, "user_id").collect())
+    got = sorted(r.h for r in read_kmv(spark, sink).collect())
+    assert got == want
+    # replay: unchanged
+    append_kmv_increment(batch, sink, "user_id", batch_id=0)
+    again = sorted(r.h for r in read_kmv(spark, sink).collect())
+    assert again == want
