@@ -159,6 +159,7 @@ KNOWN_UNPUSHABLE = {
     # class); the corpus it feeds is the planted edit-join vocabulary
     "q_edit_join",
     "q_entity_clusters",
+    "q_edit_join_eval",
 }
 
 
