@@ -17532,3 +17532,57 @@ def q_edit_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_micros"),
         )
     )
+
+
+# HLL merge under the oracle gate: per-source register relations
+# merged by re-max (the sink's read path) must estimate the UNION of
+# the sources — the property that makes HLL the distributed distinct
+# counter. Sources partition the corpus, so the merged estimate is
+# checked against the overall exact count; the per-source relations,
+# the merge, and the corrected estimator all replay in the oracle.
+@register(
+    "q_hll_union",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+      FROM events
+    ), keyed AS (
+      SELECT event_type, h % 64 AS bucket, (h - (h % 64)) // 64 AS rem FROM h
+    ), percells AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN rem = 0 THEN 55
+                      ELSE 54 - length(bin(rem)) + 1 END) AS max_rho
+      FROM keyed GROUP BY event_type, bucket
+    ), cells AS (
+      SELECT bucket, MAX(max_rho) AS max_rho FROM percells GROUP BY bucket
+    ), agg AS (
+      SELECT SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb FROM cells
+    ), r AS (
+      SELECT {0.709 * 64 * 64} / (z + CAST(64 - nb AS DOUBLE)) AS raw,
+             CAST(64 - nb AS DOUBLE) AS empty, nb
+      FROM agg
+    )
+    SELECT CAST(FLOOR(CASE WHEN raw <= {2.5 * 64} AND empty > 0
+                           THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / empty)
+                           ELSE raw END * 1000000 + 0.5) AS BIGINT) AS est_micros,
+           (SELECT COUNT(DISTINCT event_type) FROM events) AS n_sketches,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+    FROM r
+    """,
+)
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import hll_cells, hll_estimate, hll_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    sketches = [
+        hll_cells(ev.filter(F.col("event_type") == t), "user_id")
+        for t in sorted(types)
+    ]
+    est = hll_estimate(hll_merge(*sketches)).select("est_micros")
+    meta = ev.agg(
+        F.countDistinct("event_type").cast("long").alias("n_sketches"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return est.crossJoin(F.broadcast(meta))

@@ -51,3 +51,22 @@ def test_short_and_empty_docs(spark):
 def test_disjoint_docs_share_nothing(spark):
     fps = _fps(spark, ["aa bb cc dd ee ff gg", "qq rr ss tt uu vv ww"])
     assert not (fps[0] & fps[1])
+
+
+def test_rows_form_matches_column_form(spark, sf_dir):
+    """winnow_keys_rows (the O(G*w) sliding-frame form the queries
+    use) must select EXACTLY the keys of the array-expression form."""
+    from frames_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    rows = {
+        (r.doc_id, r.key)
+        for r in winnow.winnow_keys_rows(docs, "doc_id", "text").collect()
+    }
+    cols = set()
+    for r in docs.select(
+        "doc_id", winnow.winnow_keys(F.col("text")).alias("ks")
+    ).collect():
+        cols.update((r.doc_id, k) for k in r.ks)
+    assert rows == cols
+    assert rows  # non-degenerate corpus
