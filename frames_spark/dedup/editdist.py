@@ -86,7 +86,7 @@ def qgram_edit_pairs(
     col: str,
     k: int = 2,
     q: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Distinct (a, b, lev) with a < b and levenshtein(a, b) <= k —
     the prefix-filtered q-gram similarity join (Gravano et al.
@@ -104,8 +104,10 @@ def qgram_edit_pairs(
     bucket sizes bounded by gram rarity rather than corpus size.
     Pairs expand in-array i<j per bucket (the LSH-band shape), then
     the exact levenshtein verify drops false positives. ``max_bucket``
-    is a belt-and-braces guard for adversarial low-entropy corpora
-    (mirror it in any oracle).
+    guards adversarial low-entropy corpora where even rarity-ranked
+    prefixes collapse onto one gram — ON by default (the stop-shingle
+    lesson: a guard that exists one parameter away still OOMs the run
+    that forgot it) and mirrored in the registered oracles.
 
     At 100 TB: shuffle volume is O(7 * |vocab|) posting entries plus
     the rarity-join on the (gram, occ) vocabulary relation; never a

@@ -16585,7 +16585,7 @@ _EDIT_CORPUS_SQL = """
       ) WHERE rn <= 7
     ), b AS (
       SELECT gram, o, list(s ORDER BY s) AS ss FROM pref
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 10000
     ), cand AS (
       SELECT DISTINCT v1.s AS a, v2.s AS b
       FROM (SELECT gram, o, unnest(ss) AS s FROM b) v1
