@@ -17586,3 +17586,83 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct"),
     )
     return est.crossJoin(F.broadcast(meta))
+
+
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+# Lafferty SIGIR'01) — the language-modeling sibling of q_bm25 over
+# the same query terms: score(q,d) = sum_t ln((tf + mu*p(t|C)) /
+# (dl + mu)), mu = 2000. EVERY document scores (absent terms smooth
+# to the collection probability), so the full ranking is value-gated,
+# not just the matching docs. Per-term micros quantization before the
+# sum (the q_kl_source idiom); collection stats are 1-row/terms-row
+# bounded broadcasts.
+@register(
+    "q_lm_dirichlet",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS dl,
+             list_filter({_TOKENS_SQL}, t -> t IN ({_BM25_TERMS_SQL})) AS qt
+      FROM documents
+    ), stats AS (
+      SELECT SUM(dl) AS total_len FROM docs
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(qt) AS term FROM docs
+      ) GROUP BY 1, 2
+    ), ctf AS (
+      SELECT term, SUM(tf) AS ctf FROM tfc GROUP BY term
+    ), terms AS (SELECT unnest([{_BM25_TERMS_SQL}]) AS term),
+    grid AS (
+      SELECT d.doc_id, d.dl, t.term,
+             COALESCE(tfc.tf, 0) AS tf, COALESCE(c.ctf, 0) AS ctf
+      FROM docs d
+      CROSS JOIN terms t
+      LEFT JOIN tfc ON tfc.doc_id = d.doc_id AND tfc.term = t.term
+      LEFT JOIN ctf c ON c.term = t.term
+    )
+    SELECT doc_id, CAST(SUM({_MICROS_SQL.format(expr='''
+             ln((tf + 2000.0 * ctf / total_len) / (dl + 2000.0))''')})
+           AS BIGINT) AS score_micros
+    FROM grid CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    toks = text_fns.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda t: t.isin(*_BM25_TERMS)).alias("qt"),
+    )
+    stats = base.agg(F.sum("dl").alias("total_len"))
+    tfc = (
+        base.select("doc_id", F.explode("qt").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctf = tfc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    grid = (
+        base.select("doc_id", "dl")
+        .crossJoin(F.broadcast(terms))
+        .join(tfc, ["doc_id", "term"], "left")
+        .join(F.broadcast(ctf), "term", "left")
+        .select(
+            "doc_id",
+            "dl",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+            F.coalesce("ctf", F.lit(0)).alias("ctf"),
+        )
+    )
+    term_micros = _micros(
+        F.log(
+            (F.col("tf") + F.lit(2000.0) * F.col("ctf") / F.col("total_len"))
+            / (F.col("dl") + F.lit(2000.0))
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_micros).cast("long").alias("score_micros"))
+    )
