@@ -17666,3 +17666,86 @@ def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_micros).cast("long").alias("score_micros"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier comparison: McNemar's test (McNemar 1947) between the
+# TRAINED naive Bayes and the FIXED langid heuristic on the held-out
+# fifth — the standard paired test for "is classifier A actually
+# better than B on the same examples" (discordant pairs only). The
+# oracle composes the two registered oracles verbatim: q_nb_confusion's
+# CTE chain re-finalized to per-doc predictions, joined against
+# q_langid's predictions. b/c counts are exact integers; the
+# continuity-corrected statistic closes in one micros-quantized
+# expression, nullif-guarded for the no-discordance case.
+# ---------------------------------------------------------------------------
+_MCNEMAR_FINAL = """
+    , lid AS (
+      SELECT doc_id, predicted FROM ({LANGID})
+    ), paired AS (
+      SELECT p.doc_id,
+             CASE WHEN l.predicted = p.lang AND p.pred <> p.lang THEN 1 ELSE 0 END AS b,
+             CASE WHEN p.pred = p.lang AND l.predicted <> p.lang THEN 1 ELSE 0 END AS c
+      FROM pred p JOIN lid l USING (doc_id)
+    )
+    SELECT CAST(SUM(b) AS BIGINT) AS n_heuristic_only,
+           CAST(SUM(c) AS BIGINT) AS n_nb_only,
+           CAST(FLOOR(
+             (abs(CAST(SUM(b) AS DOUBLE) - CAST(SUM(c) AS DOUBLE)) - 1)
+             * (abs(CAST(SUM(b) AS DOUBLE) - CAST(SUM(c) AS DOUBLE)) - 1)
+             / nullif(CAST(SUM(b) + SUM(c) AS DOUBLE), 0)
+             * 1000000 + 0.5) AS BIGINT) AS mcnemar_micros
+    FROM paired
+"""
+
+
+@register(
+    "q_mcnemar_nb_vs_langid",
+    ORACLES["q_nb_confusion"].replace(
+        "SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred",
+        _MCNEMAR_FINAL.replace("{LANGID}", ORACLES["q_langid"]),
+    ),
+)
+def q_mcnemar_nb_vs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.langid import language_scores
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    db = nb_ops.doc_buckets(docs, "doc_id", "text", "lang", n_buckets=_NB_B)
+    train_db = db.filter(F.col("_id") % 5 != 0)
+    test_db = db.filter(F.col("_id") % 5 == 0)
+    lik, stats = nb_ops.nb_fit(train_db, _NB_B)
+    nb_pred = nb_ops.nb_predict(test_db, lik, stats).select(
+        F.col("_id").alias("doc_id"),
+        F.col("_label").alias("lang"),
+        "pred",
+    )
+    lid = language_scores(docs, "doc_id", "text").select(
+        "doc_id", F.col("predicted").alias("heur")
+    )
+    paired = nb_pred.join(lid, "doc_id").select(
+        F.when(
+            (F.col("heur") == F.col("lang")) & (F.col("pred") != F.col("lang")),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+        F.when(
+            (F.col("pred") == F.col("lang")) & (F.col("heur") != F.col("lang")),
+            1,
+        )
+        .otherwise(0)
+        .alias("c"),
+    )
+    d = F.abs(F.sum("b").cast("double") - F.sum("c").cast("double"))
+    return paired.agg(
+        F.sum("b").cast("long").alias("n_heuristic_only"),
+        F.sum("c").cast("long").alias("n_nb_only"),
+        F.floor(
+            (d - 1) * (d - 1)
+            / F.nullif((F.sum("b") + F.sum("c")).cast("double"), F.lit(0.0))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mcnemar_micros"),
+    )

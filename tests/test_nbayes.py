@@ -80,3 +80,47 @@ def test_confusion_counts_cover_heldout_docs(spark):
         (F.col("doc_id") % 5 == 0) & (F.length("text") > 0)
     ).count()
     assert sum(r.n for r in conf.collect()) == heldout
+
+
+def test_mcnemar_query_guard_and_direction(spark, sf_dir):
+    """On the synthetic corpus both classifiers collapse to the
+    majority class -> zero discordant pairs and a NULL statistic
+    (nullif-guarded, no ANSI divide-by-zero). On a planted corpus
+    where NB can learn and the stopword heuristic cannot, the NB-only
+    side must dominate."""
+    from frames_spark.queries import QUERIES
+
+    row = QUERIES["q_mcnemar_nb_vs_langid"](spark, sf_dir).first()
+    assert row.n_heuristic_only == 0 and row.n_nb_only == 0
+    assert row.mcnemar_micros is None
+
+    # planted: three classes with disjoint NON-stopword vocab; langid
+    # sees no stopwords and defaults, NB learns the vocab perfectly
+    from frames_spark.functions.langid import language_scores
+    from frames_spark.pipelines import nbayes
+
+    vocab = {"de": ["krz", "wrt", "blx"], "fr": ["plm", "qnd", "vrc"],
+             "es": ["stk", "mrn", "gld"]}
+    rows = []
+    i = 0
+    for label, words in vocab.items():
+        for _ in range(20):
+            rows.append((i, " ".join(words * 4), label))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    db = nbayes.doc_buckets(docs, "doc_id", "text", "lang")
+    lik, stats = nbayes.nb_fit(db.filter(F.col("_id") % 5 != 0))
+    nb_pred = nbayes.nb_predict(db.filter(F.col("_id") % 5 == 0), lik, stats)
+    lid = language_scores(docs, "doc_id", "text").select(
+        "doc_id", F.col("predicted").alias("heur")
+    )
+    joined = nb_pred.select(
+        F.col("_id").alias("doc_id"), F.col("_label").alias("lang"), "pred"
+    ).join(lid, "doc_id")
+    nb_only = joined.filter(
+        (F.col("pred") == F.col("lang")) & (F.col("heur") != F.col("lang"))
+    ).count()
+    heur_only = joined.filter(
+        (F.col("heur") == F.col("lang")) & (F.col("pred") != F.col("lang"))
+    ).count()
+    assert nb_only > 0 and nb_only > heur_only
