@@ -17710,7 +17710,12 @@ def q_mcnemar_nb_vs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.functions.langid import language_scores
 
     docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
-    db = nb_ops.doc_buckets(docs, "doc_id", "text", "lang", n_buckets=_NB_B)
+    # persisted: one bucketization scan feeds both splits (and the
+    # modulo split stays above the materialization instead of being
+    # pushed to the scan as a non-eligible predicate)
+    db = nb_ops.doc_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=_NB_B
+    ).persist()
     train_db = db.filter(F.col("_id") % 5 != 0)
     test_db = db.filter(F.col("_id") % 5 == 0)
     lik, stats = nb_ops.nb_fit(train_db, _NB_B)

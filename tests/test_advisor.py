@@ -160,6 +160,10 @@ KNOWN_UNPUSHABLE = {
     "q_edit_join",
     "q_entity_clusters",
     "q_edit_join_eval",
+    # the held-out doc_id % 5 split: constraint propagation copies it
+    # onto the langid branch's scan — modulo is the intentional
+    # layout-invariant split (the q_sample_hash class)
+    "q_mcnemar_nb_vs_langid",
 }
 
 
