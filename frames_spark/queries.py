@@ -17381,21 +17381,49 @@ def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nb AS (
       SELECT COUNT(*) AS n_both FROM uk
       WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
-    ), nu AS (SELECT COUNT(*) AS n_union_k FROM uk)
+    ), nu AS (SELECT COUNT(*) AS n_union_k FROM uk),
+    ex AS (
+      SELECT CAST(FLOOR(
+        (SELECT COUNT(*) FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        * 1000000.0
+        / (SELECT COUNT(*) FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           UNION
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        + 0.5) AS BIGINT) AS exact_jaccard_micros
+    )
     SELECT CAST(n_union_k AS BIGINT) AS n_union_k,
            CAST(n_both AS BIGINT) AS n_both,
            CAST(FLOOR(CAST(n_both AS DOUBLE) / CAST(n_union_k AS DOUBLE)
-                      * 1000000 + 0.5) AS BIGINT) AS jaccard_micros
-    FROM nu CROSS JOIN nb
+                      * 1000000 + 0.5) AS BIGINT) AS jaccard_micros,
+           exact_jaccard_micros
+    FROM nu CROSS JOIN nb CROSS JOIN ex
     """,
 )
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.operators.sketches import kmv_jaccard, kmv_sketch
 
     ev = load_table(spark, sf_dir, "events")
-    a = kmv_sketch(ev.filter(F.col("event_type") == "click"), "user_id")
-    b = kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id")
-    return kmv_jaccard(a, b)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    a = kmv_sketch(clicks, "user_id")
+    b = kmv_sketch(buys, "user_id")
+    est = kmv_jaccard(a, b)
+    inter = clicks.distinct().join(buys.distinct(), "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("ni")
+    )
+    uni = clicks.union(buys).distinct().agg(F.count(F.lit(1)).alias("nu"))
+    exact = inter.crossJoin(F.broadcast(uni)).select(
+        F.floor(
+            F.col("ni") * F.lit(1_000_000.0) / F.col("nu") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("exact_jaccard_micros")
+    )
+    return est.crossJoin(F.broadcast(exact))
 
 
 # Threshold-sensitivity curve for the semantic tier (the q_dedup_curve
