@@ -17371,10 +17371,10 @@ def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH a AS (
       SELECT DISTINCT {hash60_sql("CAST(user_id AS VARCHAR)", "kmv")} AS h
-      FROM events WHERE event_type = 'click' ORDER BY h LIMIT 256
+      FROM events WHERE user_id % 4 < 3 ORDER BY h LIMIT 256
     ), b AS (
       SELECT DISTINCT {hash60_sql("CAST(user_id AS VARCHAR)", "kmv")} AS h
-      FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 256
+      FROM events WHERE user_id % 4 > 0 ORDER BY h LIMIT 256
     ), uk AS (
       SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
       ORDER BY h LIMIT 256
@@ -17385,14 +17385,14 @@ def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (
       SELECT CAST(FLOOR(
         (SELECT COUNT(*) FROM (
-           SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           SELECT DISTINCT user_id FROM events WHERE user_id % 4 < 3
            INTERSECT
-           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+           SELECT DISTINCT user_id FROM events WHERE user_id % 4 > 0))
         * 1000000.0
         / (SELECT COUNT(*) FROM (
-           SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           SELECT DISTINCT user_id FROM events WHERE user_id % 4 < 3
            UNION
-           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+           SELECT DISTINCT user_id FROM events WHERE user_id % 4 > 0))
         + 0.5) AS BIGINT) AS exact_jaccard_micros
     )
     SELECT CAST(n_union_k AS BIGINT) AS n_union_k,
@@ -17407,8 +17407,11 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.operators.sketches import kmv_jaccard, kmv_sketch
 
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # two deterministic 75% user populations with a planted 50%
+    # Jaccard (id % 4 < 3 vs id % 4 > 0) — natural splits of the
+    # synthetic corpus all give ~1.0 (every user does everything)
+    clicks = ev.filter(F.col("user_id") % 4 < 3).select("user_id")
+    buys = ev.filter(F.col("user_id") % 4 > 0).select("user_id")
     a = kmv_sketch(clicks, "user_id")
     b = kmv_sketch(buys, "user_id")
     est = kmv_jaccard(a, b)
