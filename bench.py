@@ -222,7 +222,35 @@ def main() -> None:
         out["box_noise_factor"] = round(
             max(calib_before, calib_after) / base["calib_sec"], 2
         )
+
+    # Output contract: the driver captures only the last ~2.2 KB of
+    # stdout and parses the FINAL line as the round's bench artifact.
+    # At 84 queries the full per-query map alone exceeds that (r7's
+    # BENCH artifact came back "parsed": null with the head of the
+    # line cut off), so the full object goes on a PRECEDING line and
+    # the final line is a bounded summary: scalar fields + the
+    # slowest-10 query map (~600 B — size pinned by a pytest test).
     print(json.dumps(out))
+    print(summary_line(out))
+
+
+def summary_line(out: dict) -> str:
+    """The driver-facing FINAL stdout line: every scalar field of the
+    full artifact plus the slowest-10 query map, guaranteed < 2000 B
+    (the driver's tail capture is ~2.2 KB and parses the last line)."""
+    times = out["queries"]
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in times.items() if t is not None),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    summary = {k: v for k, v in out.items() if k != "queries"}
+    summary["queries"] = slowest
+    summary["n_queries"] = len(times)
+    line = json.dumps(summary)
+    assert len(line) < 2000, f"bench summary line too long: {len(line)}"
+    return line
 
 
 if __name__ == "__main__":

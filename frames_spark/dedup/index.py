@@ -195,7 +195,10 @@ def _read_increments(spark: SparkSession, index_dir: str) -> DataFrame | None:
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
-        return spark.read.parquet(index_dir)
+        # mergeSchema: pre-r8 increment dirs lack the inc0 column; a
+        # single-footer inference picking one of those would silently
+        # drop inc0 from compacted rows and break "latest wins"
+        return spark.read.option("mergeSchema", "true").parquet(index_dir)
     except AnalysisException:
         return None
 
@@ -221,6 +224,10 @@ def probe_increment(
     against upsert-mode ``probe_and_append``."""
     if "/" in increment_key or increment_key.startswith((".", "_")):
         raise ValueError(f"invalid increment key: {increment_key!r}")
+    if increment_key == COMPACTED_KEY:
+        raise ValueError(
+            f"increment key {increment_key!r} is reserved for compact_index"
+        )
     # persisted for the same write+probe double-evaluation reason as
     # probe_and_append
     new = band_rows(
@@ -240,29 +247,65 @@ def probe_increment(
         # semantics), and — critically — the partition filter prunes
         # the about-to-be-overwritten files out of the lazy pair
         # plan's scan, so the overwrite below cannot invalidate it
-        old = old.filter(F.col("inc") != increment_key).drop("inc")
+        old = old.filter(F.col("inc") != increment_key)
+        if "inc0" in old.columns:
+            # a replayed key may also live inside the compacted dir —
+            # exclude by ORIGINAL key too (coalesce: pre-r8 rows carry
+            # null inc0, and null != key would filter them out)
+            old = old.filter(
+                F.coalesce(F.col("inc0"), F.lit("")) != increment_key
+            )
+        old = old.drop("inc", "inc0")
     pairs = _probe_pairs(new, old, max_bucket)
-    new.write.mode("overwrite").parquet(
-        index_dir.rstrip("/") + f"/inc={increment_key}"
-    )
+    # inc0 mirrors the partition key as a DATA column: compaction folds
+    # rows into one inc=compacted dir, and "latest increment wins" must
+    # keep comparing the ORIGINAL keys (r7 advice: a compacted key that
+    # sorts above later increment keys inverted the rule forever)
+    new.withColumn("inc0", F.lit(increment_key)).write.mode(
+        "overwrite"
+    ).parquet(index_dir.rstrip("/") + f"/inc={increment_key}")
     return pairs
 
 
+# The single reserved increment key compaction folds into. Its sort
+# position no longer matters: every row carries its ORIGINAL increment
+# key in the inc0 data column, and "latest wins" compares inc0 — so a
+# doc re-crawled after compaction (inc0='day-004') still beats its
+# compacted rows (inc0='day-003') at the next compaction. (The old
+# default 'zz-compacted' compared the DIRECTORY keys, so it sorted
+# above every later 'day-NNN' increment and stale rows won forever.)
+COMPACTED_KEY = "compacted"
+
+
+def _effective_inc(df: DataFrame) -> F.Column:
+    """The original increment key of a row: inc0 where present (rows
+    written by probe_increment since r8, and all compacted rows),
+    else the directory key (pre-r8 indexes)."""
+    if "inc0" in df.columns:
+        return F.coalesce(F.col("inc0"), F.col("inc"))
+    return F.col("inc")
+
+
 def compact_index(
-    spark: SparkSession, index_dir: str, key: str = "zz-compacted"
+    spark: SparkSession, index_dir: str, key: str = COMPACTED_KEY
 ) -> int:
-    """Fold all increments into one, keeping each doc's rows from its
-    LATEST increment (re-crawled docs converge to one signature set).
-    ``key`` must sort >= every existing increment key so later
-    increments still win per-doc. Single-writer, like every sink in
-    this repo; returns the number of rows kept."""
+    """Fold all increments into one ``inc=compacted`` dir, keeping each
+    doc's rows from its LATEST original increment (re-crawled docs
+    converge to one signature set). Each kept row keeps its original
+    key in ``inc0``, so later increments still win per-doc at the next
+    compaction regardless of how ``key`` sorts. Single-writer, like
+    every sink in this repo; returns the number of rows kept."""
     from frames_spark.sources.versioned import _fs
 
     df = _read_increments(spark, index_dir)
     if df is None:
         return 0
-    latest = df.groupBy("doc").agg(F.max("inc").alias("inc"))
-    kept = df.join(latest, ["doc", "inc"]).drop("inc")
+    eff = df.withColumn("inc0", _effective_inc(df)).drop("inc")
+    latest = eff.groupBy("doc").agg(F.max("inc0").alias("inc0"))
+    # distinct: a replayed pre-compaction key leaves the same (doc,
+    # inc0) band rows both inside the compacted dir and as a fresh
+    # increment — keep one copy
+    kept = eff.join(latest, ["doc", "inc0"]).distinct()
     tmp = index_dir.rstrip("/") + "/_compact_tmp"
     kept.write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()

@@ -42,6 +42,17 @@ from pyspark.sql import functions as F
 from frames_spark.dedup.embedding import _fixed
 from frames_spark.functions.vectors import cosine_from_fixed, dot_fixed
 
+# Library default for the degenerate-cluster guard. 4000 members is
+# ~8M in-array pairs from one collect_list row — a bounded single-task
+# expansion. The previous default (100_000) permitted ~5e9 pairs from
+# one degenerate cluster (a ~50 MB row whose i<j expansion lands on a
+# single task); the registered queries always passed 4000 explicitly,
+# but "a guard that exists one parameter away still OOMs the run that
+# forgot it" (the editdist.py stop-shingle lesson) — so the guarded
+# value IS the default. Size a production run's k so clusters stay far
+# below this, and check with semdedup_cluster_stats() first.
+DEFAULT_MAX_CLUSTER = 4000
+
 
 def centroid_components(c: int, dim: int) -> list[int]:
     """±1 components of deterministic codebook centroid ``c`` — bit d
@@ -111,6 +122,38 @@ def _clustered(
     )
 
 
+def semdedup_cluster_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Pre-flight for the semantic tier (the q_lsh_bucket_stats
+    pattern): (cluster_size, n_clusters, pairs_per_cluster) sorted by
+    size. Run this BEFORE semdedup_pairs on a new corpus/k: a top row
+    whose pairs_per_cluster is astronomical means k is too small (or
+    the corpus is degenerate) and the max_cluster guard will be
+    dropping real clusters. Cost: the same one-shuffle assignment as
+    the dedup itself, but aggregating counts instead of arrays."""
+    assigned = assign_clusters(df, id_col, vec_col, n_centroids, dim)
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * (F.col("cluster_size") - 1) / 2)
+            .cast("long")
+            .alias("pairs_per_cluster"),
+        )
+        .orderBy(F.desc("cluster_size"))
+    )
+
+
 def _pairs_from_clustered(
     clustered: DataFrame, threshold: float, max_cluster: int | None
 ) -> DataFrame:
@@ -144,7 +187,7 @@ def semdedup_pairs(
     n_centroids: int = 16,
     threshold: float = 0.9,
     dim: int = 64,
-    max_cluster: int | None = 100_000,
+    max_cluster: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
     """(id_a, id_b, cluster, cosine): within-cluster pairs at or above
     the cosine threshold, id_a < id_b. Candidate generation is ONE
@@ -166,7 +209,7 @@ def semdedup_drops(
     n_centroids: int = 16,
     threshold: float = 0.9,
     dim: int = 64,
-    max_cluster: int | None = 100_000,
+    max_cluster: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
     """(vec_id, cluster) of DROPPED documents: the larger id of every
     within-cluster pair at or above the threshold, distinct."""
@@ -185,7 +228,7 @@ def semdedup_summary(
     n_centroids: int = 16,
     threshold: float = 0.9,
     dim: int = 64,
-    max_cluster: int | None = 100_000,
+    max_cluster: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
     """Per-cluster dedup accounting: (cluster, n_members, n_dropped).
     Clusters with no members never appear; n_dropped counts distinct

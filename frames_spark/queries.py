@@ -17785,3 +17785,30 @@ def q_mcnemar_nb_vs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mcnemar_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration order is load-bearing (the driver's first-50 window):
+# apply the literal manifest so order is an explicit, reviewable list
+# rather than decorator side-effect order. Every registered name must
+# appear in the manifest and vice versa — a mismatch is a hard error
+# at import, not a silent window shift.
+# ---------------------------------------------------------------------------
+
+from frames_spark.registry_order import REGISTRATION_ORDER as _ORDER  # noqa: E402
+
+
+def _apply_manifest() -> None:
+    got, want = set(QUERIES), set(_ORDER)
+    if got != want:
+        missing = sorted(want - got)
+        unlisted = sorted(got - want)
+        raise RuntimeError(
+            f"registration manifest drift: missing={missing} unlisted={unlisted}"
+        )
+    ordered = {name: QUERIES[name] for name in _ORDER}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_manifest()

@@ -164,6 +164,10 @@ KNOWN_UNPUSHABLE = {
     # onto the langid branch's scan — modulo is the intentional
     # layout-invariant split (the q_sample_hash class)
     "q_mcnemar_nb_vs_langid",
+    # user_id % 4 modulo population splits — the natural splits of the
+    # synthetic corpus all give Jaccard ~1.0, so the overlap demo uses
+    # the layout-invariant modulo class (same as q_sample_hash)
+    "q_kmv_overlap",
 }
 
 

@@ -233,7 +233,7 @@ def test_increment_compaction_keeps_latest_signatures(spark, tmp_path):
     assert both.select("band_key").distinct().count() == 8  # 4 bands x 2 texts
     kept = compact_index(spark, idx)
     assert kept == 4  # one signature set (4 bands) survives
-    after = spark.read.parquet(idx).drop("inc")
+    after = spark.read.parquet(idx).drop("inc", "inc0")
     # surviving band keys are exactly v2's
     from frames_spark.dedup.index import band_rows
 
@@ -246,5 +246,46 @@ def test_increment_compaction_keeps_latest_signatures(spark, tmp_path):
     v3 = spark.createDataFrame(
         [(2, "totally different words appear here now")], "doc_id long, text string"
     )
-    p = probe_increment(spark, idx, v3, "zz-day-003")
+    # the sidestep the r7 advice flagged — a post-compaction key that
+    # sorts BELOW the compacted dir name — now works: latest-wins
+    # compares original inc0 keys, not directory names
+    p = probe_increment(spark, idx, v3, "day-003")
     assert _pairs(p) == {(1, 2)}
+
+
+def test_recompaction_does_not_resurrect_stale_signatures(spark, tmp_path):
+    # r7 advice: with the old 'zz-compacted' key, a doc re-crawled in a
+    # later increment ('day-003' < 'zz-compacted') had its NEW rows
+    # discarded at the next compaction and the stale rows won forever.
+    # inc0 carries original keys through compaction, so compact ->
+    # re-crawl -> compact must keep the NEWEST signature set.
+    from frames_spark.dedup.index import band_rows, compact_index, probe_increment
+
+    idx = str(tmp_path / "incidx2")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "totally different words appear here now")], "doc_id long, text string"
+    )
+    probe_increment(spark, idx, v1, "day-001").count()
+    assert compact_index(spark, idx) == 4
+    probe_increment(spark, idx, v2, "day-002").count()
+    assert compact_index(spark, idx) == 4
+    after = spark.read.parquet(idx)
+    want = {
+        (r.band, r.band_key) for r in band_rows(v2, "doc_id", "text").collect()
+    }
+    assert {(r.band, r.band_key) for r in after.collect()} == want
+    # and the surviving rows remember their true increment
+    assert {r.inc0 for r in after.collect()} == {"day-002"}
+
+
+def test_reserved_compaction_key_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from frames_spark.dedup.index import probe_increment
+
+    v = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="reserved"):
+        probe_increment(spark, str(tmp_path / "x"), v, "compacted")

@@ -109,3 +109,39 @@ def test_summary_is_consistent_with_drops(spark, sf_dir):
         assert 0 <= r.n_dropped < r.n_members or (
             r.n_dropped == 0 and r.n_members == 0
         )
+
+
+def test_library_default_max_cluster_is_the_guarded_one():
+    # r7 verdict: the registered queries passed max_cluster=4000 but the
+    # library default (100_000) permitted a ~5e9-pair single-row explode.
+    # The guarded value is now the default — pin it so a future "relax
+    # the default" edit is a conscious diff here.
+    import inspect
+
+    assert semdedup.DEFAULT_MAX_CLUSTER == 4000
+    for fn in (
+        semdedup.semdedup_pairs,
+        semdedup.semdedup_drops,
+        semdedup.semdedup_summary,
+    ):
+        sig = inspect.signature(fn)
+        assert sig.parameters["max_cluster"].default == 4000, fn.__name__
+
+
+def test_cluster_stats_preflight(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir, n=100)
+    stats = semdedup.semdedup_cluster_stats(
+        corpus, "vec_id", "embedding", n_centroids=16
+    ).collect()
+    # histogram covers the whole corpus exactly once
+    assert sum(r.cluster_size * r.n_clusters for r in stats) == 200
+    # sorted by size descending; pair counts are n*(n-1)/2
+    sizes = [r.cluster_size for r in stats]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in stats:
+        assert r.pairs_per_cluster == r.cluster_size * (r.cluster_size - 1) // 2
+    # degenerate corpus shows up as ONE giant cell
+    one = semdedup.semdedup_cluster_stats(
+        corpus, "vec_id", "embedding", n_centroids=1
+    ).collect()
+    assert len(one) == 1 and one[0].cluster_size == 200
