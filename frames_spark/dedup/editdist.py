@@ -73,6 +73,54 @@ def edit1_pairs(
     )
 
 
+def deletion_neighborhood(s: Column, k: int) -> Column:
+    """array: every string obtainable from ``s`` by deleting UP TO k
+    characters (the SymSpell neighborhood generalized to k). If
+    lev(a, b) <= k then a and b share a member: delete each side's
+    unmatched characters of an optimal alignment (<= k per side) and
+    both reach the same string — so bucketing on the neighborhood is
+    recall-lossless for any k. Size is O(len^k / k!): only usable for
+    SHORT strings; that is exactly the regime where the q-gram count
+    bound fails (see qgram_edit_pairs)."""
+    out = F.array(s)
+    frontier = F.array(s)
+    for _ in range(k):
+        frontier = F.array_distinct(
+            F.flatten(F.transform(frontier, deletion_variants))
+        )
+        out = F.array_union(out, frontier)
+    return out
+
+
+def _short_pairs(
+    vocab: DataFrame, k: int, max_bucket: int | None
+) -> DataFrame:
+    """Exact lev<=k pairs among a SHORT-string vocabulary (s column)
+    via k-deletion neighborhoods: explode variants, one groupBy on the
+    variant, in-array i<j expansion, levenshtein verify."""
+    exploded = vocab.select(
+        "s", F.explode(deletion_neighborhood(F.col("s"), k)).alias("variant")
+    )
+    buckets = (
+        exploded.groupBy("variant")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ss") <= max_bucket)
+    expand = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        buckets.select(F.explode(expand).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.abs(F.length("a") - F.length("b")) <= k)
+        .distinct()
+    )
+
+
 def qgram_multiset(s: Column, q: int = 3) -> Column:
     """Positional q-gram multiset of ``s`` as an array (may repeat)."""
     return F.transform(
@@ -87,6 +135,7 @@ def qgram_edit_pairs(
     k: int = 2,
     q: int = 3,
     max_bucket: int | None = 10_000,
+    short_strings: str = "exact",
 ) -> DataFrame:
     """Distinct (a, b, lev) with a < b and levenshtein(a, b) <= k —
     the prefix-filtered q-gram similarity join (Gravano et al.
@@ -98,10 +147,18 @@ def qgram_edit_pairs(
     frequency, ties by gram then occurrence — one total order on both
     engines) and only the k*q+1 RAREST form its prefix. Two strings
     within edit distance k share >= |G(s)| - k*q multiset q-grams
-    (count bound), so they MUST collide on a prefix entry — the
-    candidate set is exact (no recall loss), and only prefix entries
-    ever enter posting lists: 7 entries/string at the defaults, with
-    bucket sizes bounded by gram rarity rather than corpus size.
+    (count bound), so they MUST collide on a prefix entry — PROVIDED
+    |G(s)| > k*q, i.e. len(s) >= q*(k+1). Below that the bound
+    guarantees nothing (k=2, q=3: 'abcd' vs 'efcd' are lev 2 with
+    ZERO shared q-grams), so strings shorter than q*(k+1)+k — the
+    longest possible partner of an unguaranteed string — route
+    through an exact k-deletion-neighborhood fallback
+    (``short_strings="exact"``, the default; ``"drop"`` restores the
+    prefix-only candidate set and silently loses short pairs). With
+    the fallback the candidate set is exact for EVERY length; only
+    prefix entries enter the main posting lists: 7 entries/string at
+    the defaults, with bucket sizes bounded by gram rarity rather
+    than corpus size.
     Pairs expand in-array i<j per bucket (the LSH-band shape), then
     the exact levenshtein verify drops false positives. ``max_bucket``
     guards adversarial low-entropy corpora where even rarity-ranked
@@ -115,11 +172,10 @@ def qgram_edit_pairs(
     edit1_pairs (deletion neighborhoods need no df pass)."""
     from pyspark.sql import Window
 
-    vocab = (
-        df.select(F.col(col).alias("s"))
-        .filter(F.length("s") >= q)
-        .distinct()
-    )
+    if short_strings not in ("exact", "drop"):
+        raise ValueError(f"short_strings must be 'exact' or 'drop': {short_strings!r}")
+    all_vocab = df.select(F.col(col).alias("s")).distinct()
+    vocab = all_vocab.filter(F.length("s") >= q)
     gc = (
         vocab.select("s", F.explode(qgram_multiset(F.col("s"), q)).alias("gram"))
         .groupBy("s", "gram")
@@ -155,6 +211,13 @@ def qgram_edit_pairs(
         .filter(F.abs(F.length("a") - F.length("b")) <= k)
         .distinct()
     )
+    if short_strings == "exact":
+        # pairs where BOTH sides are shorter than q*(k+1)+k (any pair
+        # with one side under q*(k+1) has its partner under this by
+        # the length-diff bound) come from the exact neighborhood
+        # fallback; the overlap zone is double-covered and distinct'd
+        short = all_vocab.filter(F.length("s") < q * (k + 1) + k)
+        cand = cand.unionByName(_short_pairs(short, k, max_bucket)).distinct()
     return cand.withColumn("lev", F.levenshtein("a", "b").cast("long")).filter(
         F.col("lev") <= k
     )

@@ -134,13 +134,15 @@ def probe_and_append(
         rows_per_band=rows_per_band,
         fast=fast,
     ).persist()
+    from frames_spark.operators.caching import tie_cache
+
     old = read_index(spark, index_dir)
     pairs = _probe_pairs(new, old, max_bucket)
     if old is None:
         version = write_versioned(new, index_dir)
     else:
         version = upsert_versioned(spark, index_dir, new, keys=["doc"])
-    return pairs, version
+    return tie_cache(pairs, new), version
 
 
 def _probe_pairs(
@@ -264,7 +266,9 @@ def probe_increment(
     new.withColumn("inc0", F.lit(increment_key)).write.mode(
         "overwrite"
     ).parquet(index_dir.rstrip("/") + f"/inc={increment_key}")
-    return pairs
+    from frames_spark.operators.caching import tie_cache
+
+    return tie_cache(pairs, new)
 
 
 # The single reserved increment key compaction folds into. Its sort

@@ -248,11 +248,13 @@ def semdedup_summary(
     dropped = drops.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_dropped")
     )
-    return (
-        members.join(dropped, "cluster", "left")
-        .select(
+    from frames_spark.operators.caching import tie_cache
+
+    return tie_cache(
+        members.join(dropped, "cluster", "left").select(
             "cluster",
             "n_members",
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-        )
+        ),
+        clustered,
     )

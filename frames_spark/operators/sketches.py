@@ -370,17 +370,20 @@ def bloom_probe(
     k: int = BLOOM_K,
     seed: str = "bf",
 ) -> DataFrame:
-    """(key, maybe_present): Bloom membership per probe key —
+    """(key, maybe_present): Bloom membership per DISTINCT probe key —
     maybe_present iff ALL k positions are set. The bit relation
-    joins on pos (at most mbits rows, Aggregate-rooted: broadcast)."""
+    joins on pos (at most mbits rows, Aggregate-rooted: broadcast).
+    Probe keys dedupe first: a key appearing d times would otherwise
+    explode to d*k rows and the nset==k test would return a false
+    NEGATIVE (r7 advice — Bloom filters must never false-negative)."""
     from frames_spark.functions.hashing import hash60
 
-    s = F.col(key_col).cast("string")
+    s = F.col("key").cast("string")
     positions = F.array(
         *[hash60(s, seed=f"{seed}{j}") % mbits for j in range(k)]
     )
-    exploded = probes.select(
-        F.col(key_col).alias("key"), F.explode(positions).alias("pos")
+    exploded = probes.select(F.col(key_col).alias("key")).distinct().select(
+        "key", F.explode(positions).alias("pos")
     )
     hits = (
         exploded.join(

@@ -148,9 +148,14 @@ def dsir_logweights(
         .groupBy("_id")
         .agg(F.sum(F.col("c") * F.col("lam_nanos")).alias("logw_nanos"))
     )
-    return scores.select(
-        F.col("_id").alias(id_col),
-        F.col("logw_nanos").cast("long").alias("logw_nanos"),
+    from frames_spark.operators.caching import tie_cache
+
+    return tie_cache(
+        scores.select(
+            F.col("_id").alias(id_col),
+            F.col("logw_nanos").cast("long").alias("logw_nanos"),
+        ),
+        db,
     )
 
 

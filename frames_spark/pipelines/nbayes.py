@@ -163,11 +163,14 @@ def nb_confusion(
     """Train on ``id % test_mod != 0``, score the held-out rest,
     return the confusion matrix (label, pred, n). One bucketization
     pass feeds both splits."""
+    from frames_spark.operators.caching import tie_cache
+
     db = doc_buckets(docs, id_col, text_col, label_col, n_buckets, seed).persist()
     train_db = db.filter(F.col("_id") % test_mod != 0)
     test_db = db.filter(F.col("_id") % test_mod == 0)
     likelihoods, class_stats = nb_fit(train_db, n_buckets)
     pred = nb_predict(test_db, likelihoods, class_stats)
-    return pred.groupBy("_label", "pred").agg(
-        F.count(F.lit(1)).alias("n")
+    return tie_cache(
+        pred.groupBy("_label", "pred").agg(F.count(F.lit(1)).alias("n")),
+        db,
     )

@@ -289,3 +289,29 @@ def test_reserved_compaction_key_rejected(spark, tmp_path):
     v = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="reserved"):
         probe_increment(spark, str(tmp_path / "x"), v, "compacted")
+
+
+def test_probe_cache_released_when_result_dropped(spark, tmp_path):
+    # r7 advice: persisted intermediates accumulated across calls in a
+    # long-lived session. tie_cache unpersists when the caller drops
+    # the returned pairs DataFrame.
+    import gc
+
+    from frames_spark.dedup.index import probe_increment
+
+    idx = str(tmp_path / "cacheidx")
+    v = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_cached()
+    pairs = probe_increment(spark, idx, v, "day-001")
+    pairs.count()
+    during = n_cached()
+    assert during > before
+    del pairs
+    gc.collect()
+    after = n_cached()
+    assert after == before

@@ -92,3 +92,49 @@ def test_qgram_edit_pairs_exact_recall_vs_bruteforce(spark):
     got = {(r.a, r.b, r.lev) for r in qgram_edit_pairs(df, "s", k=2).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_qgram_edit_pairs_short_strings_exact_fallback(spark):
+    """r7 advice counter-example: k=2, q=3 — 'abcd' vs 'efcd' are lev 2
+    with ZERO shared q-grams, so the prefix filter alone misses them.
+    The k-deletion-neighborhood fallback (short_strings='exact', the
+    default) must recover every short pair; 'drop' restores the old
+    prefix-only behavior."""
+    import itertools
+
+    from frames_spark.dedup.editdist import qgram_edit_pairs
+
+    # mixed corpus: the advice pair, more sub-q*(k+1) strings, strings
+    # below q, and long strings whose pairs ride the main path
+    strings = sorted(
+        {
+            "abcd", "efcd", "ab", "ax", "abcdefg", "abcdxfg", "abcdefgz",
+            "kl", "klm", "k",
+            "longenoughstring", "longenoughstrong", "longenoughstri",
+        }
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(strings, 2)
+        if lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {(r.a, r.b, r.lev) for r in qgram_edit_pairs(df, "s", k=2).collect()}
+    assert got == want
+    assert ("abcd", "efcd", 2) in got
+    # 'drop' mode misses the advice pair (documented lossy behavior)
+    dropped = {
+        (r.a, r.b)
+        for r in qgram_edit_pairs(df, "s", k=2, short_strings="drop").collect()
+    }
+    assert ("abcd", "efcd") not in dropped

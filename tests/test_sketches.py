@@ -181,3 +181,26 @@ def test_cms_stream_increments_match_batch(spark, sf_dir, tmp_path):
     }
     whole = {(r.row, r.col): r.c for r in count_min_build(tok, "t").collect()}
     assert merged == whole
+
+
+def test_bloom_probe_duplicate_keys_no_false_negative(spark):
+    # r7 advice: a probe key appearing d times exploded to d*k rows and
+    # nset==k returned a false NEGATIVE. Bloom filters must never
+    # false-negative — duplicated probe keys must report exactly like
+    # their distinct form.
+    from frames_spark.operators.sketches import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bits = bloom_bits(members, "k")
+    dup_probes = spark.createDataFrame(
+        [(i,) for i in range(40, 60) for _ in range(3)], "k long"
+    )
+    got = {
+        r.key: r.maybe_present
+        for r in bloom_probe(dup_probes, bits, "k").collect()
+    }
+    # one row per DISTINCT key
+    assert len(got) == 20
+    # every true member reports present regardless of duplication
+    for i in range(40, 50):
+        assert got[i] is True, i
