@@ -17787,6 +17787,462 @@ def q_mcnemar_nb_vs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer family
+# (functions/unigram_lm.py, Kudo 2018 arXiv:1804.10959): the BPE
+# trainer's sibling. The seed vocabulary and the Viterbi E-step are
+# fully oracled; the iterative trainer itself is witnessed by the
+# differential pytest (tests/test_unigram_lm.py), the engine's
+# convention for iterative algorithms. The oracle replays the forward
+# DP as 12 unrolled MATERIALIZED CTEs (the q_markov_stationary
+# pattern) and the backtrace as 12 more, tie-break MIN(j) mirroring
+# the Spark backtrace's longest-piece rule.
+# ---------------------------------------------------------------------------
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.unigram_lm import word_counts
+
+    return word_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _unigram_model(words: DataFrame) -> DataFrame:
+    """Seed-count model with lp = floor(ln(n/total)*1e6 + 0.5) — the
+    relational twin of the trainer's driver-side logp_micros (F.log
+    and DuckDB ln are libm-identical on this platform, the
+    q_unigram_logprob precedent)."""
+    from frames_spark.functions.unigram_lm import seed_pieces
+
+    seed = seed_pieces(words, max_piece_len=4, size=64)
+    tot = seed.agg(F.sum("n").cast("double").alias("tot"))
+    return seed.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("tot")) * 1000000 + 0.5
+        ).cast("long").alias("lp"),
+    )
+
+
+@register(
+    "q_unigram_seed",
+    f"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest({_TOKENS_SQL}) AS word FROM documents) t
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= 12
+      GROUP BY word
+    ), subs AS (
+      SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+               jp1 -> list_transform(range(1, least(4, length(word) - jp1 + 1) + 1),
+                        L -> substring(word, jp1, L))))) AS piece, cnt
+      FROM words
+    ), counts AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM subs GROUP BY piece
+    ), top AS (
+      SELECT piece, n FROM counts ORDER BY n DESC, piece LIMIT 64
+    )
+    SELECT piece, n FROM top
+    UNION
+    SELECT piece, n FROM counts WHERE length(piece) = 1
+    """,
+)
+def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.unigram_lm import seed_pieces
+
+    return seed_pieces(_unigram_words(spark, sf_dir), max_piece_len=4, size=64)
+
+
+@register(
+    "q_unigram_viterbi",
+    f"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest({_TOKENS_SQL}) AS word FROM documents) t
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= 12
+      GROUP BY word
+    ), subs AS (
+      SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+               jp1 -> list_transform(range(1, least(4, length(word) - jp1 + 1) + 1),
+                        L -> substring(word, jp1, L))))) AS piece, cnt
+      FROM words
+    ), counts AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM subs GROUP BY piece
+    ), seed AS (
+      SELECT piece, n FROM (SELECT piece, n FROM counts ORDER BY n DESC, piece LIMIT 64)
+      UNION
+      SELECT piece, n FROM counts WHERE length(piece) = 1
+    ), m AS MATERIALIZED (
+      SELECT piece,
+             CAST(FLOOR(LN(CAST(n AS DOUBLE) / (SELECT CAST(SUM(n) AS DOUBLE) FROM seed)) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM seed
+    ), wz AS MATERIALIZED (
+      SELECT word, cnt FROM words WHERE cnt >= 3
+    ), b1 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 1) WHERE length(w.word) >= 1
+      ) GROUP BY word
+    ), b2 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 1) WHERE length(w.word) >= 2
+        UNION ALL SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 2) WHERE length(w.word) >= 2
+      ) GROUP BY word
+    ), b3 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 1) WHERE length(w.word) >= 3
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 2) WHERE length(w.word) >= 3
+        UNION ALL SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 3) WHERE length(w.word) >= 3
+      ) GROUP BY word
+    ), b4 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 1) WHERE length(w.word) >= 4
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 2) WHERE length(w.word) >= 4
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 3) WHERE length(w.word) >= 4
+        UNION ALL SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 4) WHERE length(w.word) >= 4
+      ) GROUP BY word
+    ), b5 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 1) WHERE length(w.word) >= 5
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 2) WHERE length(w.word) >= 5
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 3) WHERE length(w.word) >= 5
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 4) WHERE length(w.word) >= 5
+      ) GROUP BY word
+    ), b6 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 1) WHERE length(w.word) >= 6
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 2) WHERE length(w.word) >= 6
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 3) WHERE length(w.word) >= 6
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 4) WHERE length(w.word) >= 6
+      ) GROUP BY word
+    ), b7 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 1) WHERE length(w.word) >= 7
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 2) WHERE length(w.word) >= 7
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 3) WHERE length(w.word) >= 7
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 4) WHERE length(w.word) >= 7
+      ) GROUP BY word
+    ), b8 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 1) WHERE length(w.word) >= 8
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 2) WHERE length(w.word) >= 8
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 3) WHERE length(w.word) >= 8
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 4) WHERE length(w.word) >= 8
+      ) GROUP BY word
+    ), b9 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 1) WHERE length(w.word) >= 9
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 2) WHERE length(w.word) >= 9
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 3) WHERE length(w.word) >= 9
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 4) WHERE length(w.word) >= 9
+      ) GROUP BY word
+    ), b10 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b9 b USING (word) JOIN m ON m.piece = substring(w.word, 10, 1) WHERE length(w.word) >= 10
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 2) WHERE length(w.word) >= 10
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 3) WHERE length(w.word) >= 10
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 4) WHERE length(w.word) >= 10
+      ) GROUP BY word
+    ), b11 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b10 b USING (word) JOIN m ON m.piece = substring(w.word, 11, 1) WHERE length(w.word) >= 11
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b9 b USING (word) JOIN m ON m.piece = substring(w.word, 10, 2) WHERE length(w.word) >= 11
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 3) WHERE length(w.word) >= 11
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 4) WHERE length(w.word) >= 11
+      ) GROUP BY word
+    ), b12 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b11 b USING (word) JOIN m ON m.piece = substring(w.word, 12, 1) WHERE length(w.word) >= 12
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b10 b USING (word) JOIN m ON m.piece = substring(w.word, 11, 2) WHERE length(w.word) >= 12
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b9 b USING (word) JOIN m ON m.piece = substring(w.word, 10, 3) WHERE length(w.word) >= 12
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 4) WHERE length(w.word) >= 12
+      ) GROUP BY word
+    )
+    SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b1 b USING (word) WHERE length(w.word) = 1
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b2 b USING (word) WHERE length(w.word) = 2
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b3 b USING (word) WHERE length(w.word) = 3
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b4 b USING (word) WHERE length(w.word) = 4
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b5 b USING (word) WHERE length(w.word) = 5
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b6 b USING (word) WHERE length(w.word) = 6
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b7 b USING (word) WHERE length(w.word) = 7
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b8 b USING (word) WHERE length(w.word) = 8
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b9 b USING (word) WHERE length(w.word) = 9
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b10 b USING (word) WHERE length(w.word) = 10
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b11 b USING (word) WHERE length(w.word) = 11
+    UNION ALL SELECT w.word, w.cnt, b.best AS best_micros FROM wz w JOIN b12 b USING (word) WHERE length(w.word) = 12
+    """,
+)
+def q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.unigram_lm import viterbi_best
+
+    words = _unigram_words(spark, sf_dir)
+    model = _unigram_model(words)
+    return viterbi_best(words.filter(F.col("cnt") >= 3), model).select(
+        "word", "cnt", F.col("best").alias("best_micros")
+    )
+
+
+@register(
+    "q_unigram_em1",
+    f"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest({_TOKENS_SQL}) AS word FROM documents) t
+      WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= 12
+      GROUP BY word
+    ), subs AS (
+      SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+               jp1 -> list_transform(range(1, least(4, length(word) - jp1 + 1) + 1),
+                        L -> substring(word, jp1, L))))) AS piece, cnt
+      FROM words
+    ), counts AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM subs GROUP BY piece
+    ), seed AS (
+      SELECT piece, n FROM (SELECT piece, n FROM counts ORDER BY n DESC, piece LIMIT 64)
+      UNION
+      SELECT piece, n FROM counts WHERE length(piece) = 1
+    ), m AS MATERIALIZED (
+      SELECT piece,
+             CAST(FLOOR(LN(CAST(n AS DOUBLE) / (SELECT CAST(SUM(n) AS DOUBLE) FROM seed)) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM seed
+    ), wz AS MATERIALIZED (
+      SELECT word, cnt FROM words WHERE cnt >= 3
+    ), b1 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 1) WHERE length(w.word) >= 1
+      ) GROUP BY word
+    ), b2 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 1) WHERE length(w.word) >= 2
+        UNION ALL SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 2) WHERE length(w.word) >= 2
+      ) GROUP BY word
+    ), b3 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 1) WHERE length(w.word) >= 3
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 2) WHERE length(w.word) >= 3
+        UNION ALL SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 3) WHERE length(w.word) >= 3
+      ) GROUP BY word
+    ), b4 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 1) WHERE length(w.word) >= 4
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 2) WHERE length(w.word) >= 4
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 3) WHERE length(w.word) >= 4
+        UNION ALL SELECT w.word, m.lp AS v FROM wz w JOIN m ON m.piece = substring(w.word, 1, 4) WHERE length(w.word) >= 4
+      ) GROUP BY word
+    ), b5 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 1) WHERE length(w.word) >= 5
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 2) WHERE length(w.word) >= 5
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 3) WHERE length(w.word) >= 5
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b1 b USING (word) JOIN m ON m.piece = substring(w.word, 2, 4) WHERE length(w.word) >= 5
+      ) GROUP BY word
+    ), b6 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 1) WHERE length(w.word) >= 6
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 2) WHERE length(w.word) >= 6
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 3) WHERE length(w.word) >= 6
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b2 b USING (word) JOIN m ON m.piece = substring(w.word, 3, 4) WHERE length(w.word) >= 6
+      ) GROUP BY word
+    ), b7 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 1) WHERE length(w.word) >= 7
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 2) WHERE length(w.word) >= 7
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 3) WHERE length(w.word) >= 7
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b3 b USING (word) JOIN m ON m.piece = substring(w.word, 4, 4) WHERE length(w.word) >= 7
+      ) GROUP BY word
+    ), b8 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 1) WHERE length(w.word) >= 8
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 2) WHERE length(w.word) >= 8
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 3) WHERE length(w.word) >= 8
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b4 b USING (word) JOIN m ON m.piece = substring(w.word, 5, 4) WHERE length(w.word) >= 8
+      ) GROUP BY word
+    ), b9 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 1) WHERE length(w.word) >= 9
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 2) WHERE length(w.word) >= 9
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 3) WHERE length(w.word) >= 9
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b5 b USING (word) JOIN m ON m.piece = substring(w.word, 6, 4) WHERE length(w.word) >= 9
+      ) GROUP BY word
+    ), b10 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b9 b USING (word) JOIN m ON m.piece = substring(w.word, 10, 1) WHERE length(w.word) >= 10
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 2) WHERE length(w.word) >= 10
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 3) WHERE length(w.word) >= 10
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b6 b USING (word) JOIN m ON m.piece = substring(w.word, 7, 4) WHERE length(w.word) >= 10
+      ) GROUP BY word
+    ), b11 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b10 b USING (word) JOIN m ON m.piece = substring(w.word, 11, 1) WHERE length(w.word) >= 11
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b9 b USING (word) JOIN m ON m.piece = substring(w.word, 10, 2) WHERE length(w.word) >= 11
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 3) WHERE length(w.word) >= 11
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b7 b USING (word) JOIN m ON m.piece = substring(w.word, 8, 4) WHERE length(w.word) >= 11
+      ) GROUP BY word
+    ), b12 AS MATERIALIZED (
+      SELECT word, MAX(v) AS best FROM (
+        SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b11 b USING (word) JOIN m ON m.piece = substring(w.word, 12, 1) WHERE length(w.word) >= 12
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b10 b USING (word) JOIN m ON m.piece = substring(w.word, 11, 2) WHERE length(w.word) >= 12
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b9 b USING (word) JOIN m ON m.piece = substring(w.word, 10, 3) WHERE length(w.word) >= 12
+        UNION ALL SELECT w.word, b.best + m.lp AS v FROM wz w JOIN b8 b USING (word) JOIN m ON m.piece = substring(w.word, 9, 4) WHERE length(w.word) >= 12
+      ) GROUP BY word
+    ), ball AS MATERIALIZED (
+      SELECT word, 0 AS i, CAST(0 AS BIGINT) AS best FROM wz
+      UNION ALL SELECT word, 1 AS i, best FROM b1
+      UNION ALL SELECT word, 2 AS i, best FROM b2
+      UNION ALL SELECT word, 3 AS i, best FROM b3
+      UNION ALL SELECT word, 4 AS i, best FROM b4
+      UNION ALL SELECT word, 5 AS i, best FROM b5
+      UNION ALL SELECT word, 6 AS i, best FROM b6
+      UNION ALL SELECT word, 7 AS i, best FROM b7
+      UNION ALL SELECT word, 8 AS i, best FROM b8
+      UNION ALL SELECT word, 9 AS i, best FROM b9
+      UNION ALL SELECT word, 10 AS i, best FROM b10
+      UNION ALL SELECT word, 11 AS i, best FROM b11
+      UNION ALL SELECT word, 12 AS i, best FROM b12
+    ), t0 AS (SELECT word, cnt, length(word) AS pos FROM wz), t1 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t0 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t2 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t1 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t3 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t2 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t4 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t3 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t5 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t4 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t6 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t5 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t7 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t6 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t8 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t7 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t9 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t8 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t10 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t9 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t11 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t10 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    ), t12 AS MATERIALIZED (
+      SELECT t.word, t.cnt, MIN(bj.i) AS pos,
+             substring(t.word, MIN(bj.i) + 1, t.pos - MIN(bj.i)) AS piece
+      FROM t11 t
+      JOIN ball bp ON bp.word = t.word AND bp.i = t.pos
+      JOIN ball bj ON bj.word = t.word AND bj.i >= t.pos - 4 AND bj.i < t.pos
+      JOIN m ON m.piece = substring(t.word, bj.i + 1, t.pos - bj.i)
+            AND bj.best + m.lp = bp.best
+      WHERE t.pos > 0
+      GROUP BY t.word, t.cnt, t.pos
+    )
+    SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT piece, cnt FROM t1
+      UNION ALL SELECT piece, cnt FROM t2
+      UNION ALL SELECT piece, cnt FROM t3
+      UNION ALL SELECT piece, cnt FROM t4
+      UNION ALL SELECT piece, cnt FROM t5
+      UNION ALL SELECT piece, cnt FROM t6
+      UNION ALL SELECT piece, cnt FROM t7
+      UNION ALL SELECT piece, cnt FROM t8
+      UNION ALL SELECT piece, cnt FROM t9
+      UNION ALL SELECT piece, cnt FROM t10
+      UNION ALL SELECT piece, cnt FROM t11
+      UNION ALL SELECT piece, cnt FROM t12
+    ) GROUP BY piece
+    """,
+)
+def q_unigram_em1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.unigram_lm import em_counts
+
+    words = _unigram_words(spark, sf_dir)
+    model = _unigram_model(words)
+    return em_counts(words.filter(F.col("cnt") >= 3), model)
+
+
 # ---------------------------------------------------------------------------
 # Registration order is load-bearing (the driver's first-50 window):
 # apply the literal manifest so order is an explicit, reviewable list
