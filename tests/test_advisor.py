@@ -168,14 +168,28 @@ KNOWN_UNPUSHABLE = {
     # synthetic corpus all give Jaccard ~1.0, so the overlap demo uses
     # the layout-invariant modulo class (same as q_sample_hash)
     "q_kmv_overlap",
+    # doc_id % 5 held-out train/test split inside nb_confusion — the
+    # same intentional modulo class as q_mcnemar_nb_vs_langid; it was
+    # previously masked from the advisor by the persisted bucketization
+    # (r7 gotcha: a .persist() blocks pushdown analysis on its branch)
+    "q_nb_confusion",
 }
 
 
 def test_registry_wide_advisor_sweep(spark, sf_dir):
+    import gc
+
     from frames_spark.queries import QUERIES
 
     noisy = {}
     for name, fn in QUERIES.items():
+        # r8: tie_cache finalizers unpersist a query's intermediates
+        # when its result is GC'd — collect BEFORE building the next
+        # plan so every query is analyzed in the same (transparent,
+        # uncached) state instead of depending on GC timing. This is
+        # also what unmasked q_nb_confusion's held-out split below:
+        # the persist used to hide its modulo filter from the advisor.
+        gc.collect()
         findings = advise(fn(spark, sf_dir))
         unexpected = [
             f
