@@ -52,6 +52,7 @@ __all__ = [
     "scored_spans",
     "viterbi_best",
     "viterbi_segment",
+    "segment_words_inline",
     "em_counts",
     "train_unigram",
     "logp_micros",
@@ -193,18 +194,11 @@ def viterbi_best(
     )
 
 
-def viterbi_segment(
-    words: DataFrame,
-    model: DataFrame,
-    max_piece_len: int = DEFAULT_MAX_PIECE_LEN,
-) -> DataFrame:
-    """(word, cnt, pieces): the best segmentation itself. Backtrace
+def _backtrace_expr(word: Column, sp: Column, best: Column) -> Column:
+    """array<string>: the best segmentation's pieces. Backtrace
     tie-break: among spans ending at pos that achieve best[pos], the
     LONGEST piece (smallest j) wins — deterministic on any layout,
     mirrored by the pure-Python reference."""
-    g = scored_spans(words, model, max_piece_len).withColumn(
-        "best", _best_expr(F.col("word"), F.col("sp"))
-    )
     step = lambda acc, _i: F.when(  # noqa: E731
         acc["pos"] > F.lit(0),
         F.transform(
@@ -212,12 +206,11 @@ def viterbi_segment(
                 F.array_max(
                     F.transform(
                         F.filter(
-                            F.col("sp"),
+                            sp,
                             lambda s: (s["i"] == acc["pos"])
                             & (
-                                F.element_at(F.col("best"), s["j"] + 1)
-                                + s["lp"]
-                                == F.element_at(F.col("best"), acc["pos"] + 1)
+                                F.element_at(best, s["j"] + 1) + s["lp"]
+                                == F.element_at(best, acc["pos"] + 1)
                             ),
                         ),
                         lambda s: F.struct(
@@ -233,21 +226,70 @@ def viterbi_segment(
         )[0],
     ).otherwise(acc)
     bt = F.aggregate(
-        F.sequence(F.lit(1), F.length("word")),
+        F.sequence(F.lit(1), F.length(word)),
         F.struct(
-            F.length("word").alias("pos"),
+            F.length(word).alias("pos"),
             F.array().cast("array<string>").alias("ps"),
         ),
         step,
         lambda acc: acc["ps"],
     )
+    return F.when(F.element_at(best, F.length(word) + 1).isNotNull(), bt)
+
+
+def viterbi_segment(
+    words: DataFrame,
+    model: DataFrame,
+    max_piece_len: int = DEFAULT_MAX_PIECE_LEN,
+) -> DataFrame:
+    """(word, cnt, pieces): the best segmentation itself (null when
+    the word is unreachable under the model)."""
+    g = scored_spans(words, model, max_piece_len).withColumn(
+        "best", _best_expr(F.col("word"), F.col("sp"))
+    )
     return g.select(
         "word",
         "cnt",
-        F.when(
-            F.element_at(F.col("best"), F.length("word") + 1).isNotNull(), bt
-        ).alias("pieces"),
+        _backtrace_expr(F.col("word"), F.col("sp"), F.col("best")).alias(
+            "pieces"
+        ),
     )
+
+
+def segment_words_inline(
+    df: DataFrame,
+    word_col: str,
+    model: list[tuple[str, int]],
+    max_piece_len: int = DEFAULT_MAX_PIECE_LEN,
+) -> DataFrame:
+    """df + (pieces): STATELESS expression-only segmentation — the
+    model constant-folds into the plan as a literal map (the DSIR
+    streaming-scorer pattern), so this works unchanged on a streaming
+    DataFrame in append mode: no join, no shuffle, no state. For
+    models far beyond ~10^4 pieces use the join-based
+    viterbi_segment inside foreachBatch instead — a literal map that
+    size stops being a sensible plan constant."""
+    mp = F.create_map(
+        *[F.lit(v) for p, lp in model for v in (p, int(lp))]
+    )
+    sp = F.filter(
+        F.transform(
+            _span_structs(word_col, max_piece_len),
+            lambda s: F.struct(
+                s["i"].alias("i"),
+                s["j"].alias("j"),
+                mp[s["piece"]].cast("long").alias("lp"),
+                s["piece"].alias("piece"),
+            ),
+        ),
+        lambda s: s["lp"].isNotNull(),
+    )
+    word = F.col(word_col)
+    out = df.withColumn("_sp", sp)
+    out = out.withColumn("_best", _best_expr(word, F.col("_sp")))
+    return out.withColumn(
+        "pieces", _backtrace_expr(word, F.col("_sp"), F.col("_best"))
+    ).drop("_sp", "_best")
 
 
 def em_counts(

@@ -1,8 +1,8 @@
 """Query registry package: SURVEY.md §2 key -> (spark, sf_dir) ->
 DataFrame, plus the DuckDB oracle SQL for each key.
 
-Split into eight ~2.3k-line parts (r8; the single module had grown to
-~18k lines). Parts chain lexically — q08 imports q07 imports ... q01 —
+Split into nine parts (~2.3k lines each) (r8; the single module had grown to
+~18k lines). Parts chain lexically — q09 imports q08 imports ... q01 —
 so importing the LAST part executes every ``@register`` in the
 original source order; the externally-visible registration order is
 then fixed by the literal manifest (frames_spark/registry_order.py),
@@ -14,7 +14,7 @@ unchanged for every existing importer.
 
 from __future__ import annotations
 
-import frames_spark.queries.q08_sketch_select as _last
+import frames_spark.queries.q09_privacy as _last
 
 globals().update(
     {k: v for k, v in vars(_last).items() if not k.startswith("__")}

@@ -1945,3 +1945,46 @@ def q_unigram_em1(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _unigram_words(spark, sf_dir)
     model = _unigram_model(words)
     return em_counts(words.filter(F.col("cnt") >= 3), model)
+
+
+# ---------------------------------------------------------------------------
+# Semantic-tier pre-flight (r8, VERDICT #5): the cluster-size
+# histogram BEFORE SemDeDup's pair expansion — the q_lsh_bucket_stats
+# pattern for the embedding codebook. A top row with astronomical
+# pairs_per_cluster means k is too small (or the corpus degenerate)
+# and the max_cluster guard would be dropping real clusters. Oracle
+# replays the deterministic codebook assignment only (no pair CTEs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semdedup_cells",
+    f"""
+    WITH fixed AS ({{fixed}}),
+    cents AS (SELECT * FROM (VALUES {{cents}}) t(c, i, s)),
+    cdots AS (
+      SELECT f.vec_id, c.c, SUM(f.e * c.s) AS dot
+      FROM fixed f JOIN cents c USING (i) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c ASC) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ),
+    csize AS (SELECT cluster, COUNT(*) AS cluster_size FROM best GROUP BY cluster)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * (cluster_size - 1) / 2 AS BIGINT) AS pairs_per_cluster
+    FROM csize GROUP BY cluster_size
+    """.format(
+        fixed=_FIXED_SQL.format(corpus=_SEM_CORPUS_SQL),
+        cents=_sem_cents_values(),
+    ),
+)
+def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sem_ops.semdedup_cluster_stats(
+        _sem_corpus(spark, sf_dir), "vec_id", "embedding", n_centroids=_SEM_K
+    )

@@ -1,0 +1,90 @@
+"""q09_privacy — part 9/9 of the query registry (round-8 additions).
+
+Privacy-audit operators for training-data release (Sweeney 2002
+k-anonymity; Machanavajjhala et al. 2007 l-diversity): before a
+table ships, measure how identifying its quasi-identifier (QI)
+columns are. Pure relational audits — one groupBy on the QI key,
+histogram on top — so they run at any scale the groupBy runs at
+(the QI key is the shuffle key; skewed QI groups are exactly the
+SAFE ones, so skew here is benign by construction).
+
+Chains from q08 like every part (see q02 for the mechanism).
+"""
+
+from __future__ import annotations
+
+import frames_spark.queries.q08_sketch_select as _prev
+
+globals().update(
+    {k: v for k, v in vars(_prev).items() if not k.startswith("__")}
+)
+del _prev
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: every row whose QI group has fewer than k peers
+# is re-identifiable at confidence 1/group_size. Report the full
+# group-size histogram (the release decision needs the distribution,
+# not one threshold): (group_size, n_groups, n_rows). QI here:
+# (c_nationkey, c_mktsegment) — the classic demographic-bucket shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_k_anonymity",
+    """
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
+    FROM groups GROUP BY group_size
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("group_size").cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: a k-anonymous group is still disclosive if every
+# member shares the SENSITIVE value. Per QI group (c_nationkey),
+# count distinct sensitive values (c_mktsegment) and report the
+# histogram of l: (l, n_groups, n_rows_covered). A group with l = 1
+# leaks its sensitive attribute for every member regardless of k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_l_diversity",
+    """
+    WITH groups AS (
+      SELECT c_nationkey,
+             COUNT(DISTINCT c_mktsegment) AS l,
+             COUNT(*) AS n_rows
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows_covered
+    FROM groups GROUP BY l
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("l"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return groups.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_rows").cast("long").alias("n_rows_covered"),
+    )

@@ -201,3 +201,60 @@ def test_unreachable_word_yields_null_segmentation(spark):
            ).select("word", "best", "pieces").collect()}
     assert got["zzz"] == (None, None)
     assert got["ab"] == (-3, ["ab"])
+
+
+def test_inline_segmentation_matches_join_path(spark):
+    # the constant-folded-map segmenter (streaming-safe, no shuffle)
+    # must agree with the join-based viterbi_segment exactly
+    words = ref_word_counts(TEXTS)
+    model = sorted(ref_logp(ref_seed(words, 3, 25)).items())
+    spark_words = U.word_counts(_docs(spark))
+    mdf = spark.createDataFrame(model, "piece string, lp long")
+    join_path = {
+        r.word: r.pieces
+        for r in U.viterbi_segment(spark_words, mdf, max_piece_len=3).collect()
+    }
+    inline = {
+        r.word: r.pieces
+        for r in U.segment_words_inline(
+            spark_words, "word", model, max_piece_len=3
+        ).collect()
+    }
+    assert inline == join_path
+
+
+def test_inline_segmentation_streams(spark, tmp_path):
+    # stateless append-mode stream == batch on the same rows
+    import json
+
+    model = [("a", -3), ("b", -5), ("ab", -2), ("c", -4)]
+    rows = ["abc", "ba", "cab"]
+    src = tmp_path / "seg_src"
+    src.mkdir()
+    (src / "w.json").write_text(
+        "\n".join(json.dumps({"word": w}) for w in rows)
+    )
+    stream = (
+        spark.readStream.schema("word string").json(str(src))
+    )
+    seg = U.segment_words_inline(stream, "word", model)
+    out = tmp_path / "seg_out"
+    chk = tmp_path / "seg_chk"
+    q = (
+        seg.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.word: r.pieces for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.createDataFrame([(w,) for w in rows], "word string")
+    want = {
+        r.word: r.pieces
+        for r in U.segment_words_inline(batch, "word", model).collect()
+    }
+    assert got == want
+    assert want["abc"] == ["ab", "c"]
