@@ -121,6 +121,9 @@ BENCH_QUERIES = {
     "hll_cells": Q.q_hll_cells,
     "bloom_fpr": Q.q_bloom_fpr,
     "kmv_overlap": Q.q_kmv_overlap,
+    "unigram_em1": Q.q_unigram_em1,
+    "semdedup_cells": Q.q_semdedup_cells,
+    "k_anonymity": Q.q_k_anonymity,
 }
 
 
