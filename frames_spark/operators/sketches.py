@@ -550,3 +550,58 @@ def read_kmv(spark, path: str, k: int = KMV_K) -> DataFrame:
         .orderBy("h")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (Alon, Matias & Szegedy STOC'96) — the fifth
+# oracle-exact sketch: the second frequency moment F2 = sum over keys
+# of count^2 (self-join size / skew measure) estimated from R running
+# sums of seeded ±1 signs. Like CMS/HLL/Bloom/KMV, the sketch is a
+# tiny RELATION (r, s) whose values replay bit-for-bit in any engine
+# (signs from md5 hash60 parity), and merge is plain union + re-sum —
+# associative and replay-idempotent, so it drops into the same
+# streaming increment pattern. E[s_r^2] = F2 exactly; averaging the R
+# replicates' squares is the estimator (kept integer with DIV).
+# ---------------------------------------------------------------------------
+AMS_R = 16
+
+
+def ams_sketch(
+    df: DataFrame, key_col: str, r: int = AMS_R, seed: str = "ams"
+) -> DataFrame:
+    """(r, s): one row per replicate — s = the sum over ROWS (with
+    multiplicity: F2 is about frequencies) of the key's seeded ±1
+    sign. ONE map-side-combined aggregation of R rows."""
+    from frames_spark.functions.hashing import hash60
+
+    key = F.col(key_col).cast("string")
+    signs = F.array(
+        *[
+            (hash60(key, seed=f"{seed}{j}") % 2 * 2 - 1).cast("long")
+            for j in range(r)
+        ]
+    )
+    return (
+        df.select(F.posexplode(signs).alias("r", "sign"))
+        .groupBy("r")
+        .agg(F.sum("sign").cast("long").alias("s"))
+    )
+
+
+def ams_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + re-sum per replicate — the signs are linear, so the
+    merged sketch IS the sketch of the concatenated inputs."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionAll, sketches)
+    return u.groupBy("r").agg(F.sum("s").cast("long").alias("s"))
+
+
+def ams_estimate(sketch: DataFrame, r: int = AMS_R) -> DataFrame:
+    """(f2_est, n_replicates): mean of s^2 across replicates, kept
+    integer (sum DIV r — float-divide-then-cast rounds differently in
+    DuckDB, the q_rrf_hybrid lesson)."""
+    return sketch.agg(
+        F.expr(f"sum(s * s) DIV {int(r)}").cast("long").alias("f2_est"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )

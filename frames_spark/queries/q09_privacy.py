@@ -88,3 +88,64 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("n_rows").cast("long").alias("n_rows_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch audit (operators/sketches.py; Alon-Matias-Szegedy
+# STOC'96): estimate the second frequency moment of events.user_id —
+# the self-join-size / skew statistic — from 16 running ±1 sign sums,
+# and report it against the exact F2. Fully oracle-exact: the signs
+# replay from md5 parity in DuckDB, the estimator stays integer (DIV),
+# only the closing relative error touches doubles (same operand order
+# both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_f2_ams",
+    """
+    WITH reps AS (SELECT unnest(range(0, 16)) AS r),
+    sgn AS (
+      SELECT reps.r,
+             SUM(CAST((CAST('0x' || substr(md5(concat('ams', CAST(reps.r AS VARCHAR), '#', CAST(user_id AS VARCHAR))), 1, 15) AS BIGINT) % 2) * 2 - 1 AS BIGINT)) AS s
+      FROM events, reps GROUP BY reps.r
+    ),
+    est AS (
+      SELECT CAST(SUM(s * s) // 16 AS BIGINT) AS f2_est,
+             CAST(COUNT(*) AS BIGINT) AS n_replicates
+      FROM sgn
+    ),
+    cnts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM cnts)
+    SELECT e.f2_est, e.n_replicates, x.f2_exact,
+           CAST(FLOOR(ABS(CAST(e.f2_est AS DOUBLE) - CAST(x.f2_exact AS DOUBLE))
+                      / CAST(x.f2_exact AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS err_micros
+    FROM est e, ex x
+    """,
+)
+def q_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import ams_estimate, ams_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    est = ams_estimate(ams_sketch(ev, "user_id"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "f2_est",
+        "n_replicates",
+        "f2_exact",
+        F.floor(
+            F.abs(
+                F.col("f2_est").cast("double") - F.col("f2_exact").cast("double")
+            )
+            / F.col("f2_exact").cast("double")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("err_micros"),
+    )

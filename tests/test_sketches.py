@@ -204,3 +204,32 @@ def test_bloom_probe_duplicate_keys_no_false_negative(spark):
     # every true member reports present regardless of duplication
     for i in range(40, 50):
         assert got[i] is True, i
+
+
+def test_ams_f2_merge_and_accuracy(spark, sf_dir):
+    # AMS signs are linear: the merged sketch of two disjoint halves
+    # must equal the whole-stream sketch EXACTLY, and the estimate
+    # must land within the theoretical ballpark of the exact F2.
+    from frames_spark.operators.sketches import (
+        ams_estimate,
+        ams_merge,
+        ams_sketch,
+    )
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = {(r.r, r.s) for r in ams_sketch(ev, "user_id").collect()}
+    a = ams_sketch(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = ams_sketch(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = {(r.r, r.s) for r in ams_merge(a, b).collect()}
+    assert merged == whole
+    est = ams_estimate(ams_sketch(ev, "user_id")).collect()[0]
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()[0]["f2"]
+    )
+    assert est.n_replicates == 16
+    # 16 replicates: std err ~ sqrt(2/16) ~ 35%; allow 3 sigma
+    assert abs(est.f2_est - exact) / exact < 1.05
