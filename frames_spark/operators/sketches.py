@@ -605,3 +605,36 @@ def ams_estimate(sketch: DataFrame, r: int = AMS_R) -> DataFrame:
         F.expr(f"sum(s * s) DIV {int(r)}").cast("long").alias("f2_est"),
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
     )
+
+
+def append_ams_increment(
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    r: int = AMS_R,
+    batch_id: int | None = None,
+) -> None:
+    """AMS F2 increment sink (the CMS/HLL/KMV sink pattern): each
+    ingest batch lands its (r, s) replicate sums under a batch_id
+    partition with dynamic overwrite — a REPLAYED epoch replaces its
+    own prior parts instead of double-counting. ``read_ams`` re-sums
+    per replicate; signs are linear, so the merged store IS the
+    sketch of the concatenated stream."""
+    parts = ams_sketch(batch, key_col, r=r)
+    if batch_id is None:
+        parts.write.mode("append").parquet(path)
+        return
+    (
+        parts.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_ams(spark, path: str) -> DataFrame:
+    """The merged sketch from every stored increment (signs add)."""
+    return spark.read.parquet(path).groupBy("r").agg(
+        F.sum("s").cast("long").alias("s")
+    )

@@ -233,3 +233,26 @@ def test_ams_f2_merge_and_accuracy(spark, sf_dir):
     assert est.n_replicates == 16
     # 16 replicates: std err ~ sqrt(2/16) ~ 35%; allow 3 sigma
     assert abs(est.f2_est - exact) / exact < 1.05
+
+
+def test_ams_stream_increments_match_batch(spark, sf_dir, tmp_path):
+    # foreachBatch epochs with a replay: the stored sketch must equal
+    # the one-shot batch sketch exactly (dynamic overwrite makes the
+    # replayed epoch replace itself, not double-count)
+    from frames_spark.operators.sketches import (
+        ams_sketch,
+        append_ams_increment,
+        read_ams,
+    )
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(400).localCheckpoint()
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    store = str(tmp_path / "ams_store")
+    append_ams_increment(a, store, "user_id", batch_id=0)
+    append_ams_increment(b, store, "user_id", batch_id=1)
+    append_ams_increment(b, store, "user_id", batch_id=1)  # replay: replaces
+    got = {(r.r, r.s) for r in read_ams(spark, store).collect()}
+    want = {(r.r, r.s) for r in ams_sketch(ev, "user_id").collect()}
+    assert got == want
