@@ -638,3 +638,57 @@ def read_ams(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).groupBy("r").agg(
         F.sum("s").cast("long").alias("s")
     )
+
+
+def hll_cells_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    seed: str = "hll",
+) -> DataFrame:
+    """(*group_cols, bucket, max_rho): one oracle-exact register
+    relation PER GROUP — the production rollup shape (a sketch per
+    source/day; any coarser rollup = hll_merge over the group slices,
+    never a re-scan). Same one map-side-combined groupBy as
+    hll_cells, keyed by (group, bucket)."""
+    from frames_spark.functions.hashing import hash60
+
+    m = 1 << HLL_P
+    h = hash60(F.col(key_col).cast("string"), seed=seed)
+    keyed = df.select(*group_cols, (h % m).alias("bucket"), h.alias("_h"))
+    rem = ((F.col("_h") - F.col("bucket")) / m).cast("long")
+    rho = F.when(rem == 0, F.lit(60 - HLL_P + 1)).otherwise(
+        F.lit(60 - HLL_P) - F.length(F.bin(rem)) + 1
+    )
+    return (
+        keyed.withColumn("rho", rho.cast("int"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by(
+    cells: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """(*group_cols, est_micros, raw_micros, n_empty): hll_estimate
+    per group — identical expressions (small-range linear-counting
+    correction included), one aggregation keyed by the group."""
+    m = 1 << HLL_P
+    agg = cells.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    empty = (F.lit(m) - F.col("nb")).cast("double")
+    raw = F.lit(HLL_ALPHA * m * m) / (F.col("z") + empty)
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.floor(corrected * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("est_micros"),
+        F.floor(raw * 1_000_000 + F.lit(0.5)).cast("long").alias("raw_micros"),
+        (F.lit(m) - F.col("nb")).cast("long").alias("n_empty"),
+    )

@@ -149,3 +149,61 @@ def q_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped oracle-exact HLL (operators/sketches.py hll_cells_by /
+# hll_estimate_by): one register relation PER event_type — the
+# production per-source/per-day rollup shape (coarser rollups merge
+# the slices, never re-scan). Per-group estimates value-gated against
+# the same expressions in DuckDB, exact distinct joined alongside.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_by_type",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+      FROM events
+    ), keyed AS (
+      SELECT event_type, h % 64 AS bucket, (h - (h % 64)) // 64 AS rem FROM h
+    ), cells AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN rem = 0 THEN 55
+                      ELSE 54 - length(bin(rem)) + 1 END) AS max_rho
+      FROM keyed GROUP BY event_type, bucket
+    ), agg AS (
+      SELECT event_type, SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb
+      FROM cells GROUP BY event_type
+    ), r AS (
+      SELECT event_type,
+             {0.709 * 64 * 64} / (z + CAST(64 - nb AS DOUBLE)) AS raw,
+             CAST(64 - nb AS DOUBLE) AS empty, nb
+      FROM agg
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(FLOOR(CASE WHEN raw <= {2.5 * 64} AND empty > 0
+                           THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / empty)
+                           ELSE raw END * 1000000 + 0.5) AS BIGINT) AS est_micros,
+           CAST(FLOOR(raw * 1000000 + 0.5) AS BIGINT) AS raw_micros,
+           CAST(64 - nb AS BIGINT) AS n_empty,
+           ex.exact_distinct
+    FROM r JOIN ex USING (event_type)
+    """,
+)
+def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import hll_cells_by, hll_estimate_by
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate_by(
+        hll_cells_by(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")

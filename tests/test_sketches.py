@@ -256,3 +256,23 @@ def test_ams_stream_increments_match_batch(spark, sf_dir, tmp_path):
     got = {(r.r, r.s) for r in read_ams(spark, store).collect()}
     want = {(r.r, r.s) for r in ams_sketch(ev, "user_id").collect()}
     assert got == want
+
+
+def test_grouped_hll_cells_merge_to_global(spark, sf_dir):
+    # the rollup identity: merging per-group register relations must
+    # equal the one-shot global sketch exactly (max is associative)
+    from frames_spark.operators.sketches import (
+        hll_cells,
+        hll_cells_by,
+        hll_merge,
+    )
+    from frames_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = hll_cells_by(ev, ["event_type"], "user_id")
+    merged = {
+        (r.bucket, r.max_rho)
+        for r in hll_merge(per.select("bucket", "max_rho")).collect()
+    }
+    whole = {(r.bucket, r.max_rho) for r in hll_cells(ev, "user_id").collect()}
+    assert merged == whole
