@@ -692,3 +692,30 @@ def hll_estimate_by(
         F.floor(raw * 1_000_000 + F.lit(0.5)).cast("long").alias("raw_micros"),
         (F.lit(m) - F.col("nb")).cast("long").alias("n_empty"),
     )
+
+
+def kmv_sketch_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int = KMV_K,
+    seed: str = "kmv",
+) -> DataFrame:
+    """(*group_cols, h): the bottom-k hash values per group — the
+    per-source/per-day KMV shape (grouped twin of kmv_sketch, like
+    hll_cells_by for HLL). One distinct + one window ranked by hash
+    within the group; k rows survive per group, so any cross-slice
+    overlap question downstream touches O(k * groups) rows, never
+    the corpus."""
+    from pyspark.sql import Window
+
+    from frames_spark.functions.hashing import hash60
+
+    h = hash60(F.col(key_col).cast("string"), seed=seed)
+    distinct = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -207,3 +207,169 @@ def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Grouped KMV cross-source overlap (operators/sketches.py
+# kmv_sketch_by; Beyer SIGMOD'07 §4): per-source bottom-k sketches of
+# the distinct document texts, then every source pair's Jaccard
+# estimated from the bottom-k of the pair's UNION — O(k * pairs)
+# rows after the one sketch pass, never a corpus self-join (the
+# 100 TB twin of the exact q_source_jaccard). Exact pairwise Jaccard
+# joined alongside as the audit column (sf-feasible; at scale you
+# keep only the sketch leg). All integers up to the closing division.
+# ---------------------------------------------------------------------------
+
+_KMV_BY_K = 64
+
+
+@register(
+    "q_kmv_by_source",
+    f"""
+    WITH hk AS (
+      SELECT DISTINCT source,
+             {hash60_sql("text", "kmv")} AS h
+      FROM documents
+    ), sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hk
+      ) WHERE rn <= {_KMV_BY_K}
+    ), srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ), u AS (
+      SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+      FROM pairs p JOIN sk s ON s.source = p.source_a
+      UNION ALL
+      SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+      FROM pairs p JOIN sk s ON s.source = p.source_b
+    ), g AS (
+      SELECT source_a, source_b, h,
+             MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM u GROUP BY source_a, source_b, h
+    ), ranked AS (
+      SELECT source_a, source_b, in_a, in_b FROM (
+        SELECT source_a, source_b, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                  ORDER BY h) AS rn
+        FROM g
+      ) WHERE rn <= {_KMV_BY_K}
+    ), est AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_union_k,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM ranked GROUP BY source_a, source_b
+    ), dt AS (SELECT DISTINCT source, text FROM documents),
+    nsz AS (SELECT source, COUNT(*) AS n FROM dt GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_inter
+      FROM dt a JOIN dt b ON a.text = b.text AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b, e.n_union_k, e.n_both,
+           CAST(FLOOR(CAST(e.n_both AS DOUBLE) / CAST(e.n_union_k AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS jaccard_micros,
+           CAST(FLOOR(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                      / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS exact_jaccard_micros
+    FROM est e
+    JOIN nsz na ON na.source = e.source_a
+    JOIN nsz nb ON nb.source = e.source_b
+    LEFT JOIN inter i
+      ON i.source_a = e.source_a AND i.source_b = e.source_b
+    """,
+)
+def q_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import kmv_sketch_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = kmv_sketch_by(docs, ["source"], "text", k=_KMV_BY_K)
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    ua = pairs.join(
+        sk.withColumnRenamed("source", "source_a"), "source_a"
+    ).select(
+        "source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(
+        sk.withColumnRenamed("source", "source_b"), "source_b"
+    ).select(
+        "source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    g = (
+        ua.unionByName(ub)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source_a", "source_b").orderBy("h")
+    est = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_BY_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        )
+    )
+    dt = docs.select("source", "text").distinct()
+    nsz = dt.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dt.alias("x")
+        .join(
+            dt.alias("y"),
+            (F.col("x.text") == F.col("y.text"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(
+            F.broadcast(nsz.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n", "na")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(nsz.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n", "nb")),
+            "source_b",
+        )
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_union_k",
+            "n_both",
+            F.floor(
+                F.col("n_both").cast("double")
+                / F.col("n_union_k").cast("double")
+                * 1000000
+                + 0.5
+            ).cast("long").alias("jaccard_micros"),
+            F.floor(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("na") + F.col("nb")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ).cast("double")
+                * 1000000
+                + 0.5
+            ).cast("long").alias("exact_jaccard_micros"),
+        )
+    )
