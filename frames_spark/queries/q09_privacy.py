@@ -373,3 +373,47 @@ def q_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("exact_jaccard_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM fertility audit: weighted pieces-per-word of the seed
+# model's Viterbi segmentation — the tokenizer-quality number
+# (compare functions/unigram_lm.py vs the BPE fertility audit
+# q_fertility). The oracle reuses q_unigram_em1's unrolled DP +
+# backtrace CTE chain verbatim (each backtrace step emits exactly one
+# piece per surviving word) with a different closing aggregate.
+# ---------------------------------------------------------------------------
+
+_EM1_ORACLE_SQL = ORACLES["q_unigram_em1"]
+_EM1_FINAL_MARKER = "SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM ("
+_FERT_ORACLE = _EM1_ORACLE_SQL[: _EM1_ORACLE_SQL.rindex(_EM1_FINAL_MARKER)] + f"""
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM wz) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS n_pieces,
+           CAST(FLOOR(CAST(SUM(cnt) AS DOUBLE)
+                      / CAST((SELECT SUM(cnt) FROM wz) AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS fertility_micros
+    FROM (
+      {" UNION ALL ".join(f"SELECT cnt FROM t{r}" for r in range(1, 13))}
+    ) u
+    """
+
+
+@register("q_unigram_fertility", _FERT_ORACLE)
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.unigram_lm import viterbi_segment
+
+    words = _unigram_words(spark, sf_dir)
+    model = _unigram_model(words)
+    seg = viterbi_segment(words.filter(F.col("cnt") >= 3), model)
+    return seg.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.size("pieces") * F.col("cnt")).cast("long").alias("n_pieces"),
+        F.floor(
+            F.sum(F.size("pieces") * F.col("cnt")).cast("double")
+            / F.sum("cnt").cast("double")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("fertility_micros"),
+    )
