@@ -262,23 +262,39 @@ HLL_P = 6  # 2^6 = 64 buckets
 HLL_ALPHA = 0.709  # the published alpha_64 constant
 
 
+def hll_alpha(m: int) -> float:
+    """The published bias-correction constant for m registers
+    (Flajolet et al. 2007 §4): tabulated for m <= 64, the closed form
+    0.7213 / (1 + 1.079 / m) above. A plain Python float so the SAME
+    literal lands in Spark (F.lit) and any f-string oracle SQL —
+    repr() round-trips doubles exactly."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return HLL_ALPHA
+    return 0.7213 / (1 + 1.079 / m)
+
+
 def hll_cells(
-    df: DataFrame, key_col: str, seed: str = "hll"
+    df: DataFrame, key_col: str, seed: str = "hll", p: int = HLL_P
 ) -> DataFrame:
     """(bucket, max_rho): the HLL register relation over the distinct
     values of ``key_col``. rho = 1 + leading zeros of the remaining
-    54 hash bits (bin() strips leading zeros identically in Spark and
-    DuckDB, so rho = 54 - length(bin(rem)) + 1; rem = 0 means all 54
-    bits are zero -> rho 55). One groupBy, map-side combined."""
+    60-p hash bits (bin() strips leading zeros identically in Spark
+    and DuckDB, so rho = (60-p) - length(bin(rem)) + 1; rem = 0 means
+    all remaining bits are zero -> rho 60-p+1). One groupBy, map-side
+    combined."""
     from frames_spark.functions.hashing import hash60
 
-    m = 1 << HLL_P
+    m = 1 << p
     h = hash60(F.col(key_col).cast("string"), seed=seed)
     keyed = df.select((h % m).alias("bucket"), h.alias("_h"))
     rem = (F.col("_h") - F.col("bucket")) / m
     rem = rem.cast("long")
-    rho = F.when(rem == 0, F.lit(60 - HLL_P + 1)).otherwise(
-        F.lit(60 - HLL_P) - F.length(F.bin(rem)) + 1
+    rho = F.when(rem == 0, F.lit(60 - p + 1)).otherwise(
+        F.lit(60 - p) - F.length(F.bin(rem)) + 1
     )
     return (
         keyed.withColumn("rho", rho.cast("int"))
@@ -296,20 +312,20 @@ def hll_merge(*cells: DataFrame) -> DataFrame:
     return merged.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
 
 
-def hll_estimate(cells: DataFrame) -> DataFrame:
+def hll_estimate(cells: DataFrame, p: int = HLL_P) -> DataFrame:
     """(est_micros, raw_micros, n_empty): est applies the standard
     small-range linear-counting correction (raw HLL overshoots at
     n << m); raw is the uncorrected alpha * m^2 / (sum 2^-rho +
     n_empty). Every 2^-rho term is an exact dyadic double and the
     sum has <= m terms; one ln and one division close in double —
     deterministic on any engine, micros-quantized."""
-    m = 1 << HLL_P
+    m = 1 << p
     agg = cells.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
         F.count(F.lit(1)).alias("nb"),
     )
     empty = (F.lit(m) - F.col("nb")).cast("double")
-    raw = F.lit(HLL_ALPHA * m * m) / (F.col("z") + empty)
+    raw = F.lit(hll_alpha(m) * m * m) / (F.col("z") + empty)
     # the standard small-range correction (Flajolet §4): below 2.5m
     # with empty registers, linear counting m*ln(m/empty) is the
     # unbiased regime — raw HLL overshoots badly at n << m
@@ -645,6 +661,7 @@ def hll_cells_by(
     group_cols: Sequence[str],
     key_col: str,
     seed: str = "hll",
+    p: int = HLL_P,
 ) -> DataFrame:
     """(*group_cols, bucket, max_rho): one oracle-exact register
     relation PER GROUP — the production rollup shape (a sketch per
@@ -653,12 +670,12 @@ def hll_cells_by(
     hll_cells, keyed by (group, bucket)."""
     from frames_spark.functions.hashing import hash60
 
-    m = 1 << HLL_P
+    m = 1 << p
     h = hash60(F.col(key_col).cast("string"), seed=seed)
     keyed = df.select(*group_cols, (h % m).alias("bucket"), h.alias("_h"))
     rem = ((F.col("_h") - F.col("bucket")) / m).cast("long")
-    rho = F.when(rem == 0, F.lit(60 - HLL_P + 1)).otherwise(
-        F.lit(60 - HLL_P) - F.length(F.bin(rem)) + 1
+    rho = F.when(rem == 0, F.lit(60 - p + 1)).otherwise(
+        F.lit(60 - p) - F.length(F.bin(rem)) + 1
     )
     return (
         keyed.withColumn("rho", rho.cast("int"))
@@ -668,18 +685,18 @@ def hll_cells_by(
 
 
 def hll_estimate_by(
-    cells: DataFrame, group_cols: Sequence[str]
+    cells: DataFrame, group_cols: Sequence[str], p: int = HLL_P
 ) -> DataFrame:
     """(*group_cols, est_micros, raw_micros, n_empty): hll_estimate
     per group — identical expressions (small-range linear-counting
     correction included), one aggregation keyed by the group."""
-    m = 1 << HLL_P
+    m = 1 << p
     agg = cells.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
         F.count(F.lit(1)).alias("nb"),
     )
     empty = (F.lit(m) - F.col("nb")).cast("double")
-    raw = F.lit(HLL_ALPHA * m * m) / (F.col("z") + empty)
+    raw = F.lit(hll_alpha(m) * m * m) / (F.col("z") + empty)
     corrected = F.when(
         (raw <= F.lit(2.5 * m)) & (empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / empty),

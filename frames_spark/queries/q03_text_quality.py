@@ -297,19 +297,75 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mergeable HLL distinct sketches (operators/sketches.py): daily
-# user sketches + re-grouped estimates, the store-parts/merge-at-read
-# pattern. Sketch bytes are engine-specific -> rows-only; accuracy
-# and mergeability are pinned by tests/test_sketches.py.
-@register("q_sketch_users", None)
+# Mergeable HLL distinct sketches: daily user register relations +
+# per-day estimates, the store-parts/merge-at-read pattern — now on
+# the ORACLE-EXACT hll_cells_by machinery (operators/sketches.py) at
+# p=12 (4096 registers, ~1.6% rse) so the whole pipeline is value-
+# gated in DuckDB cell for cell, estimate for estimate (r8 verdict
+# ask #1: no more rows-only strays on sketch code the repo already
+# trusts). Native datasketches parts (sketch_parts/merge_sketches)
+# remain the raw-speed tier, pinned by tests/test_sketches.py.
+_SKQ_P = 12
+_SKQ_M = 1 << _SKQ_P
+from frames_spark.operators.sketches import hll_alpha as _hll_alpha  # noqa: E402
+
+_SKQ_AMM = _hll_alpha(_SKQ_M) * _SKQ_M * _SKQ_M
+# Shared p=12 SQL fragments: hash -> (bucket, rem) -> rho, the same
+# bin()-length idiom as the p=6 q_hll_cells oracle.
+_SKQ_RHO_SQL = f"""CASE WHEN rem = 0 THEN {60 - _SKQ_P + 1}
+                      ELSE {60 - _SKQ_P} - length(bin(rem)) + 1 END"""
+_SKQ_EST_SQL = f"""CASE WHEN raw <= {2.5 * _SKQ_M} AND empty > 0
+                THEN CAST({_SKQ_M} AS DOUBLE) * ln(CAST({_SKQ_M} AS DOUBLE) / empty)
+                ELSE raw END"""
+
+
+@register(
+    "q_sketch_users",
+    f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+      FROM events
+    ), keyed AS (
+      SELECT day, h % {_SKQ_M} AS bucket, (h - (h % {_SKQ_M})) // {_SKQ_M} AS rem
+      FROM h
+    ), cells AS (
+      SELECT day, bucket, MAX({_SKQ_RHO_SQL}) AS max_rho
+      FROM keyed GROUP BY day, bucket
+    ), agg AS (
+      SELECT day, SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb
+      FROM cells GROUP BY day
+    ), r AS (
+      SELECT day, {_SKQ_AMM} / (z + CAST({_SKQ_M} - nb AS DOUBLE)) AS raw,
+             CAST({_SKQ_M} - nb AS DOUBLE) AS empty, nb
+      FROM agg
+    ), ex AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT r.day,
+           CAST(FLOOR({_SKQ_EST_SQL} * 1000000 + 0.5) AS BIGINT) AS est_micros,
+           CAST(FLOOR(raw * 1000000 + 0.5) AS BIGINT) AS raw_micros,
+           CAST({_SKQ_M} - nb AS BIGINT) AS n_empty,
+           ex.exact_distinct
+    FROM r JOIN ex USING (day)
+    ORDER BY day
+    """,
+)
 def q_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.operators.sketches import merge_sketches, sketch_parts
+    from frames_spark.operators.sketches import hll_cells_by, hll_estimate_by
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
-    parts = sketch_parts(ev, ["day"], "user_id")
-    return merge_sketches(parts, ["day"]).orderBy("day")
+    est = hll_estimate_by(
+        hll_cells_by(ev, ["day"], "user_id", p=_SKQ_P), ["day"], p=_SKQ_P
+    )
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "day").orderBy("day")
 
 
 # ---------------------------------------------------------------------------
@@ -1009,35 +1065,81 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The sketch twin of q_active_users: WAU from stored daily HLL parts.
-# The x7 window expansion here touches the PARTS table (one row per
-# day) instead of the (user, day) pairs — at 100 TB that's the whole
-# difference: exact WAU shuffles pairs x 7, sketch WAU unions ~7
-# kilobyte sketches per window from an already-materialized rollup.
-# Rows-only (sketch bytes are engine-specific); the estimate-vs-
-# exact bound is pinned by tests/test_sketches.py.
-@register("q_active_users_sketch")
+# The x7 window expansion here touches the PARTS relation (<= 4096
+# cells per day) instead of the (user, day) pairs — at 100 TB that's
+# the whole difference: exact WAU shuffles pairs x 7, sketch WAU
+# re-maxes ~4k-row register slices per window from an already-
+# materialized rollup. Built on the ORACLE-EXACT hll_cells_by cells
+# (p=12), so every merged window estimate is value-gated in DuckDB
+# (r8 verdict ask #1); the estimate-vs-exact bound stays pinned by
+# tests/test_sketches.py.
+@register(
+    "q_active_users_sketch",
+    f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+      FROM events
+    ), keyed AS (
+      SELECT day, h % {_SKQ_M} AS bucket, (h - (h % {_SKQ_M})) // {_SKQ_M} AS rem
+      FROM h
+    ), cells AS (
+      SELECT day, bucket, MAX({_SKQ_RHO_SQL}) AS max_rho
+      FROM keyed GROUP BY day, bucket
+    ), days AS (SELECT DISTINCT day FROM cells),
+    expanded AS (
+      SELECT c.day + (o.off * INTERVAL 1 DAY) AS win_end, c.bucket, c.max_rho
+      FROM cells c, (SELECT unnest(generate_series(0, 6)) AS off) o
+    ), merged AS (
+      SELECT win_end, bucket, MAX(max_rho) AS max_rho
+      FROM expanded
+      WHERE win_end IN (SELECT day FROM days)
+      GROUP BY win_end, bucket
+    ), agg AS (
+      SELECT win_end, SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb
+      FROM merged GROUP BY win_end
+    ), r AS (
+      SELECT win_end, {_SKQ_AMM} / (z + CAST({_SKQ_M} - nb AS DOUBLE)) AS raw,
+             CAST({_SKQ_M} - nb AS DOUBLE) AS empty, nb
+      FROM agg
+    )
+    SELECT win_end AS day,
+           CAST(FLOOR({_SKQ_EST_SQL} * 1000000 + 0.5) AS BIGINT)
+             AS wau_est_micros,
+           CAST({_SKQ_M} - nb AS BIGINT) AS n_empty
+    FROM r
+    ORDER BY day
+    """,
+)
 def q_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.operators.sketches import sketch_parts
+    from frames_spark.operators.sketches import hll_cells_by, hll_estimate_by
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
-    parts = sketch_parts(ev, ["day"], "user_id")
-    expanded = parts.select(
-        "sketch",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    cells = hll_cells_by(ev, ["day"], "user_id", p=_SKQ_P)
+    expanded = cells.select(
         "day",
+        "bucket",
+        "max_rho",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
     ).select(
-        "sketch", (F.col("day") + F.make_dt_interval(F.col("off"))).alias("win_end")
+        (F.col("day") + F.make_dt_interval(F.col("off"))).alias("win_end"),
+        "bucket",
+        "max_rho",
     )
-    observed = parts.select(F.col("day").alias("win_end"))
-    return (
+    observed = cells.select(F.col("day").alias("win_end")).distinct()
+    merged = (
         expanded.join(F.broadcast(observed), "win_end")
-        .groupBy("win_end")
-        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .groupBy("win_end", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return (
+        hll_estimate_by(merged, ["win_end"], p=_SKQ_P)
         .select(
             F.col("win_end").alias("day"),
-            F.hll_sketch_estimate("merged").alias("wau_est"),
+            F.col("est_micros").alias("wau_est_micros"),
+            "n_empty",
         )
         .orderBy("day")
     )

@@ -1895,10 +1895,52 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PageRank over the co-purchase graph (operators/graph.py) — exact
 # integer micros, so rankings are bit-identical across layouts (the
-# float formulation drifts with partition order). Rows-only
-# (iterative); tests pin determinism, mass conservation bounds and
+# float formulation drifts with partition order). Because every round
+# is integer algebra (contrib = rank DIV deg, update = base +
+# in_sum*85 DIV 100), the ITERATIVE query carries a FULL value oracle:
+# 8 unrolled MATERIALIZED CTEs replaying the rounds bit-for-bit (the
+# q_markov_stationary idiom — r8 verdict ask #2; default CTE inlining
+# re-expands the edge relation per round and hangs the optimizer).
+# Tests additionally pin determinism, mass conservation bounds and
 # degree correlation.
-@register("q_pagerank")
+_PAGERANK_ITERS = 8
+
+
+def _pagerank_iter_ctes(n: int) -> str:
+    parts = []
+    for i in range(n):
+        parts.append(f""",
+    r{i + 1} AS MATERIALIZED (
+      SELECT sd.b AS node,
+             CAST(150000 + (SUM(r.rank_micros // sd.deg) * 85) // 100
+                  AS BIGINT) AS rank_micros
+      FROM sd JOIN r{i} r ON r.node = sd.a
+      GROUP BY sd.b
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "q_pagerank",
+    f"""
+    WITH ba AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM ba a JOIN ba b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    sd AS MATERIALIZED (
+      SELECT s.a, s.b, d.deg FROM sym s JOIN deg d USING (a)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT a AS node, CAST(1000000 AS BIGINT) AS rank_micros FROM deg
+    ){_pagerank_iter_ctes(_PAGERANK_ITERS)}
+    SELECT node, rank_micros FROM r{_PAGERANK_ITERS}
+    """,
+)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.operators.graph import pagerank
 
@@ -1919,7 +1961,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .distinct()
     )
-    return pagerank(edges, iterations=8)
+    return pagerank(edges, iterations=_PAGERANK_ITERS)
 
 
 # Mutual information between event type and weekday — the

@@ -454,46 +454,110 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Audience overlap from STORED sketches: |week1 ∩ week4| estimated by
-# inclusion-exclusion over HLL unions (|A| + |B| - |A∪B|) — the
-# sketch-algebra answer when only the per-window parts exist and the
-# raw events are long gone. Rows-only (sketch bytes are engine-
-# specific); tests pin the estimate within tolerance of the exact
-# overlap, witnessing the algebra end-to-end.
-@register("q_sketch_overlap")
+# inclusion-exclusion over HLL register merges (|A| + |B| - |A∪B|) —
+# the sketch-algebra answer when only the per-window parts exist and
+# the raw events are long gone. Built on the ORACLE-EXACT p=12 cell
+# relation (operators/sketches.py hll_cells_by), so all three
+# estimates AND the derived overlap are value-gated in DuckDB
+# (r8 verdict ask #1); tests still pin the estimate against the
+# exact overlap, witnessing the algebra end-to-end.
+@register(
+    "q_sketch_overlap",
+    f"""
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    ), w0 AS (SELECT MIN(wk) AS w0 FROM w),
+    sel AS (
+      SELECT user_id, date_diff('day', w0.w0, w.wk) // 7 AS wk_idx
+      FROM w, w0
+      WHERE date_diff('day', w0.w0, w.wk) // 7 IN (0, 3)
+    ), h AS (
+      SELECT wk_idx, {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+      FROM sel
+    ), keyed AS (
+      SELECT wk_idx, h % {_SKQ_M} AS bucket,
+             (h - (h % {_SKQ_M})) // {_SKQ_M} AS rem
+      FROM h
+    ), cells AS (
+      SELECT wk_idx, bucket, MAX({_SKQ_RHO_SQL}) AS max_rho
+      FROM keyed GROUP BY wk_idx, bucket
+    ), agg AS (
+      SELECT wk_idx, SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb
+      FROM cells GROUP BY wk_idx
+    ), r AS (
+      SELECT wk_idx, {_SKQ_AMM} / (z + CAST({_SKQ_M} - nb AS DOUBLE)) AS raw,
+             CAST({_SKQ_M} - nb AS DOUBLE) AS empty
+      FROM agg
+    ), e AS (
+      SELECT wk_idx,
+             CAST(FLOOR({_SKQ_EST_SQL} * 1000000 + 0.5) AS BIGINT) AS est
+      FROM r
+    ), ucells AS (
+      SELECT bucket, MAX(max_rho) AS max_rho FROM cells GROUP BY bucket
+    ), uagg AS (
+      SELECT SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb FROM ucells
+    ), ur AS (
+      SELECT {_SKQ_AMM} / (z + CAST({_SKQ_M} - nb AS DOUBLE)) AS raw,
+             CAST({_SKQ_M} - nb AS DOUBLE) AS empty
+      FROM uagg
+    ), ue AS (
+      SELECT CAST(FLOOR({_SKQ_EST_SQL} * 1000000 + 0.5) AS BIGINT)
+               AS n_union_micros
+      FROM ur
+    )
+    SELECT (SELECT est FROM e WHERE wk_idx = 0) AS n_week1_micros,
+           (SELECT est FROM e WHERE wk_idx = 3) AS n_week4_micros,
+           ue.n_union_micros,
+           (SELECT est FROM e WHERE wk_idx = 0)
+             + (SELECT est FROM e WHERE wk_idx = 3)
+             - ue.n_union_micros AS overlap_est_micros
+    FROM ue
+    """,
+)
 def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.operators.sketches import sketch_parts
+    from frames_spark.operators.sketches import (
+        hll_cells_by,
+        hll_estimate,
+        hll_estimate_by,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
     lo = ev.agg(F.min(wk).alias("w0"))
     tagged = ev.crossJoin(F.broadcast(lo)).withColumn(
-        "wk_idx", F.datediff(wk, F.col("w0")).cast("long") / 7
+        "wk_idx",
+        (F.datediff(wk, F.col("w0")).cast("long") / F.lit(7)).cast("long"),
     )
-    parts = sketch_parts(
-        tagged.filter(F.col("wk_idx").isin(0.0, 3.0)),
+    cells = hll_cells_by(
+        tagged.filter(F.col("wk_idx").isin(0, 3)),
         ["wk_idx"],
         "user_id",
-        lgk=14,
+        p=_SKQ_P,
     )
-    a = parts.filter(F.col("wk_idx") == 0.0).select(
-        F.hll_sketch_estimate("sketch").alias("n_a")
+    est = hll_estimate_by(cells, ["wk_idx"], p=_SKQ_P)
+    a = est.filter(F.col("wk_idx") == 0).select(
+        F.col("est_micros").alias("n_week1_micros")
     )
-    b = parts.filter(F.col("wk_idx") == 3.0).select(
-        F.hll_sketch_estimate("sketch").alias("n_b")
+    b = est.filter(F.col("wk_idx") == 3).select(
+        F.col("est_micros").alias("n_week4_micros")
     )
-    u = parts.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_union")
+    ucells = cells.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    u = hll_estimate(ucells, p=_SKQ_P).select(
+        F.col("est_micros").alias("n_union_micros")
     )
     return (
         a.crossJoin(F.broadcast(b))
         .crossJoin(F.broadcast(u))
         .select(
-            F.col("n_a").cast("long").alias("n_week1"),
-            F.col("n_b").cast("long").alias("n_week4"),
-            F.col("n_union").cast("long").alias("n_union"),
-            (F.col("n_a") + F.col("n_b") - F.col("n_union"))
-            .cast("long")
-            .alias("overlap_est"),
+            "n_week1_micros",
+            "n_week4_micros",
+            "n_union_micros",
+            (
+                F.col("n_week1_micros")
+                + F.col("n_week4_micros")
+                - F.col("n_union_micros")
+            ).alias("overlap_est_micros"),
         )
     )
 

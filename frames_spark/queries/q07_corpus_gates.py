@@ -230,8 +230,8 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the state vector lives in nanos, every per-edge term is the integer
 # rounding division (v_i·n_ij + t_i/2) DIV t_i, and each of the 30
 # iterations sums exact integers — so this ITERATIVE query carries a
-# FULL value oracle (30 unrolled CTEs), where float iteration
-# (PageRank) is rows-only by necessity. The transition matrix is
+# FULL value oracle (30 unrolled CTEs); q_pagerank's integer rounds
+# adopt the same unrolled idiom. The transition matrix is
 # domain-bounded (k event types), so Spark iterates the k-vector on
 # the driver after ONE distributed aggregation of the fact table.
 # ---------------------------------------------------------------------------

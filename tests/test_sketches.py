@@ -60,12 +60,15 @@ def test_sketch_wau_close_to_exact(spark, sf_dir):
 
     exact = {r.day: r.wau for r in Q.q_active_users(spark, sf_dir).collect()}
     est = {
-        r.day: r.wau_est
+        r.day: r.wau_est_micros / 1e6
         for r in Q.q_active_users_sketch(spark, sf_dir).collect()
     }
     assert set(exact) == set(est)
     for day, wau in exact.items():
-        assert abs(est[day] - wau) / wau < 0.05, (day, est[day], wau)
+        # p=12 linear counting: a single register collision at tiny n
+        # (sf0.001 windows hold ~15 users) is ~1 absolute — bound by
+        # max(2 absolute, 5% relative) like the overlap test.
+        assert abs(est[day] - wau) <= max(2, 0.05 * wau), (day, est[day], wau)
 
 
 def test_sketch_overlap_within_tolerance(spark, sf_dir):
@@ -91,8 +94,8 @@ def test_sketch_overlap_within_tolerance(spark, sf_dir):
     a = {r2["user_id"] for r2 in users.filter(F.col("d") == 0).collect()}
     b = {r2["user_id"] for r2 in users.filter(F.col("d") == 21).collect()}
     exact = len(a & b)
-    assert abs(r["overlap_est"] - exact) <= max(3, 0.1 * exact)
-    assert abs(r["n_week1"] - len(a)) <= max(2, 0.05 * len(a))
+    assert abs(r["overlap_est_micros"] / 1e6 - exact) <= max(3, 0.1 * exact)
+    assert abs(r["n_week1_micros"] / 1e6 - len(a)) <= max(2, 0.05 * len(a))
 
 
 def test_count_min_overestimates_never_under(spark, sf_dir):
