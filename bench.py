@@ -156,6 +156,29 @@ def calibration_kernel() -> float:
     return round(best, 4)
 
 
+def bw_calibration_kernel() -> float:
+    """Best-of-3 seconds to sum a 256 MB int64 buffer — MEMORY-
+    BANDWIDTH-bound where the sha256 kernel is core-bound. Three
+    consecutive rounds (r7-r9) showed windows where the crypto calib
+    read ~1.0 while every query inflated 10-30%: co-tenants competing
+    for memory bandwidth are invisible to a cache-resident CPU kernel.
+    Pin: bw_calib_sec in BASELINE.md; per-query breach adjudication
+    reads ratios against max(box_noise_factor, bw_noise_factor)."""
+    import numpy as np
+
+    n = 32 * 1024 * 1024  # 256 MB of int64
+    arr = np.ones(n, dtype=np.int64)
+    best = float("inf")
+    total = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = int(arr.sum())
+        best = min(best, time.perf_counter() - t0)
+    if total != n:  # defeated dead-code elimination, never fires
+        raise RuntimeError("bw kernel sum mismatch")
+    return round(best, 4)
+
+
 def main() -> None:
     spark = get_spark("frames_spark_bench")
     # warmup: JVM + parquet footer caches
@@ -167,6 +190,7 @@ def main() -> None:
     # identical plans; two reps still leaves occasional double-hits
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     calib_before = calibration_kernel()
+    bw_before = bw_calibration_kernel()
     times: dict[str, float | None] = {}
     for name, fn in BENCH_QUERIES.items():
         # Per-query isolation: one broken query must cost one null entry,
@@ -193,6 +217,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     calib_after = calibration_kernel()
+    bw_after = bw_calibration_kernel()
     ok_times = [t for t in times.values() if t is not None]
     out = {
         "metric": "total_bench_seconds",
@@ -203,28 +228,43 @@ def main() -> None:
         "failed": sorted(n for n, t in times.items() if t is None),
         "calib_before_sec": calib_before,
         "calib_after_sec": calib_after,
+        "bw_before_sec": bw_before,
+        "bw_after_sec": bw_after,
     }
 
-    # Per-query delta vs the pinned BASELINE.md numbers (the 2x gate's
-    # in-repo anchor). Ratios only make sense at the baseline's SF.
     base = load_baseline()
-    if base and base.get("sf") == sf_val:
-        common = [
-            n for n, t in times.items() if t is not None and n in base["queries"]
-        ]
-        for n in common:
-            r = times[n] / base["queries"][n]
-            flag = "  <-- >2x" if r > 2.0 else ""
-            print(f"VS-BASELINE {n:20s} {times[n]:7.3f}s / {base['queries'][n]:7.3f}s = {r:5.2f}x{flag}", file=sys.stderr)
-        tot_now = sum(times[n] for n in common)
-        tot_base = sum(base["queries"][n] for n in common)
-        out["vs_baseline"] = round(tot_now / tot_base, 3) if tot_base else None
+    noise = 1.0
     if base and base.get("calib_sec"):
         # >1 means the box ran slower than when the pins were taken;
         # per-query breach adjudication divides by this first.
         out["box_noise_factor"] = round(
             max(calib_before, calib_after) / base["calib_sec"], 2
         )
+        noise = max(noise, out["box_noise_factor"])
+    if base and base.get("bw_calib_sec"):
+        # the memory-bandwidth twin: co-tenant streaming load inflates
+        # shuffle/scan-heavy queries while the CPU kernel reads clean.
+        out["bw_noise_factor"] = round(
+            max(bw_before, bw_after) / base["bw_calib_sec"], 2
+        )
+        noise = max(noise, out["bw_noise_factor"])
+
+    # Per-query delta vs the pinned BASELINE.md numbers (the 2x gate's
+    # in-repo anchor). Ratios only make sense at the baseline's SF;
+    # the breach flag reads the ratio against the WORSE of the two
+    # calibration factors so a noisy window can't fake a regression.
+    if base and base.get("sf") == sf_val:
+        common = [
+            n for n, t in times.items() if t is not None and n in base["queries"]
+        ]
+        for n in common:
+            r = times[n] / base["queries"][n]
+            adj = r / noise
+            flag = "  <-- >2x noise-adj" if adj > 2.0 else ("  (raw >2x)" if r > 2.0 else "")
+            print(f"VS-BASELINE {n:20s} {times[n]:7.3f}s / {base['queries'][n]:7.3f}s = {r:5.2f}x adj {adj:5.2f}x{flag}", file=sys.stderr)
+        tot_now = sum(times[n] for n in common)
+        tot_base = sum(base["queries"][n] for n in common)
+        out["vs_baseline"] = round(tot_now / tot_base, 3) if tot_base else None
 
     # Output contract: the driver captures only the last ~2.2 KB of
     # stdout and parses the FINAL line as the round's bench artifact.
@@ -240,20 +280,37 @@ def main() -> None:
 def summary_line(out: dict) -> str:
     """The driver-facing FINAL stdout line: every scalar field of the
     full artifact plus the slowest-10 query map, guaranteed < 2000 B
-    (the driver's tail capture is ~2.2 KB and parses the last line)."""
+    (the driver's tail capture is ~2.2 KB and parses the last line).
+
+    Hard truncation, not an assert (r9 advice: a bare assert strips
+    under ``python -O``, and if it ever fired the oversized line would
+    have become the FINAL stdout line — the exact ``parsed: null``
+    failure this contract exists to prevent): shrink the slowest-N
+    map, then drop list-valued scalars, until the line fits."""
     times = out["queries"]
-    slowest = dict(
-        sorted(
-            ((n, t) for n, t in times.items() if t is not None),
-            key=lambda kv: -kv[1],
-        )[:10]
+    ranked = sorted(
+        ((n, t) for n, t in times.items() if t is not None),
+        key=lambda kv: -kv[1],
     )
     summary = {k: v for k, v in out.items() if k != "queries"}
-    summary["queries"] = slowest
     summary["n_queries"] = len(times)
-    line = json.dumps(summary)
-    assert len(line) < 2000, f"bench summary line too long: {len(line)}"
-    return line
+    for n_slow in range(10, -1, -1):
+        summary["queries"] = dict(ranked[:n_slow])
+        line = json.dumps(summary)
+        if len(line) < 2000:
+            return line
+    # Pathological field sizes (e.g. a huge failed-query list): keep
+    # only the graded scalars. This branch is unreachable for any
+    # realistic registry but the contract must never emit an
+    # oversized final line.
+    minimal = {
+        k: summary.get(k)
+        for k in ("metric", "value", "unit", "sf", "vs_baseline",
+                  "box_noise_factor", "bw_noise_factor", "n_queries")
+        if k in summary
+    }
+    minimal["failed_count"] = len(out.get("failed", []))
+    return json.dumps(minimal)
 
 
 if __name__ == "__main__":

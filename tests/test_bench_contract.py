@@ -31,8 +31,11 @@ def _fake_out(n_queries: int) -> dict:
         "failed": ["broken_one"],
         "calib_before_sec": 0.0847,
         "calib_after_sec": 0.0912,
+        "bw_before_sec": 0.0231,
+        "bw_after_sec": 0.0240,
         "vs_baseline": 1.014,
         "box_noise_factor": 1.09,
+        "bw_noise_factor": 1.04,
     }
 
 
@@ -49,8 +52,11 @@ def test_summary_line_under_capture_even_at_200_queries():
         "failed",
         "vs_baseline",
         "box_noise_factor",
+        "bw_noise_factor",
         "calib_before_sec",
         "calib_after_sec",
+        "bw_before_sec",
+        "bw_after_sec",
     ):
         assert key in parsed, key
     assert parsed["n_queries"] == 201
@@ -64,6 +70,28 @@ def test_summary_line_is_valid_singleline_json():
     line = bench.summary_line(_fake_out(84))
     assert "\n" not in line
     assert json.loads(line)["metric"] == "total_bench_seconds"
+
+
+def test_summary_line_truncates_never_asserts():
+    """The fallback is hard truncation: absurd query names / a huge
+    failed list must still produce a < 2000 B final line (the old
+    bare assert stripped under python -O and would have let the
+    oversized full-map line end last)."""
+    out = _fake_out(5)
+    out["queries"] = {
+        ("very_long_query_name_" * 20) + str(i): 1.0 + i for i in range(10)
+    }
+    line = bench.summary_line(out)
+    assert len(line) < 2000
+    assert json.loads(line)["value"] == out["value"]
+
+    out = _fake_out(5)
+    out["failed"] = [("broken_query_" * 30) + str(i) for i in range(50)]
+    line = bench.summary_line(out)
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert parsed.get("failed_count") == 50
 
 
 def test_bench_registry_matches_current_size():
