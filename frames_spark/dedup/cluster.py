@@ -56,12 +56,20 @@ def connected_components(
     RuntimeError directing callers to ``connected_components_star``
     (O(log^2 n) rounds on any graph). ``stats['rounds']`` reports the
     rounds executed when a dict is passed."""
+    from frames_spark.operators.caching import cache_scope
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # distinct both dedups (pair generators may emit a pair once per
-    # band) and lets the per-round join reuse one compact layout
-    sym = sym.distinct().repartition("a").persist()
+    # band) and lets the per-round join reuse one compact layout.
+    # Every action on sym happens inside this function (the labels
+    # are eagerly checkpointed each round), so the persist is scoped:
+    # released on ANY exit, including the non-convergence raise.
+    with cache_scope(sym.distinct().repartition("a")) as (sym,):
+        return _cc_minlabel_rounds(sym, max_iter, stats)
 
+
+def _cc_minlabel_rounds(sym, max_iter, stats):
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -111,7 +119,6 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
-    sym.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:

@@ -224,7 +224,14 @@ def probe_increment(
     ``inc=<increment_key>/`` (overwrite — replays of the same key
     replace). See the layout note above for the semantics trade
     against upsert-mode ``probe_and_append``."""
-    if "/" in increment_key or increment_key.startswith((".", "_")):
+    # The empty key would write a literal `inc=` partition, which
+    # round-trips as a NULL inc column and silently breaks the
+    # latest-wins comparisons (r9 advice #5).
+    if (
+        not increment_key
+        or "/" in increment_key
+        or increment_key.startswith((".", "_"))
+    ):
         raise ValueError(f"invalid increment key: {increment_key!r}")
     if increment_key == COMPACTED_KEY:
         raise ValueError(
@@ -304,12 +311,29 @@ def compact_index(
     df = _read_increments(spark, index_dir)
     if df is None:
         return 0
-    eff = df.withColumn("inc0", _effective_inc(df)).drop("inc")
-    latest = eff.groupBy("doc").agg(F.max("inc0").alias("inc0"))
-    # distinct: a replayed pre-compaction key leaves the same (doc,
-    # inc0) band rows both inside the compacted dir and as a fresh
-    # increment — keep one copy
-    kept = eff.join(latest, ["doc", "inc0"]).distinct()
+    # _pri: fresh increment dirs beat the compacted dir AT THE SAME
+    # original key. A replayed key whose content CHANGED after its
+    # rows were compacted would otherwise tie on inc0 and union the
+    # stale compacted signatures with the fresh ones (r9 advice #1);
+    # the replay is the latest attempt, so it wins the tie outright.
+    eff = (
+        df.withColumn("inc0", _effective_inc(df))
+        .withColumn(
+            "_pri",
+            F.when(
+                F.col("inc").isin(key, COMPACTED_KEY), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .drop("inc")
+    )
+    latest = (
+        eff.groupBy("doc")
+        .agg(F.max(F.struct("inc0", "_pri")).alias("_s"))
+        .select("doc", "_s.inc0", "_s._pri")
+    )
+    # distinct: an UNCHANGED replayed pre-compaction key leaves the
+    # same (doc, inc0, _pri) band rows twice — keep one copy
+    kept = eff.join(latest, ["doc", "inc0", "_pri"]).drop("_pri").distinct()
     tmp = index_dir.rstrip("/") + "/_compact_tmp"
     kept.write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()

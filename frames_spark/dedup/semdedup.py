@@ -230,15 +230,27 @@ def semdedup_summary(
     dim: int = 64,
     max_cluster: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
-    """Per-cluster dedup accounting: (cluster, n_members, n_dropped).
-    Clusters with no members never appear; n_dropped counts distinct
-    dropped ids (a doc in several hot pairs drops once). Both legs —
-    membership counts and pair expansion — read ONE persisted
+    """Per-cluster dedup accounting: (cluster, n_members, n_dropped,
+    over_cap). Clusters with no members never appear; n_dropped counts
+    distinct dropped ids (a doc in several hot pairs drops once).
+    ``over_cap`` marks clusters the ``max_cluster`` guard SKIPPED —
+    their n_dropped reads 0 because no pairs were expanded, not
+    because they are duplicate-free (r9 advice #4: the guard must
+    never be a silent cap; ``SELECT * WHERE over_cap`` is the audit,
+    and a nonzero count means re-run with a larger k or cap). Both
+    legs — membership counts and pair expansion — read ONE persisted
     clustered relation, so the corpus is scanned and assigned
     exactly once (the q_dedup_summary shingle-index pattern)."""
     clustered = _clustered(df, id_col, vec_col, n_centroids, dim).persist()
+    over = (
+        F.size("vs") > F.lit(max_cluster)
+        if max_cluster is not None
+        else F.lit(False)
+    )
     members = clustered.select(
-        "cluster", F.size("vs").cast("long").alias("n_members")
+        "cluster",
+        F.size("vs").cast("long").alias("n_members"),
+        over.alias("over_cap"),
     )
     drops = (
         _pairs_from_clustered(clustered, threshold, max_cluster)
@@ -255,6 +267,7 @@ def semdedup_summary(
             "cluster",
             "n_members",
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            "over_cap",
         ),
         clustered,
     )

@@ -20,15 +20,55 @@ keep calling ``unpersist()`` explicitly (the kcenter_select pattern).
 
 from __future__ import annotations
 
+import contextlib
 import weakref
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
-__all__ = ["tie_cache"]
+__all__ = ["cache_scope", "tie_cache"]
+
+
+@contextlib.contextmanager
+def cache_scope(*frames: DataFrame) -> Iterator[tuple[DataFrame, ...]]:
+    """Persist ``frames`` for the duration of the ``with`` block and
+    unpersist DETERMINISTICALLY on exit (success or error).
+
+    This is the documented API whenever every action that reads the
+    cached relation happens inside a known scope — iterative drivers
+    (pagerank rounds, k-center rounds), fit-then-score builders that
+    collect a model eagerly, tests. Unlike ``tie_cache`` the release
+    point is explicit in the source, independent of GC timing, so
+    plans built after the block NEVER see a stale InMemoryRelation
+    substituted for a subtree (the r8 advisor-sweep GC dependence).
+
+    Use ``tie_cache`` only for the genuinely lazy case: the returned
+    DataFrame still needs the cache and the caller decides when it
+    dies."""
+    for df in frames:
+        df.persist()
+    try:
+        yield frames
+    finally:
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
 
 
 def tie_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Unpersist each ``cached`` relation when ``result`` is GC'd."""
+    """Unpersist each ``cached`` relation when ``result`` is GC'd.
+
+    CHAINING CAVEAT (r9 advice): the finalizer is tied to THIS
+    ``result`` object. A caller that immediately derives from it —
+    ``tie_cache(df, c).filter(...).count()`` — drops the only
+    reference to ``result`` before the action runs, so the cache can
+    be released BEFORE materialization and the action silently
+    recomputes ``cached`` (correct, just slow). Hold the returned
+    object in a variable for as long as the cache should live, or use
+    ``cache_scope`` when the consuming actions happen inside one
+    scope."""
 
     def _release(frames=cached):
         for df in frames:

@@ -33,6 +33,8 @@ def pagerank(
 ) -> DataFrame:
     """(node, rank_micros) after ``iterations`` rounds over the
     UNDIRECTED edge list; ranks start at 1e6 per node."""
+    from frames_spark.operators.caching import tie_cache
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().repartition("a").persist()
@@ -66,6 +68,9 @@ def pagerank(
                 + F.expr(f"in_sum * {damping_pct} DIV 100")
             ).alias("rank_micros"),
         ).localCheckpoint(eager=False)
-    out.unpersist()
-    sym.unpersist()
-    return ranks
+    # The returned frame is LAZY and reads `out` once per round at
+    # materialization: an eager unpersist here (the pre-r10 form)
+    # threw the cache away before the first action and recomputed the
+    # edge join `iterations` times. tie_cache keeps both relations
+    # cached while the caller holds the result, then releases them.
+    return tie_cache(ranks, out, sym)

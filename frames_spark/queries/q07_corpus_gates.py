@@ -2115,11 +2115,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_semdedup_summary",
-    _semdedup_oracle("""
+    _semdedup_oracle(f"""
     , memb AS (SELECT cluster, COUNT(*) AS n_members FROM best GROUP BY cluster),
     drops AS (SELECT cluster, COUNT(DISTINCT id_b) AS nd FROM sim GROUP BY cluster)
     SELECT m.cluster, m.n_members,
-           CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dropped
+           CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dropped,
+           m.n_members > {_SEM_MAX_CLUSTER} AS over_cap
     FROM memb m LEFT JOIN drops d USING (cluster)
     """),
 )

@@ -262,12 +262,12 @@ _KMV_BY_K = 64
              CAST(COUNT(*) AS BIGINT) AS n_union_k,
              CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
       FROM ranked GROUP BY source_a, source_b
-    ), dt AS (SELECT DISTINCT source, text FROM documents),
+    ), dt AS (SELECT DISTINCT source, md5(text) AS th FROM documents),
     nsz AS (SELECT source, COUNT(*) AS n FROM dt GROUP BY source),
     inter AS (
       SELECT a.source AS source_a, b.source AS source_b,
              COUNT(*) AS n_inter
-      FROM dt a JOIN dt b ON a.text = b.text AND a.source < b.source
+      FROM dt a JOIN dt b ON a.th = b.th AND a.source < b.source
       GROUP BY a.source, b.source
     )
     SELECT e.source_a, e.source_b, e.n_union_k, e.n_both,
@@ -324,13 +324,17 @@ def q_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
         )
     )
-    dt = docs.select("source", "text").distinct()
+    # Audit leg joins on md5(text), never the raw text (r8 ask #7):
+    # at 100 TB the document bodies would otherwise dominate this
+    # query's shuffle; 32-hex digests keep the audit exact (any md5
+    # collision is seen identically by the oracle) at ~fixed width.
+    dt = docs.select("source", F.md5("text").alias("th")).distinct()
     nsz = dt.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         dt.alias("x")
         .join(
             dt.alias("y"),
-            (F.col("x.text") == F.col("y.text"))
+            (F.col("x.th") == F.col("y.th"))
             & (F.col("x.source") < F.col("y.source")),
         )
         .groupBy(

@@ -31,14 +31,26 @@ def get_spark(
     AQE coalescing down to actual data volume at runtime.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Topology-invariance knobs (r8 verdict #5): the grouped_rank
+    # partition-id trap class only ever surfaced under a DIFFERENT
+    # partition topology, so the exit checklist runs the full oracle
+    # sweep once with SPARK_GRAFT_SHUFFLE_PARTITIONS=7 and
+    # SPARK_GRAFT_AQE=0 — any result that depends on partition count,
+    # partition ids, or AQE re-planning diverges from DuckDB there.
+    env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(
+                shuffle_partitions
+                or (int(env_shuffle) if env_shuffle else None)
+                or DEFAULT_SHUFFLE_PARTITIONS
+            ),
         )
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -54,20 +54,21 @@ def kcenter_select(
 ) -> list[tuple[int, int, int]]:
     """Greedy k-center trace: [(round, id, dist2_to_nearest_center)].
     Round 0 is the min-id seed at distance 0."""
-    fixed = _fixed(df, id_col, vec_col).persist()
-    seed = fixed.agg(F.min("vid")).first()[0]
-    seed_vec = fixed.filter(F.col("vid") == seed).first()["fvec"]
-    trace = [(0, seed, 0)]
-    centers = [list(seed_vec)]
-    for rnd in range(1, k):
-        best = (
-            fixed.select("vid", "fvec", _min_dist2(centers).alias("mind"))
-            .orderBy(F.desc("mind"), F.asc("vid"))
-            .first()
-        )
-        trace.append((rnd, best["vid"], best["mind"]))
-        centers.append(list(best["fvec"]))
-    fixed.unpersist()
+    from frames_spark.operators.caching import cache_scope
+
+    with cache_scope(_fixed(df, id_col, vec_col)) as (fixed,):
+        seed = fixed.agg(F.min("vid")).first()[0]
+        seed_vec = fixed.filter(F.col("vid") == seed).first()["fvec"]
+        trace = [(0, seed, 0)]
+        centers = [list(seed_vec)]
+        for rnd in range(1, k):
+            best = (
+                fixed.select("vid", "fvec", _min_dist2(centers).alias("mind"))
+                .orderBy(F.desc("mind"), F.asc("vid"))
+                .first()
+            )
+            trace.append((rnd, best["vid"], best["mind"]))
+            centers.append(list(best["fvec"]))
     return trace
 
 

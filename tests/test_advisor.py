@@ -177,19 +177,20 @@ KNOWN_UNPUSHABLE = {
 
 
 def test_registry_wide_advisor_sweep(spark, sf_dir):
-    import gc
-
     from frames_spark.queries import QUERIES
 
     noisy = {}
     for name, fn in QUERIES.items():
-        # r8: tie_cache finalizers unpersist a query's intermediates
-        # when its result is GC'd — collect BEFORE building the next
-        # plan so every query is analyzed in the same (transparent,
-        # uncached) state instead of depending on GC timing. This is
+        # Analyze every query in the same transparent, uncached state:
+        # builders register persists (tie_cache keeps them alive while
+        # the result lives, and DataFrames sit in reference cycles, so
+        # finalizer timing is GC-dependent — the r8 sweep used a
+        # gc.collect() here). clearCache() expresses the intent
+        # directly and deterministically: no InMemoryRelation from a
+        # PRIOR query's lineage can substitute into this plan. This is
         # also what unmasked q_nb_confusion's held-out split below:
         # the persist used to hide its modulo filter from the advisor.
-        gc.collect()
+        spark.catalog.clearCache()
         findings = advise(fn(spark, sf_dir))
         unexpected = [
             f

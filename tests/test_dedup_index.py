@@ -291,6 +291,46 @@ def test_reserved_compaction_key_rejected(spark, tmp_path):
         probe_increment(spark, str(tmp_path / "x"), v, "compacted")
 
 
+def test_empty_increment_key_rejected(spark, tmp_path):
+    # r9 advice #5: '' wrote a literal `inc=` partition that
+    # round-trips as NULL inc and breaks every latest-wins comparison
+    import pytest as _pytest
+
+    from frames_spark.dedup.index import probe_increment
+
+    v = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="invalid increment key"):
+        probe_increment(spark, str(tmp_path / "x"), v, "")
+
+
+def test_changed_content_replay_after_compaction(spark, tmp_path):
+    # r9 advice #1: replay an ALREADY-COMPACTED key with CHANGED
+    # content. The stale compacted rows tie on inc0 with the fresh
+    # replay rows; the next compaction must keep ONLY the replay's
+    # signature set (fresh increment dirs beat the compacted dir at
+    # the same original key), not the union.
+    from frames_spark.dedup.index import band_rows, compact_index, probe_increment
+
+    idx = str(tmp_path / "incidx3")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    v1b = spark.createDataFrame(
+        [(1, "totally different words appear here now")], "doc_id long, text string"
+    )
+    probe_increment(spark, idx, v1, "day-001").count()
+    assert compact_index(spark, idx) == 4
+    # replay the SAME key with different content (a corrected crawl)
+    probe_increment(spark, idx, v1b, "day-001").count()
+    assert compact_index(spark, idx) == 4  # not 8: stale set dropped
+    after = spark.read.parquet(idx)
+    want = {
+        (r.band, r.band_key) for r in band_rows(v1b, "doc_id", "text").collect()
+    }
+    assert {(r.band, r.band_key) for r in after.collect()} == want
+    assert {r.inc0 for r in after.collect()} == {"day-001"}
+
+
 def test_probe_cache_released_when_result_dropped(spark, tmp_path):
     # r7 advice: persisted intermediates accumulated across calls in a
     # long-lived session. tie_cache unpersists when the caller drops

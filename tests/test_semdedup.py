@@ -89,6 +89,28 @@ def test_max_cluster_guard_drops_degenerate_cells(spark, sf_dir):
     assert unguarded.count() > 0
 
 
+def test_summary_surfaces_guard_skipped_clusters(spark, sf_dir):
+    # r9 advice #4: the max_cluster guard must never be a silent cap —
+    # a skipped cluster reads (over_cap=True, n_dropped=0) in the
+    # summary so "no duplicates found" and "pairs never expanded" are
+    # distinguishable.
+    corpus = _corpus(spark, sf_dir, n=100)
+    rows = semdedup.semdedup_summary(
+        corpus, "vec_id", "embedding", n_centroids=1, threshold=0.9,
+        max_cluster=10,
+    ).collect()
+    assert len(rows) == 1  # one centroid -> one degenerate cell
+    assert rows[0].over_cap is True
+    assert rows[0].n_dropped == 0
+    assert rows[0].n_members > 10
+    # with the guard above the cluster size nothing is flagged
+    ok = semdedup.semdedup_summary(
+        corpus, "vec_id", "embedding", n_centroids=1, threshold=0.9,
+        max_cluster=100000,
+    ).collect()
+    assert ok[0].over_cap is False and ok[0].n_dropped > 0
+
+
 def test_summary_is_consistent_with_drops(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     summary = semdedup.semdedup_summary(
