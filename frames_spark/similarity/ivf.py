@@ -204,6 +204,78 @@ def ivf_topk(
     return ivf_search(assigned, centroids, queries, id_col, vec_col, k, nprobe)
 
 
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF search over the DETERMINISTIC ±1 md5 codebook quantizer
+    (dedup/semdedup.py centroid_components) — the value-gated IVF
+    tier (r8 verdict #6): no training pass, cell assignment and query
+    routing are integer dot argmaxes over an equal-norm codebook
+    (argmax dot == argmax cosine), reproducible bit-for-bit in SQL.
+    The trade vs the seeded-KMeans ``build_ivf``: centroids are not
+    corpus-adapted, so recall at equal nprobe is lower on clustered
+    data — but at 100 TB the build is ONE assignment scan with no
+    iterative fit, and every leg (assign → probe → score → top-k)
+    carries a full DuckDB oracle. Output schema == ivf_search:
+    (query_id, neighbor_id, cosine, rank); self-matches excluded;
+    nprobe == n_centroids degenerates to exact brute force."""
+    from frames_spark.dedup.semdedup import _codebook, assign_clusters
+
+    assigned = assign_clusters(corpus, id_col, vec_col, n_centroids, dim)
+    qf = _fixed(queries, id_col, vec_col)
+    cell_dots = F.transform(
+        _codebook(n_centroids, dim),
+        lambda comp: dot_fixed(F.col("fvec"), comp),
+    )
+    qcells = qf.select(
+        F.col("vid").alias("query_id"),
+        F.col("fvec").alias("qvec"),
+        F.col("n2").alias("qn2"),
+        F.posexplode(cell_dots).alias("cluster", "cdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        qcells.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qvec", "qn2", "cluster")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine_from_fixed(
+                dot_fixed(F.col("qvec"), F.col("fvec")),
+                F.col("qn2"),
+                F.col("n2"),
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def save_ivf(
     assigned: DataFrame,
     centroids: DataFrame,
