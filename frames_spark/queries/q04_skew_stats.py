@@ -1526,18 +1526,104 @@ def q_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Product-quantization ANN (similarity/pq.py): 16 sub-codebooks of
-# 32 centroids -> 16 small codes per vector (16x compression), ADC
-# shortlist of 100, exact fixed-point cosine re-rank. Rows-only
-# (iterative codebook training); tests/test_pq.py pins recall@10
-# against the exact search and code layout-invariance.
-@register("q_ann_pq")
+# Product-quantization ANN over DETERMINISTIC hash-sampled codebooks
+# (similarity/pq.py fit_pq_det; r8 verdict #6): 16 sub-codebooks of 32
+# codewords drawn from the corpus rows with the smallest (hash60, id)
+# -> 16 small codes per vector (16x compression), integer ADC
+# shortlist of 100, exact fixed-point cosine re-rank — EVERY leg
+# (codeword selection, encoding argmin, ADC sums, shortlist, re-rank)
+# reproduced in SQL, so the query carries a FULL value oracle. The
+# seeded-KMeans trainer (fit_pq) stays the corpus-adapted production
+# path; tests/test_pq.py pins its recall@10 and layout-invariance.
+_PQ_M = 16
+_PQ_SUB = 64 // _PQ_M
+_PQ_K = 32
+_PQ_RERANK = 100
+
+# Shared PQ CTE chain: fixed-point corpus -> hash-ordered codeword
+# rows -> per-(row, subspace, codeword) distances -> argmin codes.
+_PQ_DET_CTES = f"""
+    pqsel AS (
+      SELECT vec_id, rn - 1 AS c FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 {hash60_sql("CAST(vec_id AS VARCHAR)", "pq")}, vec_id) AS rn
+        FROM (SELECT DISTINCT vec_id FROM embeddings)
+      ) WHERE rn <= {_PQ_K}
+    ),
+    cw AS MATERIALIZED (
+      SELECT s.c, f.i, f.e FROM pqsel s JOIN fixed f USING (vec_id)
+    ),
+    cd AS MATERIALIZED (
+      SELECT f.vec_id, (f.i - 1) // {_PQ_SUB} AS j, c.c,
+             CAST(SUM((f.e - c.e) * (f.e - c.e)) AS BIGINT) AS dist
+      FROM fixed f JOIN cw c ON c.i = f.i
+      GROUP BY 1, 2, 3
+    ),
+    pqcodes AS MATERIALIZED (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist ASC, c ASC) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_adc_tail(cluster_filter: str, rerank: int, k: int) -> str:
+    """ADC join + shortlist + exact re-rank closing CTEs.
+    ``cluster_filter`` restricts candidates (the IVF-ADC leg)."""
+    return f"""
+    adc AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             CAST(SUM(q.dist) AS BIGINT) AS approx_dist
+      FROM pqcodes x JOIN cd q ON q.j = x.j AND q.c = x.c
+      WHERE q.vec_id < 3 AND q.vec_id <> x.vec_id {cluster_filter}
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(list_inner_product(qa.v, qb.v) AS DOUBLE)
+                 / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+                 AS cosine
+        FROM short s
+        JOIN vecs qa ON qa.vec_id = s.query_id
+        JOIN vecs qb ON qb.vec_id = s.neighbor_id
+      )
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "q_ann_pq",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
+      FROM fixed GROUP BY vec_id
+    ),
+    {_PQ_DET_CTES},
+    {_pq_adc_tail("", _PQ_RERANK, 10)}
+    """,
+)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.similarity.pq import encode_pq, fit_pq, pq_topk
+    from frames_spark.similarity.pq import encode_pq, fit_pq_det, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = fit_pq(emb, "vec_id", "embedding", m=16, k=32)
-    codes = encode_pq(emb, "vec_id", "embedding", cb)
+    cb = fit_pq_det(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+    codes = encode_pq(emb, "vec_id", "embedding", cb, normalize=False)
     return pq_topk(
         codes,
         cb,
@@ -1546,20 +1632,60 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=10,
         corpus=emb,
-        rerank=100,
+        rerank=_PQ_RERANK,
+        normalize=False,
     )
 
 
-# IVF-ADC: coarse IVF cells + PQ-coded residuals + exact re-rank —
-# the production composite index (similarity/pq.py ivfpq_topk).
-# Rows-only (two iterative trainings); tests pin recall vs exact,
-# full-probe equality, and nprobe monotonicity.
-@register("q_ann_ivfpq")
+# IVF-ADC on the fully deterministic index pair: ±1 md5 codebook
+# cells + hash-sampled PQ codes, integer ADC within the nprobe probed
+# cells only, exact re-rank — FULL value oracle (the twice-trained
+# KMeans+residual ivfpq_topk stays the production composite, pinned
+# by tests/test_pq.py: recall vs exact, full-probe equality, nprobe
+# monotonicity).
+@register(
+    "q_ann_ivfpq",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
+      FROM fixed GROUP BY vec_id
+    ),
+    cents AS (SELECT * FROM (VALUES {_IVF_CENTS_VALUES}) t(c, i, s)),
+    cdots AS MATERIALIZED (
+      SELECT f.vec_id, c.c, SUM(f.e * c.s) AS dot
+      FROM fixed f JOIN cents c USING (i) GROUP BY 1, 2
+    ),
+    best AS MATERIALIZED (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c ASC) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c AS cluster FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c ASC) AS rn
+        FROM cdots WHERE vec_id < 3
+      ) WHERE rn <= 3
+    ),
+    {_PQ_DET_CTES},
+    {_pq_adc_tail('''
+        AND EXISTS (
+          SELECT 1 FROM probes p JOIN best b
+            ON b.cluster = p.cluster
+          WHERE p.query_id = q.vec_id AND b.vec_id = x.vec_id
+        )''', 50, 10)}
+    """,
+)
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.similarity.pq import ivfpq_topk
+    from frames_spark.similarity.pq import ivfpq_topk_det
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
+    return ivfpq_topk_det(
         emb,
         emb.filter(F.col("vec_id") < 3),
         "vec_id",
@@ -1567,6 +1693,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_centroids=8,
         nprobe=3,
+        m=_PQ_M,
+        codebook_k=_PQ_K,
+        rerank=50,
     )
 
 

@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 from frames_spark.functions.vectors import FIXED_POINT
 from frames_spark.operators.core import spread
 
-__all__ = ["fit_pq", "encode_pq", "pq_topk"]
+__all__ = [
+    "fit_pq",
+    "fit_pq_det",
+    "encode_pq",
+    "pq_topk",
+    "ivfpq_topk_det",
+]
 
 
 def _unit(vec) -> "F.Column":
@@ -99,6 +105,58 @@ def fit_pq(
         ).fit(feats)
         books.append([list(map(float, c)) for c in model.clusterCenters()])
     train.unpersist()
+    return np.array(books)  # (m, k, sub)
+
+
+def fit_pq_det(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 16,
+    k: int = 32,
+    seed: str = "pq",
+    normalize: bool = False,
+) -> np.ndarray:
+    """Codebooks (m, k, d/m) from DETERMINISTIC HASH-SAMPLED corpus
+    rows — the value-gated PQ tier (r8 verdict #6, the ivf_topk_det
+    companion): the k rows with the smallest (hash60(id), id) provide
+    codeword j for every subspace (kmeans++-style seeds without the
+    iterations), so the codebook — and with it encoding, ADC tables,
+    and the shortlist — is reproducible bit-for-bit in SQL. The
+    seeded-KMeans ``fit_pq`` stays the corpus-adapted production
+    trainer. Default normalize=False: the raw fixed-point values are
+    the cross-engine-exact representation (an ordered float
+    normalization fold does not replay identically in set-oriented
+    SQL); the exact-cosine re-rank restores cosine order, and the
+    unnormalized ADC shortlist is just a looser candidate generator
+    (pinned by tests)."""
+    from frames_spark.functions.hashing import hash60
+
+    d = len(corpus.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rows = (
+        spread(corpus)
+        .select(
+            hash60(F.col(id_col).cast("string"), seed=seed).alias("_h"),
+            F.col(id_col).alias("_id"),
+            (
+                _unit(F.col(vec_col))
+                if normalize
+                else F.col(vec_col).cast("array<double>")
+            ).alias("v"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} rows < k={k} codewords")
+    books = [
+        [list(r["v"][j * sub : (j + 1) * sub]) for r in rows]
+        for j in range(m)
+    ]
     return np.array(books)  # (m, k, sub)
 
 
@@ -179,6 +237,7 @@ def pq_topk(
     k: int = 10,
     corpus: DataFrame | None = None,
     rerank: int = 0,
+    normalize: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, approx_dist, rank) by ADC: per-query
     m x k distance table broadcast, m lookups per corpus code row.
@@ -188,7 +247,8 @@ def pq_topk(
     the exact fixed-point cosine then re-ranks that shortlist — the
     production PQ shape: full vectors are fetched for
     O(queries x rerank) rows, never the corpus, and recall is set by
-    the shortlist depth instead of the code resolution."""
+    the shortlist depth instead of the code resolution.
+    ``normalize`` must match the flag the codes were encoded with."""
     m, kk, sub = codebooks.shape
     qb = _quantized_books(codebooks)
     qrows = queries.select(id_col, vec_col).collect()
@@ -196,7 +256,8 @@ def pq_topk(
     table_rows = []
     for r in qrows:
         raw = np.array(r[vec_col], dtype=np.float64)
-        raw = raw / np.sqrt((raw * raw).sum())
+        if normalize:
+            raw = raw / np.sqrt((raw * raw).sum())
         table_rows.append((int(r[id_col]), _adc_table(raw, qb, m, sub)))
     tables = spark.createDataFrame(
         table_rows, f"query_id long, dtable array<long>"
@@ -238,14 +299,26 @@ def pq_topk(
     )
     if shortlist == k:
         return top
-    from frames_spark.dedup.embedding import _fixed
-    from frames_spark.functions.vectors import (
-        cosine_from_fixed,
-        dot_fixed,
-        norm2_fixed,
+    return _exact_rerank(
+        top.select("query_id", "neighbor_id"), corpus, queries,
+        id_col, vec_col, k,
     )
 
-    cand = top.select("query_id", "neighbor_id")
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact fixed-point cosine top-k over a (query_id, neighbor_id)
+    shortlist — the closing stage shared by pq_topk, ivfpq_topk and
+    the deterministic tier."""
+    from frames_spark.dedup.embedding import _fixed
+    from frames_spark.functions.vectors import cosine_from_fixed, dot_fixed
+
     cvec = _fixed(corpus, id_col, vec_col).select(
         F.col("vid").alias("neighbor_id"),
         F.col("fvec").alias("cvec"),
@@ -281,6 +354,100 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfpq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    codebook_k: int = 32,
+    rerank: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-ADC on the fully DETERMINISTIC index pair: ±1 md5 codebook
+    cells (dedup/semdedup.py) + hash-sampled PQ codebooks over the RAW
+    vectors (fit_pq_det; no residual encoding — residuals subtract a
+    float centroid, which would put a non-replayable float op ahead of
+    quantization). Query routing, cell pruning, codes, and the ADC
+    shortlist are all exact integers, so — unlike the twice-trained
+    ivfpq_topk — every leg carries a DuckDB value oracle; the exact
+    fixed-point cosine re-rank closes it. ivfpq_topk (KMeans cells +
+    residual PQ) stays the corpus-adapted production composite."""
+    from frames_spark.dedup.embedding import _fixed
+    from frames_spark.dedup.semdedup import _codebook, assign_clusters
+    from frames_spark.functions.vectors import dot_fixed
+
+    cells = assign_clusters(corpus, id_col, vec_col, n_centroids, dim).select(
+        F.col("vid").alias(id_col), "cluster"
+    )
+    books = fit_pq_det(corpus, id_col, vec_col, m=m, k=codebook_k)
+    codes = encode_pq(corpus, id_col, vec_col, books, normalize=False).join(
+        cells, id_col
+    )
+
+    qf = _fixed(queries, id_col, vec_col)
+    cell_dots = F.transform(
+        _codebook(n_centroids, dim),
+        lambda comp: dot_fixed(F.col("fvec"), comp),
+    )
+    qcells = qf.select(
+        F.col("vid").alias("query_id"),
+        F.posexplode(cell_dots).alias("cluster", "cdot"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        qcells.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cluster")
+    )
+
+    mm, kk, sub = books.shape
+    qb = _quantized_books(books)
+    spark = corpus.sparkSession
+    table_rows = [
+        (int(r[id_col]), _adc_table(
+            np.array(r[vec_col], dtype=np.float64), qb, mm, sub
+        ))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    tables = spark.createDataFrame(
+        table_rows, "query_id long, dtable array<long>"
+    )
+    dist = F.aggregate(
+        F.expr(
+            f"zip_with(codes, sequence(0, {mm - 1}), "
+            f"(c, j) -> element_at(dtable, j * {kk} + c + 1))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # cluster equi-join against the probe set = only probed cells scan
+    scored = (
+        codes.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(tables), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("approx_dist"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("approx_dist"), "neighbor_id"
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
 
 
 def save_pq(codes: DataFrame, codebooks: np.ndarray, path: str) -> None:

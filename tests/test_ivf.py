@@ -49,10 +49,13 @@ def test_ivf_recall(emb, qs):
 def test_ivf_recall_profile_query(spark, sf_dir):
     """The registered q_ann_ivf_recall profile: recall@5 is monotone
     non-decreasing in nprobe, EXACTLY 1.0 at full probe (nprobe ==
-    n_centroids makes IVF brute force regardless of training), and
-    the partial-probe floor holds. On real clustered corpora the
-    mid-profile would sit near 1.0; the synthetic uniform vectors
-    here are IVF's worst case, so the floor is deliberately loose."""
+    n_centroids makes IVF brute force regardless of the quantizer),
+    and the partial-probe floor holds. Since r10 the registered query
+    runs the DETERMINISTIC ±1 codebook quantizer (value-oracle tier),
+    whose cells are not corpus-adapted — on these synthetic uniform
+    vectors (IVF's worst case) its mid-profile sits below the KMeans
+    quantizer's, so the floor is looser; the KMeans profile keeps its
+    own floor in test_ivf_recall_profile_kmeans below."""
     from frames_spark.queries import q_ann_ivf_recall
 
     rows = sorted(q_ann_ivf_recall(spark, sf_dir).collect(), key=lambda r: r.nprobe)
@@ -60,8 +63,43 @@ def test_ivf_recall_profile_query(spark, sf_dir):
     recalls = [r.recall_at_5 for r in rows]
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[-1] == 1.0, f"full probe not exact: {recalls}"
-    assert recalls[1] >= 0.5, f"nprobe=3 recall floor broken: {recalls}"
+    assert recalls[1] >= 0.4, f"nprobe=3 recall floor broken: {recalls}"
     assert all(r.n_exact == rows[0].n_exact for r in rows)
+
+
+def test_ivf_recall_profile_kmeans(spark, sf_dir):
+    """The KMeans-quantizer recall profile (the corpus-adapted
+    production tier, no longer the registered query): same contract
+    with the original tighter mid-profile floor."""
+    from pyspark.sql import functions as F
+
+    from frames_spark.similarity import ann as ann_ops
+    from frames_spark.similarity.ivf import build_ivf, ivf_search
+    from frames_spark.sources.tables import load_table
+
+    emb2 = load_table(spark, sf_dir, "embeddings")
+    queries = emb2.filter(F.col("vec_id") < 3)
+    exact = set(
+        (r.query_id, r.neighbor_id)
+        for r in ann_ops.brute_force_topk(
+            emb2, queries, "vec_id", "embedding", k=5
+        ).collect()
+    )
+    assigned, centroids = build_ivf(emb2, "vec_id", "embedding", n_centroids=8)
+    assigned = assigned.persist()
+    recalls = []
+    for nprobe in (3, 8):
+        got = set(
+            (r.query_id, r.neighbor_id)
+            for r in ivf_search(
+                assigned, centroids, queries, "vec_id", "embedding",
+                k=5, nprobe=nprobe,
+            ).collect()
+        )
+        recalls.append(len(exact & got) / len(exact))
+    assigned.unpersist()
+    assert recalls[0] >= 0.5, recalls
+    assert recalls[1] == 1.0, recalls
 
 
 def test_ivf_candidate_join_shape(emb, qs):
