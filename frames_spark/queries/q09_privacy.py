@@ -421,3 +421,148 @@ def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fertility_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index pre-flight audits (the q_lsh_bucket_stats / semdedup_cluster_
+# stats pattern, extended to the r10 deterministic ANN tiers): run
+# these BEFORE building an IVF or PQ index on a new corpus — a
+# degenerate cell-size histogram or starved codebook means the
+# quantizer parameters need resizing, and catching that costs one
+# aggregate instead of a bad index build. Both fully value-gated.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ivf_cell_stats",
+    f"""{_IVF_DET_PREFIX},
+    sizes AS (SELECT cluster, COUNT(*) AS n FROM best GROUP BY cluster)
+    SELECT CAST(n AS BIGINT) AS cell_size,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM sizes GROUP BY n
+    ORDER BY cell_size DESC
+    """,
+)
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size histogram of the deterministic IVF quantizer — the
+    probe-cost model: a query probing nprobe cells scans the sum of
+    those cells' sizes, so a skewed histogram means unbalanced probe
+    latencies (and a dominant cell means the codebook is too small
+    for the corpus shape)."""
+    from frames_spark.dedup.semdedup import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = (
+        assign_clusters(emb, "vec_id", "embedding", _IVF_DET_K, 64)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sizes.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .select(F.col("n").cast("long").alias("cell_size"), "n_cells")
+        .orderBy(F.desc("cell_size"))
+    )
+
+
+@register(
+    "q_pq_code_stats",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    {_PQ_DET_CTES},
+    load AS (
+      SELECT j, c, COUNT(*) AS cnt FROM pqcodes GROUP BY j, c
+    )
+    SELECT CAST(j AS BIGINT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+           CAST(MAX(cnt) AS BIGINT) AS max_code_load
+    FROM load GROUP BY j
+    ORDER BY subspace
+    """,
+)
+def q_pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-utilization audit: per subspace, how many of the
+    k codewords the corpus actually uses and the hottest codeword's
+    load. n_codes_used << k means the sampled codebook wastes
+    resolution (resample with a different seed or train); a huge
+    max_code_load means ADC distances stop discriminating in that
+    subspace."""
+    from frames_spark.similarity.pq import encode_pq, fit_pq_det
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = fit_pq_det(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+    codes = encode_pq(emb, "vec_id", "embedding", cb, normalize=False)
+    jc = codes.select(F.posexplode("codes").alias("j", "c"))
+    load = jc.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        load.groupBy("j")
+        .agg(
+            F.countDistinct("c").cast("long").alias("n_codes_used"),
+            F.max("cnt").cast("long").alias("max_code_load"),
+        )
+        .select(F.col("j").cast("long").alias("subspace"),
+                "n_codes_used", "max_code_load")
+        .orderBy("subspace")
+    )
+
+
+# Weekly rollup from the STORED daily register relations — the
+# second granularity of the store-parts/merge-at-read pattern
+# (q_sketch_users is the daily leg): coarser windows re-max the
+# day cells, never re-scan events. Value-gated end to end.
+@register(
+    "q_sketch_users_weekly",
+    f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {hash60_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+      FROM events
+    ), keyed AS (
+      SELECT day, h % {_SKQ_M} AS bucket, (h - (h % {_SKQ_M})) // {_SKQ_M} AS rem
+      FROM h
+    ), cells AS (
+      SELECT day, bucket, MAX({_SKQ_RHO_SQL}) AS max_rho
+      FROM keyed GROUP BY day, bucket
+    ), wcells AS (
+      SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+             bucket, MAX(max_rho) AS max_rho
+      FROM cells GROUP BY 1, 2
+    ), agg AS (
+      SELECT week, SUM(power(2.0, -max_rho)) AS z, COUNT(*) AS nb
+      FROM wcells GROUP BY week
+    ), r AS (
+      SELECT week, {_SKQ_AMM} / (z + CAST({_SKQ_M} - nb AS DOUBLE)) AS raw,
+             CAST({_SKQ_M} - nb AS DOUBLE) AS empty, nb
+      FROM agg
+    ), ex AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT r.week,
+           CAST(FLOOR({_SKQ_EST_SQL} * 1000000 + 0.5) AS BIGINT) AS est_micros,
+           CAST({_SKQ_M} - nb AS BIGINT) AS n_empty,
+           ex.exact_distinct
+    FROM r JOIN ex USING (week)
+    ORDER BY week
+    """,
+)
+def q_sketch_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.sketches import hll_cells_by, hll_estimate_by
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    cells = hll_cells_by(ev, ["day"], "user_id", p=_SKQ_P)
+    wcells = (
+        cells.withColumn("week", F.date_trunc("week", F.col("day")))
+        .groupBy("week", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = hll_estimate_by(wcells, ["week"], p=_SKQ_P).drop("raw_micros")
+    exact = (
+        ev.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "week").orderBy("week")
