@@ -566,3 +566,177 @@ def q_sketch_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     return est.join(exact, "week").orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# Power-method PCA — the value-gated twin of q_embed_pca. The
+# production path (similarity/pca.py fit_pca) eigensolves the d x d
+# covariance with LAPACK on the driver, which no SQL engine replays;
+# this query computes the SAME top principal axis by integer matrix
+# SQUARING over the exact fixed-point scatter matrix, so every
+# intermediate is an integer both engines agree on bit-for-bit. The
+# corpus pass (the only data-sized stage) is the q_embed_covariance
+# scan-stage Gram plan; the d x d squaring ladder is model-sized on
+# the driver, mirrored by 10 unrolled AS MATERIALIZED CTE rounds (the
+# q_markov_stationary idiom — squaring, not plain power iteration,
+# because the near-isotropic synthetic spectrum would need hundreds
+# of matvec rounds; 10 squarings = C^1024 independent of the gap).
+# Renormalization uses the sign-safe truncating division
+# sign(x) * (|x| * SCALE // max|x|) — the one form Python, Spark and
+# DuckDB agree on for negative operands. Output: the quantized axis
+# plus an integer-Rayleigh eigenvalue and explained-variance share
+# (against the exact integer trace).
+# ---------------------------------------------------------------------------
+
+_PCA_SQUARINGS = 10
+_PCA_MS = 100_000_000_000  # matrix scale: 64 * (1e11)^2 * 1e11 < HUGEINT
+
+
+def _pca_square_ctes(rounds: int) -> str:
+    parts = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", p{t} AS MATERIALIZED (
+      SELECT a.i AS i, b.j AS j, SUM(a.c * b.c) AS c
+      FROM m{t - 1} a JOIN m{t - 1} b ON a.j = b.i GROUP BY 1, 2
+    ), x{t} AS MATERIALIZED (
+      SELECT MAX(ABS(c)) AS m FROM p{t}
+    ), m{t} AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN x.m = 0 THEN c
+                  ELSE (ABS(c) * {_PCA_MS} // x.m)
+                       * (CASE WHEN c < 0 THEN -1 ELSE 1 END)
+             END AS c
+      FROM p{t}, x{t} x
+    )"""
+        )
+    return "".join(parts)
+
+
+# shared prefix: exact integer scatter matrix + the unrolled rounds
+_PCA_CHAIN_SQL = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS qi
+      FROM q
+    ), g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(a.qi AS HUGEINT) * b.qi) AS s_ij
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ), mom AS MATERIALIZED (
+      SELECT i, SUM(CAST(qi AS HUGEINT)) AS s, COUNT(*) AS n FROM ex GROUP BY i
+    ), cm AS MATERIALIZED (
+      SELECT g.i AS i, g.j AS j, mi.n * g.s_ij - mi.s * mj.s AS c
+      FROM g JOIN mom mi ON g.i = mi.i JOIN mom mj ON g.j = mj.i
+      UNION ALL
+      SELECT g.j, g.i, mi.n * g.s_ij - mi.s * mj.s
+      FROM g JOIN mom mi ON g.i = mi.i JOIN mom mj ON g.j = mj.i
+      WHERE g.i < g.j
+    ), nn AS (
+      SELECT MAX(n) AS n FROM mom
+    ), x0 AS (
+      SELECT MAX(ABS(c)) AS m FROM cm
+    ), m0 AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN x.m = 0 THEN c
+                  ELSE (ABS(c) * {_PCA_MS} // x.m)
+                       * (CASE WHEN c < 0 THEN -1 ELSE 1 END)
+             END AS c
+      FROM cm, x0 x
+    ){_pca_square_ctes(_PCA_SQUARINGS)}, wv AS MATERIALIZED (
+      SELECT i, SUM(c) AS w FROM m{_PCA_SQUARINGS} GROUP BY i
+    ), mw AS (
+      SELECT MAX(ABS(w)) AS m FROM wv
+    ), vf AS MATERIALIZED (
+      SELECT i,
+             CASE WHEN mw.m = 0 THEN CAST(1000000 AS HUGEINT)
+                  ELSE (ABS(w) * 1000000 // mw.m)
+                       * (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+             END AS v
+      FROM wv, mw
+    )"""
+
+
+@register(
+    "q_pca_power",
+    _PCA_CHAIN_SQL
+    + """
+    , rq AS (
+      SELECT SUM(va.v * cm.c * vb.v) AS num
+      FROM cm JOIN vf va ON cm.i = va.i
+              JOIN vf vb ON cm.j = vb.i
+    ), dn AS (
+      SELECT SUM(v * v) AS den FROM vf
+    ), tr AS (
+      SELECT SUM(c) AS t FROM cm WHERE i = j
+    ), qq AS (
+      SELECT num // den AS q FROM rq, dn
+    )
+    SELECT CAST(vt.i AS BIGINT) AS i, CAST(vt.v AS BIGINT) AS v,
+           CAST(qq.q * 1000000 // (nn.n * nn.n * 1099511627776) AS BIGINT)
+             AS lambda_micros,
+           CAST(CASE WHEN tr.t > 0 THEN qq.q * 1000000 // tr.t ELSE 0 END
+             AS BIGINT) AS explained_frac_micros
+    FROM vf vt, qq, tr, nn
+    """,
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.pca import power_pca_int
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v, lam, frac, d = power_pca_int(e, "embedding", squarings=_PCA_SQUARINGS)
+    return spark.createDataFrame(
+        [(i, v[i], lam, frac) for i in range(d)],
+        "i bigint, v bigint, lambda_micros bigint, "
+        "explained_frac_micros bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Project the corpus onto the power-iteration axis — the distributed
+# half of the PCA round trip. The learned axis travels as a constant-
+# folded integer literal into one scan-stage zip_with/aggregate dot
+# per row (no UDF, no shuffle, no join); products stay in BIGINT
+# (|qv| < 2^20, |v| <= 10^6, d = 64 => |proj| < 2^46). The oracle
+# replays the full chain and takes the same dot with
+# list_inner_product — every partial is an integer below 2^53, so
+# the float accumulation is exact in any order (the r10
+# q_dedup_embed idiom).
+# ---------------------------------------------------------------------------
+@register(
+    "q_pca_project_power",
+    _PCA_CHAIN_SQL
+    + """
+    , vl AS (
+      SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS vl FROM vf
+    )
+    SELECT q.vec_id,
+           CAST(list_inner_product(
+             list_transform(q.qv, x -> CAST(x AS DOUBLE)), vl.vl)
+             AS BIGINT) AS proj
+    FROM q, vl
+    """,
+)
+def q_pca_project_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.vectors import to_fixed
+    from frames_spark.similarity.pca import power_pca_int
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v, _lam, _frac, _d = power_pca_int(
+        e, "embedding", squarings=_PCA_SQUARINGS
+    )
+    lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    dot = F.aggregate(
+        F.zip_with(
+            to_fixed(F.col("embedding")), lit, lambda x, a: x * a
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    return e.select("vec_id", dot.alias("proj"))

@@ -29,7 +29,14 @@ from pyspark.sql import functions as F
 
 from frames_spark.functions.vectors import FIXED_POINT, to_fixed
 
-__all__ = ["PCAModel", "covariance_matrix", "fit_pca", "project_pca"]
+__all__ = [
+    "PCAModel",
+    "covariance_matrix",
+    "covariance_int",
+    "fit_pca",
+    "power_pca_int",
+    "project_pca",
+]
 
 
 @dataclass(frozen=True)
@@ -77,6 +84,131 @@ def covariance_matrix(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarr
     fp = float(FIXED_POINT)
     cov = (g * n - np.outer(s, s)) / n / n / fp / fp
     return cov, s / n / fp, n
+
+
+def covariance_int(
+    df: DataFrame, vec_col: str
+) -> tuple[dict[tuple[int, int], int], int, int]:
+    """Exact INTEGER scatter matrix C[i][j] = n*G_ij - S_i*S_j.
+
+    Same distributed pass as :func:`covariance_matrix`, but the Gram
+    sums come back as ``decimal(38,0)`` and stay Python ints — no
+    float conversion, so C is bit-identical to a SQL twin built from
+    the same fixed-point quantization (cov = C / (n^2 * FIXED_POINT^2)).
+    Returns (full symmetric {(i, j): c}, n, d).
+    """
+    q = df.select(to_fixed(F.col(vec_col)).alias("qv"))
+    terms = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (xi, i) -> "
+                "transform(slice(qv, i + 1, size(qv) - i), (xj, jo) -> "
+                "struct(i AS i, i + jo AS j, xi * xj AS prod))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.prod")
+    gram_rows = (
+        terms.groupBy("i", "j")
+        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("s_ij"))
+        .collect()
+    )
+    mom_rows = (
+        q.select(F.posexplode("qv").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    d = max(r["i"] for r in mom_rows) + 1
+    n = int(mom_rows[0]["n"])
+    s = {r["i"]: int(r["s"]) for r in mom_rows}
+    cmat: dict[tuple[int, int], int] = {}
+    for r in gram_rows:
+        i, j = int(r["i"]), int(r["j"])
+        c = n * int(r["s_ij"]) - s[i] * s[j]
+        cmat[(i, j)] = c
+        cmat[(j, i)] = c
+    return cmat, n, d
+
+
+_PCA_SCALE = 1_000_000
+_PCA_MAT_SCALE = 100_000_000_000  # 1e11: 64 * (1e11)^2 * 1e11 < HUGEINT max
+
+
+def _rescale_int(x: int, mx: int, scale: int) -> int:
+    """sign(x) * (|x| * scale // mx) — the sign-safe truncating
+    rescale Python, Spark and DuckDB agree on for negative operands
+    (Python // floors negatives, DuckDB // truncates; on |x| they
+    coincide)."""
+    q = abs(x) * scale // mx
+    return -q if x < 0 else q
+
+
+def power_pca_int(
+    df: DataFrame, vec_col: str, squarings: int = 10
+) -> tuple[list[int], int, int, int]:
+    """Top principal axis by integer matrix SQUARING — the
+    SQL-oracle-able twin of :func:`fit_pca` (which stays the
+    production path; LAPACK beats this when you can afford a driver
+    eigensolve, but its float internals have no cross-engine replay).
+
+    Plain power iteration needs O(lambda1 / (lambda1 - lambda2))
+    rounds — hundreds on a near-isotropic spectrum like random
+    embeddings. Repeated squaring reaches effective power 2^k in k
+    rounds: 10 squarings = C^1024, which suppresses every trailing
+    eigendirection by (lambda_i/lambda_1)^1024 regardless of the gap.
+    Each round renormalizes the matrix to ``_PCA_MAT_SCALE`` with the
+    sign-safe truncating division (quantization ~1e-11 relative per
+    round — far below the 1e-3 verification band, and in any case
+    mirrored bit-for-bit by the oracle's CTE rounds). The final axis
+    is C^1024 applied to the ones vector; eigenvalue by integer
+    Rayleigh quotient against the ORIGINAL scatter matrix,
+    explained-variance share against its exact integer trace.
+    Returns (v (d,) ints in [-1e6, 1e6], lambda_micros,
+    explained_frac_micros, d); lambda is in covariance units (the C
+    eigenvalue divided by n^2 * FIXED_POINT^2).
+    """
+    cmat, n, d = covariance_int(df, vec_col)
+    c = [[cmat.get((i, j), 0) for j in range(d)] for i in range(d)]
+    mx = max(abs(x) for row in c for x in row)
+    m = (
+        [[0] * d for _ in range(d)]
+        if mx == 0
+        else [[_rescale_int(x, mx, _PCA_MAT_SCALE) for x in row] for row in c]
+    )
+    for _ in range(squarings):
+        p = [
+            [
+                sum(m[i][j] * m[j][k] for j in range(d))
+                for k in range(d)
+            ]
+            for i in range(d)
+        ]
+        mx = max(abs(x) for row in p for x in row)
+        m = (
+            p
+            if mx == 0
+            else [
+                [_rescale_int(x, mx, _PCA_MAT_SCALE) for x in row]
+                for row in p
+            ]
+        )
+    w = [sum(m[i][j] for j in range(d)) for i in range(d)]  # M @ ones
+    mw = max(abs(x) for x in w)
+    v = (
+        [_PCA_SCALE] * d
+        if mw == 0
+        else [_rescale_int(x, mw, _PCA_SCALE) for x in w]
+    )
+    num = sum(v[i] * c[i][j] * v[j] for i in range(d) for j in range(d))
+    den = sum(x * x for x in v)
+    q1 = num // den  # num >= 0 (C is PSD), den > 0 — truncation-safe
+    fp2 = FIXED_POINT * FIXED_POINT
+    lambda_micros = q1 * _PCA_SCALE // (n * n * fp2)
+    trace = sum(c[i][i] for i in range(d))
+    explained_frac_micros = (
+        q1 * _PCA_SCALE // trace if trace > 0 else 0
+    )
+    return v, lambda_micros, explained_frac_micros, d
 
 
 def fit_pca(df: DataFrame, vec_col: str, k: int = 2) -> PCAModel:

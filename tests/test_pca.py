@@ -66,3 +66,53 @@ def test_fit_layout_invariant(spark, sf_dir):
     m1 = fit_pca(e, "embedding", k=2)
     m2 = fit_pca(e.repartition(7), "embedding", k=2)
     np.testing.assert_array_equal(m1.components, m2.components)
+
+
+def test_power_pca_converges_to_top_eigenvector(spark, sf_dir):
+    """The 10-squaring integer power method (effective power 1024) must land on (±) numpy's
+    top eigenvector, its Rayleigh eigenvalue within ~0.1% of eigh's
+    top eigenvalue, and the explained fraction within 0.1% of the
+    numpy ratio — proving the SQL-oracle-able twin computes the same
+    mathematics as the LAPACK production path."""
+    from frames_spark.similarity.pca import power_pca_int
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v, lam_micros, frac_micros, d = power_pca_int(e, "embedding")
+
+    _, x = _vectors(sf_dir)
+    fp = 1 << 20
+    q = np.floor(x * fp + 0.5)
+    cov = np.cov(q.T, bias=True) / fp / fp
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+
+    u = np.array(v, dtype=np.float64)
+    cos = abs(u @ top) / np.linalg.norm(u)
+    assert d == len(top)
+    assert cos > 0.999, cos
+    assert abs(lam_micros / 1e6 - vals[-1]) <= 1e-3 * vals[-1] + 2e-6
+    exp_frac = vals[-1] / np.trace(cov)
+    assert abs(frac_micros / 1e6 - exp_frac) <= 1e-3 * exp_frac + 2e-6
+
+
+def test_power_pca_projection_matches_numpy(spark, sf_dir):
+    """q_pca_project_power's integer dots equal the numpy dot of the
+    quantized corpus against the integer axis, row for row."""
+    from frames_spark.queries import QUERIES
+
+    ids, x = _vectors(sf_dir)
+    fp = 1 << 20
+    q = np.floor(x * fp + 0.5).astype(np.int64)
+
+    from frames_spark.similarity.pca import power_pca_int
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v, _, _, _ = power_pca_int(e, "embedding")
+    exp = q @ np.array(v, dtype=np.int64)
+
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in QUERIES["q_pca_project_power"](spark, sf_dir).collect()
+    }
+    for vid, want in zip(ids, exp):
+        assert got[int(vid)] == int(want)
