@@ -740,3 +740,92 @@ def q_pca_project_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, p: acc + p,
     )
     return e.select("vec_id", dot.alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (FaceNet-style, Schroff et al. 2015) — per
+# anchor, the k most-similar DIFFERENT-label vectors: the standard
+# prep step before contrastive / retrieval-embedding training.
+# Candidates come from the multi-table hyperplane LSH shared
+# sign-array pass (similarity/negatives.py — never all-pairs; the
+# label test runs inside the bucket expansion so same-label pairs
+# never reach the cosine), exact fixed-point cosine once per deduped
+# directed pair, top-k per anchor by one anchor-partitioned window.
+# The oracle replays the md5 plane signs, the max_bucket guard, the
+# label filter and the ROW_NUMBER ranking bit-for-bit (the
+# q_dedup_embed oracle pattern + list_inner_product dots).
+# ---------------------------------------------------------------------------
+
+_HN_PLANES = 4
+_HN_TABLES = 8
+_HN_MAXB = 4000
+_HN_K = 3
+
+
+@register(
+    "q_hard_negatives",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(_HN_PLANES * _HN_TABLES)}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    banded AS (
+      SELECT vec_id, p // {_HN_PLANES} AS tbl,
+             string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id, p // {_HN_PLANES}
+    ),
+    ok_buckets AS (
+      SELECT tbl, bucket FROM banded
+      GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND {_HN_MAXB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+      FROM banded a
+      JOIN ok_buckets ob ON a.tbl = ob.tbl AND a.bucket = ob.bucket
+      JOIN banded b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                   AND a.vec_id != b.vec_id
+      JOIN lab la ON la.vec_id = a.vec_id
+      JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label != lb.label
+    ),
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
+      FROM fixed GROUP BY vec_id
+    ),
+    cos AS (
+      SELECT anchor_id, neg_id,
+             CAST(list_inner_product(a.v, b.v) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+               AS cosine
+      FROM cand JOIN vecs a ON a.vec_id = anchor_id
+                JOIN vecs b ON b.vec_id = neg_id
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, neg_id) AS rank
+      FROM cos
+    )
+    SELECT anchor_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.negatives import hard_negatives_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        k=_HN_K,
+        num_planes=_HN_PLANES,
+        num_tables=_HN_TABLES,
+        max_bucket=_HN_MAXB,
+    )

