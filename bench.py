@@ -124,6 +124,9 @@ BENCH_QUERIES = {
     "unigram_em1": Q.q_unigram_em1,
     "semdedup_cells": Q.q_semdedup_cells,
     "k_anonymity": Q.q_k_anonymity,
+    "sketch_users_weekly": Q.q_sketch_users_weekly,
+    "pca_power": Q.q_pca_power,
+    "hard_negatives": Q.q_hard_negatives,
 }
 
 

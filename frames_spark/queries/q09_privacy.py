@@ -762,9 +762,13 @@ _HN_MAXB = 4000
 _HN_K = 3
 
 
-@register(
-    "q_hard_negatives",
-    f"""
+def _mined_oracle(label_op: str, order: str, k: int) -> str:
+    """Self-contained SELECT (anchor_id, cand_id, cosine, rank) —
+    the oracle twin of similarity/negatives.py's _mined_topk_lsh:
+    ``label_op`` '!=' + order DESC mines hardest negatives, '=' +
+    ASC mines hardest positives. Usable as a derived table (nested
+    WITH — the established DuckDB idiom)."""
+    return f"""
     WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
     lab AS (SELECT vec_id, label FROM embeddings),
     planes(p, i, c) AS (VALUES {_lsh_planes_values(_HN_PLANES * _HN_TABLES)}),
@@ -784,35 +788,43 @@ _HN_K = 3
       GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND {_HN_MAXB}
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id
       FROM banded a
       JOIN ok_buckets ob ON a.tbl = ob.tbl AND a.bucket = ob.bucket
       JOIN banded b ON b.tbl = a.tbl AND b.bucket = a.bucket
                    AND a.vec_id != b.vec_id
       JOIN lab la ON la.vec_id = a.vec_id
       JOIN lab lb ON lb.vec_id = b.vec_id
-      WHERE la.label != lb.label
+      WHERE la.label {label_op} lb.label
     ),
     vecs AS MATERIALIZED (
       SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
       FROM fixed GROUP BY vec_id
     ),
     cos AS (
-      SELECT anchor_id, neg_id,
+      SELECT anchor_id, cand_id,
              CAST(list_inner_product(a.v, b.v) AS DOUBLE)
                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
                AS cosine
       FROM cand JOIN vecs a ON a.vec_id = anchor_id
-                JOIN vecs b ON b.vec_id = neg_id
+                JOIN vecs b ON b.vec_id = cand_id
     ),
     ranked AS (
-      SELECT anchor_id, neg_id, cosine,
+      SELECT anchor_id, cand_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY anchor_id
-                                ORDER BY cosine DESC, neg_id) AS rank
+                                ORDER BY cosine {order}, cand_id) AS rank
       FROM cos
     )
-    SELECT anchor_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {_HN_K}
+    SELECT anchor_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "q_hard_negatives",
+    f"""
+    SELECT anchor_id, cand_id AS neg_id, cosine, rank
+    FROM ({_mined_oracle("!=", "DESC", _HN_K)}) t
     """,
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,4 +840,70 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=_HN_PLANES,
         num_tables=_HN_TABLES,
         max_bucket=_HN_MAXB,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triplet mining — the full FaceNet prep artifact: per anchor, the
+# hardest POSITIVE (least-similar same-label bucket mate — the pair
+# the embedding must pull together) joined with the hardest NEGATIVE
+# (most-similar different-label — the pair it must push apart), plus
+# the margin a triplet loss would see and whether it is violated at
+# alpha = 0.2. Anchors appear iff both a positive and a negative
+# exist among their bucket mates (inner join, mirrored). Both sides
+# ride the same shared-sign-array LSH pass; the margin quantizes the
+# difference of two bit-identical doubles, so it is engine-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q_triplet_mining",
+    f"""
+    WITH j AS (
+      SELECT p.anchor_id,
+             p.cand_id AS pos_id, p.cosine AS pos_cosine,
+             n.cand_id AS neg_id, n.cosine AS neg_cosine,
+             CAST(FLOOR((p.cosine - n.cosine) * 1000000 + 0.5) AS BIGINT)
+               AS margin_micros
+      FROM ({_mined_oracle("=", "ASC", 1)}) p
+      JOIN ({_mined_oracle("!=", "DESC", 1)}) n
+        ON p.anchor_id = n.anchor_id
+    )
+    SELECT anchor_id, pos_id, pos_cosine, neg_id, neg_cosine,
+           margin_micros, margin_micros < 200000 AS violated
+    FROM j
+    """,
+)
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.negatives import (
+        hard_negatives_lsh,
+        hard_positives_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(
+        k=1,
+        num_planes=_HN_PLANES,
+        num_tables=_HN_TABLES,
+        max_bucket=_HN_MAXB,
+    )
+    pos = hard_positives_lsh(emb, "vec_id", "embedding", "label", **kw).select(
+        "anchor_id", "pos_id", F.col("cosine").alias("pos_cosine")
+    )
+    neg = hard_negatives_lsh(emb, "vec_id", "embedding", "label", **kw).select(
+        "anchor_id", "neg_id", F.col("cosine").alias("neg_cosine")
+    )
+    margin = F.floor(
+        (F.col("pos_cosine") - F.col("neg_cosine")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        pos.join(neg, "anchor_id")
+        .withColumn("margin_micros", margin)
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_cosine",
+            "neg_id",
+            "neg_cosine",
+            "margin_micros",
+            (F.col("margin_micros") < 200000).alias("violated"),
+        )
     )

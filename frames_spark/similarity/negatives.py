@@ -40,23 +40,26 @@ from frames_spark.functions.vectors import (
     to_fixed,
 )
 
-__all__ = ["hard_negatives_lsh"]
+__all__ = ["hard_negatives_lsh", "hard_positives_lsh"]
 
 
-def hard_negatives_lsh(
+def _mined_topk_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
-    k: int = 3,
-    num_planes: int = 4,
-    num_tables: int = 8,
-    dim: int = 64,
-    max_bucket: int = 4000,
+    k: int,
+    same_label: bool,
+    ascending: bool,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+    max_bucket: int,
 ) -> DataFrame:
-    """(anchor_id, neg_id, cosine, rank) — per anchor, the k
-    most-similar DIFFERENT-label vectors among its LSH bucket mates,
-    ranked by exact fixed-point cosine (ties broken by neg_id)."""
+    """Shared miner: per anchor, the k hardest bucket-mates under the
+    label predicate — most-similar different-label (negatives) or
+    least-similar same-label (positives), FaceNet's two "hardest"
+    directions. (anchor_id, cand_id, cosine, rank)."""
     from frames_spark.operators.core import spread
 
     base = (
@@ -90,23 +93,24 @@ def hard_negatives_lsh(
         .filter(F.size("vs").between(2, max_bucket))
     )
     # directed expansion with the label test inside the lambda:
-    # same-label pairs never materialize
+    # pairs failing the predicate never materialize
+    lbl_op = "=" if same_label else "!="
     pairs = F.expr(
         "flatten(transform(vs, x ->"
         " filter(transform(vs, y -> struct(x AS a, y AS b)),"
-        " p -> p.a.vid != p.b.vid AND p.a.lbl != p.b.lbl)))"
+        f" p -> p.a.vid != p.b.vid AND p.a.lbl {lbl_op} p.b.lbl)))"
     )
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
         .select(
             F.col("p.a.vid").alias("anchor_id"),
-            F.col("p.b.vid").alias("neg_id"),
+            F.col("p.b.vid").alias("cand_id"),
             F.col("p.a.fvec").alias("va"),
             F.col("p.b.fvec").alias("vb"),
             F.col("p.a.n2").alias("na2"),
             F.col("p.b.n2").alias("nb2"),
         )
-        .dropDuplicates(["anchor_id", "neg_id"])
+        .dropDuplicates(["anchor_id", "cand_id"])
     )
     scored = cand.withColumn(
         "cosine",
@@ -114,16 +118,61 @@ def hard_negatives_lsh(
             dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
         ),
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("cosine").desc(), F.col("neg_id")
-    )
+    order = F.col("cosine").asc() if ascending else F.col("cosine").desc()
+    w = Window.partitionBy("anchor_id").orderBy(order, F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "anchor_id",
-            "neg_id",
+            "cand_id",
             "cosine",
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def hard_negatives_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """(anchor_id, neg_id, cosine, rank) — per anchor, the k
+    MOST-similar DIFFERENT-label bucket mates (the negatives a
+    contrastive loss actually learns from)."""
+    out = _mined_topk_lsh(
+        df, id_col, vec_col, label_col, k,
+        same_label=False, ascending=False,
+        num_planes=num_planes, num_tables=num_tables,
+        dim=dim, max_bucket=max_bucket,
+    )
+    return out.withColumnRenamed("cand_id", "neg_id")
+
+
+def hard_positives_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """(anchor_id, pos_id, cosine, rank) — per anchor, the k
+    LEAST-similar SAME-label bucket mates (FaceNet's hardest
+    positives: the pairs the embedding must pull together)."""
+    out = _mined_topk_lsh(
+        df, id_col, vec_col, label_col, k,
+        same_label=True, ascending=True,
+        num_planes=num_planes, num_tables=num_tables,
+        dim=dim, max_bucket=max_bucket,
+    )
+    return out.withColumnRenamed("cand_id", "pos_id")

@@ -66,3 +66,56 @@ def test_hard_negatives_rank1_beats_random_negative(spark, sf_dir):
         wins += out[int(a)] >= med
     assert total > 0
     assert wins / total > 0.9, (wins, total)
+
+
+def test_hard_positives_are_same_label_and_least_similar(spark, sf_dir):
+    """Positives carry the anchor's own label, and the rank-1 hardest
+    positive is no more similar than the MEDIAN same-label cosine for
+    >90% of anchors (mining finds the hard end of the positives)."""
+    from frames_spark.similarity.negatives import hard_positives_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {
+        r["anchor_id"]: r["cosine"]
+        for r in hard_positives_lsh(
+            emb, "vec_id", "embedding", "label", k=1
+        ).collect()
+    }
+    ids, q, lab = _load(sf_dir)
+    norm = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / np.outer(norm, norm)
+    lbl = {int(i): int(l) for i, l in zip(ids, lab)}
+    wins = total = 0
+    for ai, a in enumerate(ids):
+        if int(a) not in out:
+            continue
+        same = (lab == lab[ai]) & (ids != a)
+        if not same.any():
+            continue
+        med = np.median(cos[ai][same])
+        total += 1
+        wins += out[int(a)] <= med
+    assert total > 0
+    assert wins / total > 0.9, (wins, total)
+
+
+def test_triplet_margin_consistency(spark, sf_dir):
+    """Triplets join the rank-1 positive and negative for the same
+    anchor; margin_micros quantizes pos - neg and the violated flag
+    matches alpha = 0.2."""
+    from frames_spark.queries import QUERIES
+
+    rows = QUERIES["q_triplet_mining"](spark, sf_dir).collect()
+    ids, _, lab = _load(sf_dir)
+    lbl = {int(i): int(l) for i, l in zip(ids, lab)}
+    assert rows
+    for r in rows:
+        assert lbl[r["anchor_id"]] == lbl[r["pos_id"]]
+        assert lbl[r["anchor_id"]] != lbl[r["neg_id"]]
+        import math
+
+        want = math.floor(
+            (r["pos_cosine"] - r["neg_cosine"]) * 1000000 + 0.5
+        )
+        assert r["margin_micros"] == want
+        assert r["violated"] == (r["margin_micros"] < 200000)
