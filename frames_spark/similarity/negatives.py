@@ -9,9 +9,11 @@ Scale shape (the 100 TB posture):
 - candidates come from multi-table hyperplane LSH — the
   dedup/embedding.py shared sign-array pass (one scan computes every
   table's bucket), never an all-pairs join;
-- the label filter runs INSIDE the bucket expansion, before the
-  cross-table dedupe, so same-label pairs never reach the exact
-  cosine;
+- the label filter runs inside the bucket self-join, before the
+  cross-table dedupe, so pairs failing the label predicate never
+  reach the exact cosine — and the join carries LIGHT (id, label)
+  rows only, the vectors joining back once per side after the
+  distinct;
 - ``max_bucket`` drops degenerate buckets ahead of the quadratic
   expansion (mirrored in the oracle), exactly like near_dup_pairs_lsh;
 - the exact fixed-point cosine runs once per deduped (anchor,
@@ -81,42 +83,71 @@ def _mined_topk_lsh(
             ).alias("bucket"),
         ),
     )
+    # LIGHT bucket rows only — (vid, lbl, tbl, bucket). The 64-dim
+    # vectors never enter the quadratic expansion: pairs dedupe as
+    # bare id pairs and the vectors join back ONCE per side after the
+    # distinct. At sf0.1 this is a modest win (~7% — the time is the
+    # exact cosines on the ~40%-of-all-pairs candidate set the
+    # recall-oriented 4-plane/8-table parameters produce), but the
+    # asymptotics matter: a collect_list(struct(fvec)) bucket would
+    # materialize every vector once per bucket-mate, i.e. O(bucket^2)
+    # vector copies per bucket as sizes approach max_bucket, where
+    # this form stays O(bucket) until the post-distinct join.
     banded = base.select(
-        F.struct("vid", "fvec", "n2", "lbl").alias("v"),
-        F.explode(tables).alias("b"),
+        "vid", "lbl", F.explode(tables).alias("b")
     ).select(
-        "v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket")
+        "vid", "lbl",
+        F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"),
     )
-    buckets = (
+    ok = (
         banded.groupBy("tbl", "bucket")
-        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
-        .filter(F.size("vs").between(2, max_bucket))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n").between(2, max_bucket))
+        .select("tbl", "bucket")
     )
-    # directed expansion with the label test inside the lambda:
-    # pairs failing the predicate never materialize
-    lbl_op = "=" if same_label else "!="
-    pairs = F.expr(
-        "flatten(transform(vs, x ->"
-        " filter(transform(vs, y -> struct(x AS a, y AS b)),"
-        f" p -> p.a.vid != p.b.vid AND p.a.lbl {lbl_op} p.b.lbl)))"
+    lbl_pred = (
+        (F.col("a.lbl") == F.col("b.lbl"))
+        if same_label
+        else (F.col("a.lbl") != F.col("b.lbl"))
     )
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.a.vid").alias("anchor_id"),
-            F.col("p.b.vid").alias("cand_id"),
-            F.col("p.a.fvec").alias("va"),
-            F.col("p.b.fvec").alias("vb"),
-            F.col("p.a.n2").alias("na2"),
-            F.col("p.b.n2").alias("nb2"),
+        banded.alias("a")
+        .join(ok, ["tbl", "bucket"])
+        .join(
+            banded.alias("b"),
+            ["tbl", "bucket"],
         )
-        .dropDuplicates(["anchor_id", "cand_id"])
+        .filter((F.col("a.vid") != F.col("b.vid")) & lbl_pred)
+        .select(
+            F.col("a.vid").alias("anchor_id"),
+            F.col("b.vid").alias("cand_id"),
+        )
+        .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        cosine_from_fixed(
-            dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
-        ),
+    vecs = base.select("vid", "fvec", "n2")
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("anchor_id"),
+                F.col("fvec").alias("va"),
+                F.col("n2").alias("na2"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("cand_id"),
+                F.col("fvec").alias("vb"),
+                F.col("n2").alias("nb2"),
+            ),
+            "cand_id",
+        )
+        .withColumn(
+            "cosine",
+            cosine_from_fixed(
+                dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")
+            ),
+        )
     )
     order = F.col("cosine").asc() if ascending else F.col("cosine").desc()
     w = Window.partitionBy("anchor_id").orderBy(order, F.col("cand_id"))
