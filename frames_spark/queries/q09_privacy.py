@@ -585,7 +585,13 @@ def q_sketch_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign(x) * (|x| * SCALE // max|x|) — the one form Python, Spark and
 # DuckDB agree on for negative operands. Output: the quantized axis
 # plus an integer-Rayleigh eigenvalue and explained-variance share
-# (against the exact integer trace).
+# (against the exact integer trace). Oracle HUGEINT headroom: the
+# squaring rounds are scale-normalized (entries <= 1e11 regardless
+# of n), and the one n-dependent term — the Rayleigh numerator,
+# <= d^2 * 2*n^2*q_max^2 * SCALE^2 ~ 3e27 * n^2 — stays inside
+# int128 to n ~ 2.4e5 vectors, far above any oracle SF; the Spark
+# side carries Python ints (unbounded), and the production
+# eigensolve is fit_pca regardless.
 # ---------------------------------------------------------------------------
 
 _PCA_SQUARINGS = 10
