@@ -913,3 +913,76 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("margin_micros") < 200000).alias("violated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-projection LSH bucket pre-flight — the probe-cost audit for
+# the embedding-LSH family (q_dedup_embed*, hard negatives, triplet
+# mining), symmetric with q_lsh_bucket_stats (MinHash bands) and
+# q_ivf_cell_stats (IVF cells): per table, the bucket-size histogram
+# and the directed candidate-pair count it implies. This is the
+# number you read BEFORE running a miner at scale — n_pairs per
+# table ~ probe cost, and a size spike reveals a degenerate
+# signature (near-zero or boilerplate vectors) the max_bucket guard
+# would drop. One light pass (vid, tbl, bucket), two aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "q_embed_bucket_stats",
+    f"""
+    WITH fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(_HN_PLANES * _HN_TABLES)}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      GROUP BY vec_id, p
+    ),
+    banded AS (
+      SELECT vec_id, p // {_HN_PLANES} AS tbl,
+             string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id, p // {_HN_PLANES}
+    ),
+    sizes AS (
+      SELECT tbl, bucket, COUNT(*) AS s FROM banded GROUP BY tbl, bucket
+    )
+    SELECT CAST(tbl AS BIGINT) AS tbl,
+           CAST(s AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) * s * (s - 1) AS BIGINT) AS n_directed_pairs
+    FROM sizes GROUP BY tbl, s
+    """,
+)
+def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.dedup.embedding import _fixed, _sign_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fixed = _fixed(emb, "vec_id", "embedding")
+    signs = _sign_array(_HN_TABLES * _HN_PLANES, 64)
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(_HN_TABLES - 1)),
+        lambda t: F.struct(
+            t.alias("tbl"),
+            F.array_join(
+                F.slice(signs, t * _HN_PLANES + 1, _HN_PLANES), ""
+            ).alias("bucket"),
+        ),
+    )
+    banded = fixed.select("vid", F.explode(tables).alias("b")).select(
+        "vid",
+        F.col("b.tbl").cast("long").alias("tbl"),
+        F.col("b.bucket").alias("bucket"),
+    )
+    sizes = banded.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return sizes.groupBy("tbl", "s").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.count(F.lit(1)) * F.col("s") * (F.col("s") - 1))
+        .cast("long")
+        .alias("n_directed_pairs"),
+    ).select(
+        "tbl",
+        F.col("s").cast("long").alias("bucket_size"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "n_directed_pairs",
+    )
