@@ -308,24 +308,40 @@ def compact_index(
     every sink in this repo; returns the number of rows kept."""
     from frames_spark.sources.versioned import _fs
 
+    if not key or "/" in key or key.startswith((".", "_")):
+        raise ValueError(f"invalid compaction key: {key!r}")
     df = _read_increments(spark, index_dir)
     if df is None:
         return 0
+    eff = df.withColumn("inc0", _effective_inc(df))
+    if key != COMPACTED_KEY:
+        # A custom compaction key that collides with a LIVE original
+        # increment key would make this compaction's output rows for
+        # that key look fresh (inc == inc0) at the next compaction —
+        # exactly the tie the structural rule below exists to break.
+        # Refuse up front; one limit(1) probe against the index scan.
+        if eff.filter(F.col("inc0") == key).limit(1).count():
+            raise ValueError(
+                f"compaction key {key!r} collides with an existing "
+                "increment key"
+            )
     # _pri: fresh increment dirs beat the compacted dir AT THE SAME
     # original key. A replayed key whose content CHANGED after its
     # rows were compacted would otherwise tie on inc0 and union the
     # stale compacted signatures with the fresh ones (r9 advice #1);
     # the replay is the latest attempt, so it wins the tie outright.
-    eff = (
-        df.withColumn("inc0", _effective_inc(df))
-        .withColumn(
-            "_pri",
-            F.when(
-                F.col("inc").isin(key, COMPACTED_KEY), F.lit(0)
-            ).otherwise(F.lit(1)),
-        )
-        .drop("inc")
-    )
+    # Priority is STRUCTURAL, not a key-literal test: fresh
+    # probe_increment rows live in the directory named by their own
+    # key (inc == inc0, with the pre-r8 null-inc0 coalesce), while
+    # compacted rows live under the compaction key with inc0 carrying
+    # the original (inc != inc0) — so compactions under ANY custom
+    # key keep losing ties to fresh replays (r10 advice #2: the old
+    # `inc.isin(key, COMPACTED_KEY)` literal test mis-ranked rows
+    # from a PRIOR custom-key compaction as fresh).
+    eff = eff.withColumn(
+        "_pri",
+        F.when(F.col("inc") == F.col("inc0"), F.lit(1)).otherwise(F.lit(0)),
+    ).drop("inc")
     latest = (
         eff.groupBy("doc")
         .agg(F.max(F.struct("inc0", "_pri")).alias("_s"))

@@ -587,10 +587,13 @@ def q_sketch_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus an integer-Rayleigh eigenvalue and explained-variance share
 # (against the exact integer trace). Oracle HUGEINT headroom: the
 # squaring rounds are scale-normalized (entries <= 1e11 regardless
-# of n), and the one n-dependent term — the Rayleigh numerator,
-# <= d^2 * 2*n^2*q_max^2 * SCALE^2 ~ 3e27 * n^2 — stays inside
-# int128 to n ~ 2.4e5 vectors, far above any oracle SF; the Spark
-# side carries Python ints (unbounded), and the production
+# of n); the two n-dependent terms are the Rayleigh numerator
+# (<= d^2 * 2*n^2*q_max^2 * SCALE^2 ~ 3e27 * n^2, inside int128 to
+# n ~ 2.4e5 vectors) and the lambda denominator n^2 * 2^40 — which
+# must be promoted to HUGEINT *before* the first multiply (the bare
+# `nn.n * nn.n` product is BIGINT-typed in DuckDB and overflows at
+# n ~ 2,899; caught by the round-10 advisor at sf0.1 n=2000). The
+# Spark side carries Python ints (unbounded), and the production
 # eigensolve is fit_pca regardless.
 # ---------------------------------------------------------------------------
 
@@ -685,7 +688,9 @@ _PCA_CHAIN_SQL = f"""
       SELECT num // den AS q FROM rq, dn
     )
     SELECT CAST(vt.i AS BIGINT) AS i, CAST(vt.v AS BIGINT) AS v,
-           CAST(qq.q * 1000000 // (nn.n * nn.n * 1099511627776) AS BIGINT)
+           CAST(qq.q * 1000000
+                // (CAST(nn.n AS HUGEINT) * nn.n * 1099511627776)
+             AS BIGINT)
              AS lambda_micros,
            CAST(CASE WHEN tr.t > 0 THEN qq.q * 1000000 // tr.t ELSE 0 END
              AS BIGINT) AS explained_frac_micros

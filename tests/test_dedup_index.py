@@ -331,6 +331,52 @@ def test_changed_content_replay_after_compaction(spark, tmp_path):
     assert {r.inc0 for r in after.collect()} == {"day-001"}
 
 
+def test_changed_content_replay_after_custom_key_compaction(spark, tmp_path):
+    # r10 advice #2: the old `inc.isin(key, COMPACTED_KEY)` literal
+    # test ranked rows from a PRIOR custom-key compaction
+    # (compact_index(key='snap1')) as FRESH when a LATER compaction
+    # used the default key — so a changed-content replay of an
+    # already-compacted key tied with the stale set and unioned both.
+    # Priority is now structural (inc == inc0 means fresh), so any
+    # compaction-key sequence keeps only the replay's signatures.
+    from frames_spark.dedup.index import band_rows, compact_index, probe_increment
+
+    idx = str(tmp_path / "incidx4")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    v1b = spark.createDataFrame(
+        [(1, "totally different words appear here now")], "doc_id long, text string"
+    )
+    probe_increment(spark, idx, v1, "day-001").count()
+    assert compact_index(spark, idx, key="snap1") == 4
+    probe_increment(spark, idx, v1b, "day-001").count()
+    assert compact_index(spark, idx) == 4  # not 8: stale set dropped
+    after = spark.read.parquet(idx)
+    want = {
+        (r.band, r.band_key) for r in band_rows(v1b, "doc_id", "text").collect()
+    }
+    assert {(r.band, r.band_key) for r in after.collect()} == want
+    assert {r.inc0 for r in after.collect()} == {"day-001"}
+
+
+def test_compaction_key_collision_rejected(spark, tmp_path):
+    # a compaction key equal to a live original increment key would
+    # make that compaction's rows look fresh (inc == inc0) at the
+    # next compaction — refuse it up front
+    import pytest as _pytest
+
+    from frames_spark.dedup.index import compact_index, probe_increment
+
+    idx = str(tmp_path / "incidx5")
+    v = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    probe_increment(spark, idx, v, "day-001").count()
+    with _pytest.raises(ValueError, match="collides"):
+        compact_index(spark, idx, key="day-001")
+    with _pytest.raises(ValueError, match="invalid compaction key"):
+        compact_index(spark, idx, key="")
+
+
 def test_probe_cache_released_when_result_dropped(spark, tmp_path):
     # r7 advice: persisted intermediates accumulated across calls in a
     # long-lived session. tie_cache unpersists when the caller drops
@@ -346,6 +392,9 @@ def test_probe_cache_released_when_result_dropped(spark, tmp_path):
     def n_cached():
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    # drain finalizers from EARLIER tests' dropped probe results, so
+    # `before` doesn't count caches the in-test gc.collect() would free
+    gc.collect()
     before = n_cached()
     pairs = probe_increment(spark, idx, v, "day-001")
     pairs.count()
