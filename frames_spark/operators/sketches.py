@@ -318,7 +318,21 @@ def hll_estimate(cells: DataFrame, p: int = HLL_P) -> DataFrame:
     n << m); raw is the uncorrected alpha * m^2 / (sum 2^-rho +
     n_empty). Every 2^-rho term is an exact dyadic double and the
     sum has <= m terms; one ln and one division close in double —
-    deterministic on any engine, micros-quantized."""
+    deterministic on any engine, micros-quantized.
+
+    Determinism caveat (r10 advice #3): the linear-counting branch's
+    ln is the one operation here WITHOUT a correct-rounding
+    guarantee — JVM Math.log is spec'd to 1 ulp (semi-monotonic),
+    and DuckDB's std::log is whatever libm provides — so the two
+    engines may disagree by 1 ulp on m * ln(m / empty), and
+    floor(est * 1e6 + 0.5) flips iff that ulp lands within ~2 ulp of
+    a .5 boundary (P ~ 1e-10 per evaluation at these magnitudes; the
+    division and multiply are both correctly rounded, so the ln is
+    the only source). If an HLL *_micros column ever mismatches by
+    exactly +-1 in a sweep, this is the cause — not a logic bug; the
+    four p=12 value-gated oracles (q_sketch_users,
+    q_active_users_sketch, q_sketch_users_weekly, q_sketch_overlap)
+    all ride this branch at current SFs."""
     m = 1 << p
     agg = cells.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),

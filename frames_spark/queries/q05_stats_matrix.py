@@ -506,13 +506,13 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_union_micros
       FROM ur
     )
-    SELECT (SELECT est FROM e WHERE wk_idx = 0) AS n_week1_micros,
-           (SELECT est FROM e WHERE wk_idx = 3) AS n_week4_micros,
+    SELECT e0.est AS n_week1_micros,
+           e3.est AS n_week4_micros,
            ue.n_union_micros,
-           (SELECT est FROM e WHERE wk_idx = 0)
-             + (SELECT est FROM e WHERE wk_idx = 3)
-             - ue.n_union_micros AS overlap_est_micros
-    FROM ue
+           e0.est + e3.est - ue.n_union_micros AS overlap_est_micros
+    FROM (SELECT est FROM e WHERE wk_idx = 0) e0,
+         (SELECT est FROM e WHERE wk_idx = 3) e3,
+         ue
     """,
 )
 def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

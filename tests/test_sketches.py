@@ -279,3 +279,27 @@ def test_grouped_hll_cells_merge_to_global(spark, sf_dir):
     }
     whole = {(r.bucket, r.max_rho) for r in hll_cells(ev, "user_id").collect()}
     assert merged == whole
+
+
+def test_sketch_overlap_empty_week_parity(spark, tmp_path):
+    # r10 advice #4: if week index 0 or 3 has no events, the Spark
+    # side's inner crossJoin yields 0 rows — the oracle's old scalar
+    # subqueries yielded 1 row with NULLs. Both sides must now emit
+    # 0 rows on a corpus whose events all land in week 0.
+    import duckdb
+
+    from frames_spark.queries import ORACLES, QUERIES
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 5} 12:00:00", i % 7) for i in range(20)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    d = str(tmp_path / "oneweek")
+    ev.coalesce(1).write.parquet(f"{d}/events.parquet")
+    assert QUERIES["q_sketch_overlap"](spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    assert len(con.execute(ORACLES["q_sketch_overlap"]).fetchall()) == 0
