@@ -182,10 +182,37 @@ def bw_calibration_kernel() -> float:
     return round(best, 4)
 
 
+def job_overhead_kernel(spark) -> float:
+    """Best-of-3 seconds for a FIXED 8-JOB no-op query chain: 4
+    rounds of localCheckpoint + count on a 1-row frame. The third
+    calibration axis (r10 verdict #2): the crypto kernel sees core
+    contention and the numpy kernel sees memory-bandwidth
+    contention, but neither sees SCHEDULER contention — the r8/r10
+    group_median / curate_select drift class, where multi-JOB
+    queries (driver-side iteration, eager pre-flights) inflate
+    1.3-1.5x while single-job siblings and both kernels read clean
+    (bisect-proven environmental: pin-era code showed the same
+    drift). This kernel is ~pure per-job overhead — submit,
+    schedule, one empty task, collect — so its ratio against
+    BASELINE.md's job_calib_sec adjudicates that class
+    automatically. The dozen 1-row checkpoint RDDs it leaks are
+    process-lifetime noise in a standalone bench run."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = spark.range(1)
+        for _ in range(4):
+            df = df.localCheckpoint()
+            df.count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     spark = get_spark("frames_spark_bench")
     # warmup: JVM + parquet footer caches
     materialize(Q.q1_bench(spark, SF_DIR).limit(1))
+    job_overhead_kernel(spark)  # warm the scheduler path once
 
     # best-of-N: this suppresses co-tenant noise without hiding real
     # cost — each rep re-executes the full plan (nothing is cached).
@@ -194,6 +221,7 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     calib_before = calibration_kernel()
     bw_before = bw_calibration_kernel()
+    job_before = job_overhead_kernel(spark)
     times: dict[str, float | None] = {}
     for name, fn in BENCH_QUERIES.items():
         # Per-query isolation: one broken query must cost one null entry,
@@ -221,6 +249,7 @@ def main() -> None:
         sf_val = sf
     calib_after = calibration_kernel()
     bw_after = bw_calibration_kernel()
+    job_after = job_overhead_kernel(spark)
     ok_times = [t for t in times.values() if t is not None]
     out = {
         "metric": "total_bench_seconds",
@@ -233,6 +262,8 @@ def main() -> None:
         "calib_after_sec": calib_after,
         "bw_before_sec": bw_before,
         "bw_after_sec": bw_after,
+        "job_before_sec": job_before,
+        "job_after_sec": job_after,
     }
 
     base = load_baseline()
@@ -251,6 +282,15 @@ def main() -> None:
             max(bw_before, bw_after) / base["bw_calib_sec"], 2
         )
         noise = max(noise, out["bw_noise_factor"])
+    if base and base.get("job_calib_sec"):
+        # the scheduler twin: per-job overhead contention inflates
+        # multi-JOB queries (driver loops, eager pre-flights) while
+        # both compute kernels read clean — the r8/r10
+        # group_median/curate_select drift class.
+        out["job_noise_factor"] = round(
+            max(job_before, job_after) / base["job_calib_sec"], 2
+        )
+        noise = max(noise, out["job_noise_factor"])
 
     # Per-query delta vs the pinned BASELINE.md numbers (the 2x gate's
     # in-repo anchor). Ratios only make sense at the baseline's SF;

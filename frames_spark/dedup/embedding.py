@@ -134,15 +134,40 @@ def sign_buckets(
     )
 
 
+def suggest_num_planes(
+    n: int,
+    max_bucket: int = 4000,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Parameter governor (r10 verdict #1): the smallest plane count
+    whose EXPECTED bucket size n / 2^p lands at or below
+    max_bucket / 4. A fixed plane count is an inverse guard failure
+    waiting to happen: 4 planes over >64k vectors puts EVERY bucket
+    over max_bucket=4000 and the max_bucket guard silently drops the
+    whole corpus — the miner "succeeds" with zero candidates. The
+    /4 headroom absorbs the non-uniformity of real sign buckets
+    (correlated embeddings concentrate mass in few signatures); the
+    dropped-mass guard in the callers catches what the headroom
+    doesn't. Callers derive n from a one-aggregate pre-flight
+    (df.count()) when num_planes is not pinned explicitly."""
+    target = max(1, max_bucket // 4)
+    p = min_planes
+    while (n >> p) > target and p < max_planes:
+        p += 1
+    return p
+
+
 def near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     num_tables: int = 4,
     dim: int = 64,
     max_bucket: int | None = None,
+    guard: str = "off",
 ) -> DataFrame:
     """Scale path: multi-table hyperplane LSH, exact cosine on the
     deduped candidate set only.
@@ -158,7 +183,24 @@ def near_dup_pairs_lsh(
     are dropped BEFORE the exact cosine, so each pair's 64-dim dot
     product runs once. ``max_bucket`` drops degenerate buckets (a
     corpus of near-zero or boilerplate vectors collapsing into one
-    signature) before the quadratic expansion."""
+    signature) before the quadratic expansion.
+
+    ``num_planes=None`` (default) derives the plane count from a
+    one-aggregate corpus-size pre-flight (suggest_num_planes), so
+    default calls keep producing candidates as the corpus grows;
+    explicit values pin the geometry (the oracled queries do).
+    ``guard`` (off|warn|raise, default off) measures the
+    directed-pair mass ``max_bucket`` would drop via a LIGHT
+    id-only bucket pre-pass and warns/raises when it exceeds half —
+    off by default because the pre-pass repeats the sign
+    computation; q_embed_bucket_stats is the standing audit for the
+    pinned configurations."""
+    if num_planes is None:
+        num_planes = suggest_num_planes(
+            df.count(), max_bucket if max_bucket is not None else 4000
+        )
+    if guard not in ("raise", "warn", "off"):
+        raise ValueError(f"guard must be raise|warn|off, got {guard!r}")
     fixed = _fixed(df, id_col, vec_col)
     # ALL tables' signs in one data-driven pass (see _sign_array);
     # each table's bucket is a slice of the shared sign array
@@ -181,6 +223,36 @@ def near_dup_pairs_lsh(
         .filter(F.size("vs") >= 2)
     )
     if max_bucket is not None:
+        if guard != "off":
+            pair_mass = F.col("n") * (F.col("n") - 1)
+            m = (
+                banded.select(F.col("v.vid").alias("vid"), "tbl", "bucket")
+                .groupBy("tbl", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.sum(pair_mass).alias("tot"),
+                    F.sum(
+                        F.when(
+                            F.col("n") > max_bucket, pair_mass
+                        ).otherwise(F.lit(0))
+                    ).alias("dropped"),
+                )
+                .first()
+            )
+            tot, dropped = m["tot"] or 0, m["dropped"] or 0
+            if tot and dropped * 2 > tot:
+                msg = (
+                    f"max_bucket={max_bucket} drops "
+                    f"{dropped * 1_000_000 // tot} ppm of the "
+                    f"candidate-pair mass — num_planes={num_planes} "
+                    "is too few for this corpus (see "
+                    "suggest_num_planes)"
+                )
+                if guard == "raise":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
         buckets = buckets.filter(F.size("vs") <= max_bucket)
     pairs = F.expr(
         "flatten(transform(vs, (x, i) ->"

@@ -1470,13 +1470,36 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL sketch distinct — rows-only (sketch estimates are
-# engine-specific by design); the exact twin above is the oracle.
-@register("q_approx_distinct")
+# HLL sketch distinct — tolerance-boolean value gate (r10 verdict
+# #3): the estimate itself is engine-native by design (Spark's
+# HLL++, deterministic for fixed input but unreproducible in SQL),
+# so the compared columns are the key, the EXACT count, and
+# within_tol = |approx - exact| <= 10% of exact — 4x margin over the
+# ~2.4-2.7% error the default rsd=0.05 sketch shows on this data at
+# both SFs. The oracle computes the exact side and pins the boolean
+# TRUE; a broken sketch flips the boolean and fails the value hash.
+@register(
+    "q_approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("n_parts_approx")
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    ).select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("n_parts_approx") - F.col("n_parts_exact"))
+            * 10
+            <= F.col("n_parts_exact")
+        ).alias("within_tol"),
     )
 
 
@@ -1502,14 +1525,41 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sketch quantiles for the 100 TB path — rows-only by design.
-@register("q_approx_quantiles")
+# Sketch quantiles for the 100 TB path — tolerance-boolean value
+# gate (r10 verdict #3): percentile_approx (GK, accuracy=10000,
+# rank error <= n/10000) is engine-native, so the compared columns
+# are the key, the EXACT interpolated median in micros, and
+# within_tol = approx inside the exact [p49.0, p51.0] value band —
+# a 100x rank-error margin (measured: the sketch sits inside the
+# +-0.5% band at both SFs). The oracle computes the exact side
+# (quantile_cont over micros — the bit-stable q_quantiles
+# arithmetic) and pins the boolean TRUE.
+@register(
+    "q_approx_quantiles",
+    f"""
+    SELECT o_orderpriority,
+           CAST(quantile_cont({_MICROS_SQL.format(expr='o_totalprice')}, 0.5)
+             AS BIGINT) AS p50_exact_micros,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    micros = _micros(F.col("o_totalprice"))
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
             "p50_approx"
-        )
+        ),
+        F.percentile(micros, F.lit(0.5)).alias("p50_exact_f"),
+        F.percentile("o_totalprice", F.lit(0.49)).alias("_lo"),
+        F.percentile("o_totalprice", F.lit(0.51)).alias("_hi"),
+    ).select(
+        "o_orderpriority",
+        F.col("p50_exact_f").cast("long").alias("p50_exact_micros"),
+        F.col("p50_approx").between(F.col("_lo"), F.col("_hi")).alias(
+            "within_tol"
+        ),
     )
 
 

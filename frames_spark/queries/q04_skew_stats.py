@@ -617,24 +617,52 @@ def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PCA projection of the embedding corpus onto its top-2 principal
-# axes (similarity/pca.py). Distributed where data-sized (exact
-# fixed-point covariance, scan-stage projection), driver-side where
-# tiny (the 64x64 eigensolve — distributing it would be theater).
-# Rows-only: no portable SQL eigensolve exists; the quantitative
-# witness is tests/test_pca.py's pin against an independent
-# numpy-only PCA (projections equal, variance order correct).
-@register("q_embed_pca")
+# PCA round trip over the embedding corpus (similarity/pca.py).
+# Distributed where data-sized (exact fixed-point covariance,
+# scan-stage projection), driver-side where tiny (the 64x64
+# eigensolve — distributing it would be theater). No portable SQL
+# eigensolve exists, so the LAPACK axes can't be value-compared
+# directly; instead (r10 verdict #3) the query certifies the
+# eigensolve against the ORACLE-EXACT integer power method
+# (q_pca_power's power_pca_int): axis_cos_ok pins
+# |cos(pc1_eigh, v_power)| > 0.999, var_order_ok pins the
+# eigenvalue ordering, and n_vecs counts the actually-projected
+# rows (the full fit -> project plan still executes). Every
+# compared column is deterministic, so the key is fully
+# value-gated; per-vector projections remain the library surface
+# (project_pca) with tests/test_pca.py's independent numpy pin.
+@register(
+    "q_embed_pca",
+    """
+    SELECT COUNT(*) AS n_vecs,
+           TRUE AS axis_cos_ok,
+           TRUE AS var_order_ok
+    FROM embeddings
+    """,
+)
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.similarity.pca import fit_pca, project_pca
+    import math
+
+    from frames_spark.similarity.pca import (
+        fit_pca,
+        power_pca_int,
+        project_pca,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     model = fit_pca(e, "embedding", k=2)
     proj = project_pca(e, "embedding", model)
-    return proj.select(
-        "vec_id",
-        _micros(F.col("pc1")).alias("pc1_micros"),
-        _micros(F.col("pc2")).alias("pc2_micros"),
+    v, _lam, _frac, d = power_pca_int(e, "embedding")
+    dot = sum(float(model.components[0][i]) * v[i] for i in range(d))
+    nv = math.sqrt(sum(float(x) * x for x in v))
+    axis_cos_ok = nv > 0 and abs(dot) / nv > 0.999
+    var_order_ok = bool(
+        model.explained_variance[0] >= model.explained_variance[1]
+    )
+    return proj.agg(F.count(F.lit(1)).alias("n_vecs")).select(
+        "n_vecs",
+        F.lit(axis_cos_ok).alias("axis_cos_ok"),
+        F.lit(var_order_ok).alias("var_order_ok"),
     )
 
 

@@ -57,11 +57,25 @@ def _mined_topk_lsh(
     num_tables: int,
     dim: int,
     max_bucket: int,
+    guard: str = "raise",
 ) -> DataFrame:
     """Shared miner: per anchor, the k hardest bucket-mates under the
     label predicate — most-similar different-label (negatives) or
     least-similar same-label (positives), FaceNet's two "hardest"
-    directions. (anchor_id, cand_id, cosine, rank)."""
+    directions. (anchor_id, cand_id, cosine, rank).
+
+    ``guard`` governs the dropped-mass check (r10 verdict #1): the
+    max_bucket filter exists to skip DEGENERATE buckets, but with too
+    few planes for the corpus size it can drop EVERY bucket and the
+    miner "succeeds" with zero candidates. Before the quadratic
+    expansion, one tiny aggregate over the (persisted) bucket-size
+    relation measures the directed-pair mass the guard would drop;
+    if that exceeds HALF the total mass, 'raise' (default) fails
+    loudly with the measured ppm, 'warn' proceeds with a warning,
+    'off' skips the check. The size relation is persisted either
+    way, so the check re-reads a cache the candidate join needs
+    anyway — the sign pass over the vectors runs once, not three
+    times (agg side + both join probe sides)."""
     from frames_spark.operators.core import spread
 
     base = (
@@ -98,12 +112,40 @@ def _mined_topk_lsh(
     ).select(
         "vid", "lbl",
         F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"),
+    ).persist()
+    sizes = banded.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    ok = (
-        banded.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n").between(2, max_bucket))
-        .select("tbl", "bucket")
+    if guard not in ("raise", "warn", "off"):
+        raise ValueError(f"guard must be raise|warn|off, got {guard!r}")
+    if guard != "off":
+        pair_mass = F.col("n") * (F.col("n") - 1)
+        m = sizes.agg(
+            F.sum(pair_mass).alias("tot"),
+            F.sum(
+                F.when(F.col("n") > max_bucket, pair_mass).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dropped"),
+        ).first()
+        tot = m["tot"] or 0
+        dropped = m["dropped"] or 0
+        if tot and dropped * 2 > tot:
+            ppm = dropped * 1_000_000 // tot
+            msg = (
+                f"max_bucket={max_bucket} drops {ppm} ppm of the "
+                f"candidate-pair mass ({dropped} of {tot} directed "
+                f"pairs) — num_planes={num_planes} is too few for "
+                "this corpus; raise it (see dedup.embedding."
+                "suggest_num_planes) or pass guard='warn'/'off'"
+            )
+            if guard == "raise":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=3)
+    ok = sizes.filter(F.col("n").between(2, max_bucket)).select(
+        "tbl", "bucket"
     )
     lbl_pred = (
         (F.col("a.lbl") == F.col("b.lbl"))
@@ -151,7 +193,9 @@ def _mined_topk_lsh(
     )
     order = F.col("cosine").asc() if ascending else F.col("cosine").desc()
     w = Window.partitionBy("anchor_id").orderBy(order, F.col("cand_id"))
-    return (
+    from frames_spark.operators.caching import tie_cache
+
+    return tie_cache(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -159,7 +203,8 @@ def _mined_topk_lsh(
             "cand_id",
             "cosine",
             F.col("rank").cast("long").alias("rank"),
-        )
+        ),
+        banded,
     )
 
 
@@ -169,19 +214,32 @@ def hard_negatives_lsh(
     vec_col: str,
     label_col: str,
     k: int = 3,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_tables: int = 8,
     dim: int = 64,
     max_bucket: int = 4000,
+    guard: str = "raise",
 ) -> DataFrame:
     """(anchor_id, neg_id, cosine, rank) — per anchor, the k
     MOST-similar DIFFERENT-label bucket mates (the negatives a
-    contrastive loss actually learns from)."""
+    contrastive loss actually learns from).
+
+    ``num_planes=None`` (default) derives the plane count from a
+    one-aggregate corpus-size pre-flight via suggest_num_planes, so
+    the defaults keep working as the corpus grows past the point
+    where a fixed plane count puts every bucket over ``max_bucket``;
+    pass an explicit value to pin the LSH geometry (the oracled
+    queries do). ``guard`` (raise|warn|off) is the dropped-mass
+    check — see _mined_topk_lsh."""
+    if num_planes is None:
+        from frames_spark.dedup.embedding import suggest_num_planes
+
+        num_planes = suggest_num_planes(df.count(), max_bucket)
     out = _mined_topk_lsh(
         df, id_col, vec_col, label_col, k,
         same_label=False, ascending=False,
         num_planes=num_planes, num_tables=num_tables,
-        dim=dim, max_bucket=max_bucket,
+        dim=dim, max_bucket=max_bucket, guard=guard,
     )
     return out.withColumnRenamed("cand_id", "neg_id")
 
@@ -192,18 +250,25 @@ def hard_positives_lsh(
     vec_col: str,
     label_col: str,
     k: int = 3,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_tables: int = 8,
     dim: int = 64,
     max_bucket: int = 4000,
+    guard: str = "raise",
 ) -> DataFrame:
     """(anchor_id, pos_id, cosine, rank) — per anchor, the k
     LEAST-similar SAME-label bucket mates (FaceNet's hardest
-    positives: the pairs the embedding must pull together)."""
+    positives: the pairs the embedding must pull together).
+    Parameter governing and the dropped-mass guard match
+    hard_negatives_lsh."""
+    if num_planes is None:
+        from frames_spark.dedup.embedding import suggest_num_planes
+
+        num_planes = suggest_num_planes(df.count(), max_bucket)
     out = _mined_topk_lsh(
         df, id_col, vec_col, label_col, k,
         same_label=True, ascending=True,
         num_planes=num_planes, num_tables=num_tables,
-        dim=dim, max_bucket=max_bucket,
+        dim=dim, max_bucket=max_bucket, guard=guard,
     )
     return out.withColumnRenamed("cand_id", "pos_id")

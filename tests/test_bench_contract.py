@@ -33,9 +33,12 @@ def _fake_out(n_queries: int) -> dict:
         "calib_after_sec": 0.0912,
         "bw_before_sec": 0.0231,
         "bw_after_sec": 0.0240,
+        "job_before_sec": 0.4821,
+        "job_after_sec": 0.5012,
         "vs_baseline": 1.014,
         "box_noise_factor": 1.09,
         "bw_noise_factor": 1.04,
+        "job_noise_factor": 1.06,
     }
 
 
@@ -57,6 +60,9 @@ def test_summary_line_under_capture_even_at_200_queries():
         "calib_after_sec",
         "bw_before_sec",
         "bw_after_sec",
+        "job_before_sec",
+        "job_after_sec",
+        "job_noise_factor",
     ):
         assert key in parsed, key
     assert parsed["n_queries"] == 201
@@ -102,3 +108,13 @@ def test_bench_registry_matches_current_size():
     out = _fake_out(0)
     out["queries"] = {n: 99999.999 for n in longest}
     assert len(bench.summary_line(out)) < 2000
+
+
+def test_job_overhead_kernel_pinned_in_baseline():
+    # r10 verdict #2: the scheduler-overhead kernel is load-bearing
+    # for drift adjudication — the pin must exist, the kernel must be
+    # importable, and bench must fold its ratio into the noise max
+    base = bench.load_baseline()
+    assert base is not None
+    assert 0 < base["job_calib_sec"] < 10
+    assert callable(bench.job_overhead_kernel)

@@ -119,3 +119,70 @@ def test_triplet_margin_consistency(spark, sf_dir):
         )
         assert r["margin_micros"] == want
         assert r["violated"] == (r["margin_micros"] < 200000)
+
+
+def test_suggest_num_planes_scales_with_corpus():
+    from frames_spark.dedup.embedding import suggest_num_planes
+
+    # small corpora stay at the recall-oriented minimum
+    assert suggest_num_planes(0) == 4
+    assert suggest_num_planes(500, max_bucket=4000) == 4
+    # 1e6 vectors with max_bucket=4000: expected bucket must come
+    # down to <= 1000, i.e. 2^10 buckets
+    assert suggest_num_planes(1_000_000, max_bucket=4000) == 10
+    # monotone in n, clamped at max_planes
+    assert suggest_num_planes(1 << 40, max_bucket=4000, max_planes=24) == 24
+
+
+def test_miner_guard_trips_on_dense_corpus(spark):
+    # every vector identical -> one bucket per table, all over a tiny
+    # max_bucket: the old code silently returned EMPTY; the guard
+    # must raise (default), warn when asked, and stay quiet when off
+    import warnings
+
+    import pytest as _pytest
+
+    from frames_spark.similarity.negatives import hard_negatives_lsh
+
+    rows = [(i, [1.0] + [0.0] * 63, i % 2) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    with _pytest.raises(ValueError, match="ppm of the candidate-pair"):
+        hard_negatives_lsh(
+            df, "vec_id", "embedding", "label",
+            num_planes=2, num_tables=2, max_bucket=4,
+        ).count()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = hard_negatives_lsh(
+            df, "vec_id", "embedding", "label",
+            num_planes=2, num_tables=2, max_bucket=4, guard="warn",
+        )
+        assert out.count() == 0  # guard dropped everything, loudly
+    assert any("ppm" in str(w.message) for w in caught)
+    quiet = hard_negatives_lsh(
+        df, "vec_id", "embedding", "label",
+        num_planes=2, num_tables=2, max_bucket=4, guard="off",
+    )
+    assert quiet.count() == 0
+
+
+def test_near_dup_guard_and_governed_planes(spark):
+    import pytest as _pytest
+
+    from frames_spark.dedup import embedding
+
+    rows = [(i, [1.0] + [0.0] * 63) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="ppm of the candidate-pair"):
+        embedding.near_dup_pairs_lsh(
+            df, "vec_id", "embedding", threshold=0.9,
+            num_planes=2, num_tables=2, max_bucket=4, guard="raise",
+        ).count()
+    # governed default: identical vectors share every bucket, exact
+    # cosine keeps all pairs regardless of the derived plane count
+    got = embedding.near_dup_pairs_lsh(
+        df, "vec_id", "embedding", threshold=0.9
+    )
+    assert got.count() == 12 * 11 // 2
