@@ -127,6 +127,8 @@ BENCH_QUERIES = {
     "sketch_users_weekly": Q.q_sketch_users_weekly,
     "pca_power": Q.q_pca_power,
     "hard_negatives": Q.q_hard_negatives,
+    "triplet_mining": Q.q_triplet_mining,
+    "embed_bucket_stats": Q.q_embed_bucket_stats,
 }
 
 
