@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from frames_spark.functions.text import tokens
 
-__all__ = ["word_symbol_counts", "pair_counts", "train_bpe", "apply_merges"]
+__all__ = [
+    "word_symbol_counts",
+    "pair_counts",
+    "train_bpe",
+    "train_bpe_history",
+    "apply_merges",
+]
 
 
 def word_symbol_counts(
@@ -88,17 +94,19 @@ def _merge_expr(a: str, b: str) -> Column:
     )
 
 
-def train_bpe(
+def train_bpe_history(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     word_re: str = "^[a-z]+$",
-) -> list[tuple[str, str]]:
-    """The first ``n_merges`` BPE merges learned from the corpus, in
-    order. Stops early when no pair occurs at least twice."""
+) -> list[tuple[int, str, str, int]]:
+    """The first ``n_merges`` BPE merge rounds as
+    ``(round, a, b, n)`` — the merged pair plus its corpus frequency
+    at the moment it won (1-based rounds, training order). Stops
+    early when no pair occurs at least twice."""
     vocab = word_symbol_counts(docs, text_col, word_re).localCheckpoint()
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    history: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
         top = (
             pair_counts(vocab)
             .orderBy(F.desc("n"), "pair")
@@ -108,9 +116,22 @@ def train_bpe(
         if not top or top[0]["n"] < 2:
             break
         a, b = top[0]["pair"].split(" ", 1)
-        merges.append((a, b))
+        history.append((rnd, a, b, int(top[0]["n"])))
         vocab = vocab.withColumn("syms", _merge_expr(a, b)).localCheckpoint()
-    return merges
+    return history
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    word_re: str = "^[a-z]+$",
+) -> list[tuple[str, str]]:
+    """The first ``n_merges`` BPE merges learned from the corpus, in
+    order. Stops early when no pair occurs at least twice."""
+    return [
+        (a, b) for _, a, b, _ in train_bpe_history(docs, text_col, n_merges, word_re)
+    ]
 
 
 def apply_merges(

