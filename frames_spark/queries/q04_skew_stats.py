@@ -1666,11 +1666,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF-ADC on the fully deterministic index pair: ±1 md5 codebook
-# cells + hash-sampled PQ codes, integer ADC within the nprobe probed
-# cells only, exact re-rank — FULL value oracle (the twice-trained
-# KMeans+residual ivfpq_topk stays the production composite, pinned
-# by tests/test_pq.py: recall vs exact, full-probe equality, nprobe
-# monotonicity).
+# cells + hash-sampled RESIDUAL PQ codes (r10 verdict #6) — each
+# vector's codes describe fvec minus its unit-scaled cell (the scaled
+# component round(2^20/sqrt(64)) = 131072 is an integer, so residuals
+# stay exact), each query carries one ADC table PER PROBED CELL from
+# its residual against THAT cell, and candidates are scored against
+# their own cell's table — the production composite's shape
+# (ivfpq_topk: KMeans cells + float residual PQ) with every leg
+# integer and value-oracled; exact re-rank closes it. tests/test_pq.py
+# pins the production twin (recall vs exact, full-probe equality,
+# nprobe monotonicity) and the residual tier's profile.
+_IVF_RES_SCALE = 131072  # round(2^20 / sqrt(64)), exact
+
+
 @register(
     "q_ann_ivfpq",
     f"""
@@ -1700,13 +1708,80 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cdots WHERE vec_id < 3
       ) WHERE rn <= 3
     ),
-    {_PQ_DET_CTES},
-    {_pq_adc_tail('''
-        AND EXISTS (
-          SELECT 1 FROM probes p JOIN best b
-            ON b.cluster = p.cluster
-          WHERE p.query_id = q.vec_id AND b.vec_id = x.vec_id
-        )''', 50, 10)}
+    res AS MATERIALIZED (
+      SELECT f.vec_id, f.i, f.e - {_IVF_RES_SCALE} * c.s AS r
+      FROM fixed f
+      JOIN best b USING (vec_id)
+      JOIN cents c ON c.c = b.cluster AND c.i = f.i
+    ),
+    pqsel AS (
+      SELECT vec_id, rn - 1 AS c FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 {hash60_sql("CAST(vec_id AS VARCHAR)", "pq")}, vec_id) AS rn
+        FROM (SELECT DISTINCT vec_id FROM embeddings)
+      ) WHERE rn <= {_PQ_K}
+    ),
+    cw AS MATERIALIZED (
+      SELECT s.c, r.i, r.r AS e FROM pqsel s JOIN res r USING (vec_id)
+    ),
+    cd AS MATERIALIZED (
+      SELECT r.vec_id, (r.i - 1) // {_PQ_SUB} AS j, c.c,
+             CAST(SUM((r.r - c.e) * (r.r - c.e)) AS BIGINT) AS dist
+      FROM res r JOIN cw c ON c.i = r.i
+      GROUP BY 1, 2, 3
+    ),
+    pqcodes AS MATERIALIZED (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist ASC, c ASC) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    qres AS MATERIALIZED (
+      SELECT p.query_id, p.cluster, f.i, f.e - {_IVF_RES_SCALE} * c.s AS r
+      FROM probes p
+      JOIN fixed f ON f.vec_id = p.query_id
+      JOIN cents c ON c.c = p.cluster AND c.i = f.i
+    ),
+    qcd AS MATERIALIZED (
+      SELECT q.query_id, q.cluster, (q.i - 1) // {_PQ_SUB} AS j, c.c,
+             CAST(SUM((q.r - c.e) * (q.r - c.e)) AS BIGINT) AS dist
+      FROM qres q JOIN cw c ON c.i = q.i
+      GROUP BY 1, 2, 3, 4
+    ),
+    adc AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             CAST(SUM(q.dist) AS BIGINT) AS approx_dist
+      FROM pqcodes x
+      JOIN best b ON b.vec_id = x.vec_id
+      JOIN qcd q ON q.cluster = b.cluster AND q.j = x.j AND q.c = x.c
+      WHERE q.query_id <> x.vec_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= 50
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(list_inner_product(qa.v, qb.v) AS DOUBLE)
+                 / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+                 AS cosine
+        FROM short s
+        JOIN vecs qa ON qa.vec_id = s.query_id
+        JOIN vecs qb ON qb.vec_id = s.neighbor_id
+      )
+    ) WHERE rank <= 10
     """,
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,7 @@ __all__ = [
     "fit_pq",
     "fit_pq_det",
     "encode_pq",
+    "encode_pq_residual",
     "pq_topk",
     "ivfpq_topk_det",
 ]
@@ -108,6 +109,27 @@ def fit_pq(
     return np.array(books)  # (m, k, sub)
 
 
+def _cent_fixed_scale(dim: int) -> int:
+    """Fixed-point magnitude of one ±1 centroid component after
+    scaling the cell direction to UNIT length: round(2^20/sqrt(dim)).
+    Exact for power-of-4 dims (dim=64 -> 131072 = 2^17), so the
+    scaled centroid lives in the same fixed-point domain as the
+    vectors and the residual stays pure integer."""
+    return int(np.floor(FIXED_POINT / np.sqrt(dim) + 0.5))
+
+
+def _residual_expr(fvec, cluster, n_centroids: int, dim: int):
+    """fvec - S * signs(cluster): the fixed-point residual of a row
+    against its ±1 md5 cell, scaled to unit length — exact integer
+    arithmetic, so (unlike the float residual of the KMeans composite
+    ivfpq_topk) it replays bit-for-bit in SQL."""
+    from frames_spark.dedup.semdedup import _codebook
+
+    s = _cent_fixed_scale(dim)
+    cent = F.element_at(_codebook(n_centroids, dim), cluster + 1)
+    return F.zip_with(fvec, cent, lambda a, b: a - F.lit(s) * b)
+
+
 def fit_pq_det(
     corpus: DataFrame,
     id_col: str,
@@ -116,6 +138,7 @@ def fit_pq_det(
     k: int = 32,
     seed: str = "pq",
     normalize: bool = False,
+    residual_cells: int | None = None,
 ) -> np.ndarray:
     """Codebooks (m, k, d/m) from DETERMINISTIC HASH-SAMPLED corpus
     rows — the value-gated PQ tier (r8 verdict #6, the ivf_topk_det
@@ -129,13 +152,54 @@ def fit_pq_det(
     normalization fold does not replay identically in set-oriented
     SQL); the exact-cosine re-rank restores cosine order, and the
     unnormalized ADC shortlist is just a looser candidate generator
-    (pinned by tests)."""
+    (pinned by tests).
+
+    With ``residual_cells`` = n ±1 md5 cells, the SAME k hash-chosen
+    rows provide the codewords, but each codeword is the row's
+    FIXED-POINT RESIDUAL against its own cell (fvec - S * signs),
+    and the returned array is int64 ALREADY in the fixed-point
+    domain — the deterministic mirror of the production composite's
+    residual encoding (ivfpq_topk), still exact-integer end to end.
+    """
     from frames_spark.functions.hashing import hash60
 
     d = len(corpus.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
+    if residual_cells is not None:
+        from frames_spark.dedup.semdedup import (
+            assign_clusters,
+            centroid_components,
+        )
+
+        assigned = assign_clusters(corpus, id_col, vec_col, residual_cells, d)
+        rrows = (
+            assigned.select(
+                hash60(F.col("vid").cast("string"), seed=seed).alias("_h"),
+                "vid",
+                "fvec",
+                "cluster",
+            )
+            .orderBy("_h", "vid")
+            .limit(k)
+            .collect()
+        )
+        if len(rrows) < k:
+            raise ValueError(f"corpus has {len(rrows)} rows < k={k} codewords")
+        s = _cent_fixed_scale(d)
+        signs = {
+            c: np.array(centroid_components(c, d), dtype=np.int64)
+            for c in {r["cluster"] for r in rrows}
+        }
+        res = [
+            np.array(r["fvec"], dtype=np.int64) - s * signs[r["cluster"]]
+            for r in rrows
+        ]
+        return np.array(
+            [[rv[j * sub : (j + 1) * sub] for rv in res] for j in range(m)],
+            dtype=np.int64,
+        )  # (m, k, sub), fixed-point residual domain
     rows = (
         spread(corpus)
         .select(
@@ -164,6 +228,80 @@ def _quantized_books(codebooks: np.ndarray) -> np.ndarray:
     return np.floor(codebooks * FIXED_POINT + 0.5).astype(np.int64)
 
 
+def _codes_expr(qb: np.ndarray) -> str:
+    """SQL expression computing the PQ code array from the fixed-
+    point vector column ``_xq``: the quantized codebook rides along
+    as a constant-folded 3-D literal; per subspace the argmin is the
+    1-based first position of the min (ties to the first index,
+    matching numpy argmin in the table builder)."""
+    m, k, sub = qb.shape
+    cb_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(x)}L" for x in cent) + ")"
+                for cent in qb[j]
+            )
+            + ")"
+            for j in range(m)
+        )
+        + ")"
+    )
+    return f"""
+    transform(sequence(0, {m - 1}), j ->
+      transform(array(
+        transform({cb_lit}[j], c ->
+          aggregate(
+            zip_with(slice(_xq, j * {sub} + 1, {sub}), c,
+                     (a, b) -> (a - b) * (a - b)),
+            0L, (acc, v) -> acc + v))), dists ->
+        int(array_position(dists, array_min(dists)) - 1))[0])
+    """
+
+
+def _adc_table_fixed(rq: np.ndarray, qb: np.ndarray) -> list:
+    """Flattened m x k table of exact squared distances from an
+    ALREADY-fixed-point vector (e.g. a residual) to every codeword of
+    an already-fixed-point codebook."""
+    m, k, sub = qb.shape
+    flat: list[int] = []
+    for j in range(m):
+        diff = qb[j] - rq[j * sub : (j + 1) * sub]  # (k, sub)
+        flat.extend(int(x) for x in (diff * diff).sum(axis=1))
+    return flat
+
+
+def encode_pq_residual(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books_q: np.ndarray,
+    n_centroids: int,
+) -> DataFrame:
+    """(id, cluster, codes): PQ codes of each row's fixed-point
+    residual against its own ±1 md5 cell. ``books_q`` is the int64
+    residual-domain codebook from fit_pq_det(residual_cells=...).
+    Cell assignment, residual, and argmin are ONE scan stage — the
+    codebook and the ±1 cell directions are plan literals."""
+    from frames_spark.dedup.semdedup import assign_clusters
+
+    m, k, sub = books_q.shape
+    d = m * sub
+    assigned = assign_clusters(corpus, id_col, vec_col, n_centroids, d)
+    return (
+        assigned.withColumn(
+            "_xq",
+            _residual_expr(F.col("fvec"), F.col("cluster"), n_centroids, d),
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.expr(_codes_expr(books_q)).alias("codes"),
+        )
+    )
+
+
 def _adc_table(vec: np.ndarray, qb: np.ndarray, m: int, sub: int) -> list:
     """Flattened m x k table of exact fixed-point squared distances
     from ``vec``'s subvectors to every centroid."""
@@ -187,32 +325,7 @@ def encode_pq(
     constant-folded fixed-point codebook, all in the scan stage."""
     m, k, sub = codebooks.shape
     qb = _quantized_books(codebooks)
-    cb_lit = (
-        "array("
-        + ", ".join(
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{int(x)}L" for x in cent) + ")"
-                for cent in qb[j]
-            )
-            + ")"
-            for j in range(m)
-        )
-        + ")"
-    )
-    # xq: fixed-point vector; per subspace distances to the k
-    # centroids, argmin = 1-based first position of the min (ties to
-    # the first index, matching numpy argmin in the table builder)
-    expr = f"""
-    transform(sequence(0, {m - 1}), j ->
-      transform(array(
-        transform({cb_lit}[j], c ->
-          aggregate(
-            zip_with(slice(_xq, j * {sub} + 1, {sub}), c,
-                     (a, b) -> (a - b) * (a - b)),
-            0L, (acc, v) -> acc + v))), dists ->
-        int(array_position(dists, array_min(dists)) - 1))[0])
-    """
+    expr = _codes_expr(qb)
     base = (
         _unit(F.col(vec_col))
         if normalize
@@ -368,27 +481,30 @@ def ivfpq_topk_det(
     codebook_k: int = 32,
     rerank: int = 50,
     dim: int = 64,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-ADC on the fully DETERMINISTIC index pair: ±1 md5 codebook
-    cells (dedup/semdedup.py) + hash-sampled PQ codebooks over the RAW
-    vectors (fit_pq_det; no residual encoding — residuals subtract a
-    float centroid, which would put a non-replayable float op ahead of
-    quantization). Query routing, cell pruning, codes, and the ADC
-    shortlist are all exact integers, so — unlike the twice-trained
-    ivfpq_topk — every leg carries a DuckDB value oracle; the exact
-    fixed-point cosine re-rank closes it. ivfpq_topk (KMeans cells +
-    residual PQ) stays the corpus-adapted production composite."""
+    cells (dedup/semdedup.py) + hash-sampled PQ codebooks, RESIDUAL-
+    encoded by default — each vector's codes describe fvec minus its
+    unit-scaled ±1 cell (exact integers, since the scaled cell
+    component round(2^20/sqrt(dim)) is itself an integer), and each
+    query carries one ADC table PER PROBED CELL built from the
+    query's residual against THAT cell. That is the production
+    composite's shape (ivfpq_topk: KMeans cells + float residual PQ)
+    with every leg — codeword selection, cell routing, residuals,
+    encoding argmin, ADC sums, shortlist — exact integer and hence
+    value-oracled in SQL; the exact fixed-point cosine re-rank closes
+    it. ``residual=False`` keeps the raw-vector det tier (codes spend
+    resolution re-describing the cell; one table per query)."""
     from frames_spark.dedup.embedding import _fixed
-    from frames_spark.dedup.semdedup import _codebook, assign_clusters
+    from frames_spark.dedup.semdedup import (
+        _codebook,
+        assign_clusters,
+        centroid_components,
+    )
     from frames_spark.functions.vectors import dot_fixed
 
-    cells = assign_clusters(corpus, id_col, vec_col, n_centroids, dim).select(
-        F.col("vid").alias(id_col), "cluster"
-    )
-    books = fit_pq_det(corpus, id_col, vec_col, m=m, k=codebook_k)
-    codes = encode_pq(corpus, id_col, vec_col, books, normalize=False).join(
-        cells, id_col
-    )
+    spark = corpus.sparkSession
 
     qf = _fixed(queries, id_col, vec_col)
     cell_dots = F.transform(
@@ -408,9 +524,79 @@ def ivfpq_topk_det(
         .select("query_id", "cluster")
     )
 
+    if residual:
+        books_q = fit_pq_det(
+            corpus, id_col, vec_col, m=m, k=codebook_k,
+            residual_cells=n_centroids,
+        )
+        codes = encode_pq_residual(
+            corpus, id_col, vec_col, books_q, n_centroids
+        )
+        mm, kk, sub = books_q.shape
+        s = _cent_fixed_scale(dim)
+        signs = {
+            c: np.array(centroid_components(c, dim), dtype=np.int64)
+            for c in range(n_centroids)
+        }
+        # per-(query, probed cell) ADC table from the query's residual
+        # against THAT cell — probe routing replayed in exact integer
+        # (same dot-desc, cluster-asc rule as the distributed probes)
+        table_rows = []
+        for r in queries.select(id_col, vec_col).collect():
+            xq = np.floor(
+                np.array(r[vec_col], dtype=np.float64) * FIXED_POINT + 0.5
+            ).astype(np.int64)
+            by_dot = sorted(
+                range(n_centroids),
+                key=lambda c: (-int((xq * signs[c]).sum()), c),
+            )
+            for cell in by_dot[:nprobe]:
+                rq = xq - s * signs[cell]
+                table_rows.append(
+                    (int(r[id_col]), int(cell), _adc_table_fixed(rq, books_q))
+                )
+        tables = spark.createDataFrame(
+            table_rows, "query_id long, cluster int, dtable array<long>"
+        )
+        dist = F.aggregate(
+            F.expr(
+                f"zip_with(codes, sequence(0, {mm - 1}), "
+                f"(c, j) -> element_at(dtable, j * {kk} + c + 1))"
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        # cluster equi-join = only the probed cells are scanned, and
+        # each candidate is scored against its OWN cell's query table
+        scored = (
+            codes.join(F.broadcast(tables), "cluster")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                dist.alias("approx_dist"),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.asc_nulls_last("approx_dist"), "neighbor_id"
+        )
+        short = (
+            scored.withColumn("_r", F.row_number().over(ws))
+            .filter(F.col("_r") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
+
+    cells = assign_clusters(corpus, id_col, vec_col, n_centroids, dim).select(
+        F.col("vid").alias(id_col), "cluster"
+    )
+    books = fit_pq_det(corpus, id_col, vec_col, m=m, k=codebook_k)
+    codes = encode_pq(corpus, id_col, vec_col, books, normalize=False).join(
+        cells, id_col
+    )
+
     mm, kk, sub = books.shape
     qb = _quantized_books(books)
-    spark = corpus.sparkSession
     table_rows = [
         (int(r[id_col]), _adc_table(
             np.array(r[vec_col], dtype=np.float64), qb, mm, sub
