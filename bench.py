@@ -129,6 +129,7 @@ BENCH_QUERIES = {
     "hard_negatives": Q.q_hard_negatives,
     "triplet_mining": Q.q_triplet_mining,
     "embed_bucket_stats": Q.q_embed_bucket_stats,
+    "bpe_merges": Q.q_bpe_merges,
 }
 
 
