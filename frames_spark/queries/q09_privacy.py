@@ -884,29 +884,24 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.similarity.negatives import (
-        hard_negatives_lsh,
-        hard_positives_lsh,
-    )
+    from frames_spark.similarity.negatives import mine_triplets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    kw = dict(
+    triplets = mine_triplets(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
         k=1,
         num_planes=_HN_PLANES,
         num_tables=_HN_TABLES,
         max_bucket=_HN_MAXB,
     )
-    pos = hard_positives_lsh(emb, "vec_id", "embedding", "label", **kw).select(
-        "anchor_id", "pos_id", F.col("cosine").alias("pos_cosine")
-    )
-    neg = hard_negatives_lsh(emb, "vec_id", "embedding", "label", **kw).select(
-        "anchor_id", "neg_id", F.col("cosine").alias("neg_cosine")
-    )
     margin = F.floor(
         (F.col("pos_cosine") - F.col("neg_cosine")) * 1000000 + F.lit(0.5)
     ).cast("long")
     return (
-        pos.join(neg, "anchor_id")
+        triplets
         .withColumn("margin_micros", margin)
         .select(
             "anchor_id",

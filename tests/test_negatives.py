@@ -186,3 +186,35 @@ def test_near_dup_guard_and_governed_planes(spark):
         df, "vec_id", "embedding", threshold=0.9
     )
     assert got.count() == 12 * 11 // 2
+
+
+def test_mine_triplets_equals_two_call_composition(spark, sf_dir):
+    """The fused single-pass triplet miner must be value-identical to
+    hard_positives_lsh + hard_negatives_lsh joined on the anchor —
+    the fusion shares stages, it must not change results."""
+    import pyspark.sql.functions as F
+
+    from frames_spark.similarity.negatives import (
+        hard_negatives_lsh,
+        hard_positives_lsh,
+        mine_triplets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(k=1, num_planes=4, num_tables=8, max_bucket=4000)
+    pos = hard_positives_lsh(emb, "vec_id", "embedding", "label", **kw).select(
+        "anchor_id", "pos_id", F.col("cosine").alias("pos_cosine")
+    )
+    neg = hard_negatives_lsh(emb, "vec_id", "embedding", "label", **kw).select(
+        "anchor_id", "neg_id", F.col("cosine").alias("neg_cosine")
+    )
+    want = {tuple(r) for r in pos.join(neg, "anchor_id").collect()}
+    got = {
+        tuple(r)
+        for r in mine_triplets(
+            emb, "vec_id", "embedding", "label", **kw
+        ).select(
+            "anchor_id", "pos_id", "pos_cosine", "neg_id", "neg_cosine"
+        ).collect()
+    }
+    assert got == want and want
