@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 
 from frames_spark.functions.vectors import (
+    const_int_matrix,
     cosine_from_fixed,
     dot_fixed,
     norm2_fixed,
@@ -94,17 +95,15 @@ def _sign_array(num_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
     expressions. The unrolled form put 32 aggregate lambdas and 2048
     literal nodes in the plan; this form is a single data-driven loop
     (constant-folded plane matrix), which keeps analysis time and
-    generated-code size flat as planes x tables grows."""
-    planes = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(v).cast("long")
-                    for v in plane_components(plane_offset + p, dim)
-                ]
-            )
-            for p in range(num_planes)
-        ]
+    generated-code size flat as planes x tables grows.
+
+    The matrix is ONE parsed SQL literal (functions.vectors.
+    const_int_matrix), not nested F.array/F.lit calls: the 32x64
+    witness config is 2048 literal nodes, and 2048 py4j round-trips
+    cost ~4-6 s of DRIVER time per query build (measured r11) — a
+    fixed overhead the executors never see."""
+    planes = const_int_matrix(
+        plane_components(plane_offset + p, dim) for p in range(num_planes)
     )
     return F.transform(
         planes,

@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from frames_spark.dedup.embedding import _fixed
-from frames_spark.functions.vectors import cosine_from_fixed, dot_fixed
+from frames_spark.functions.vectors import (
+    const_int_matrix,
+    cosine_from_fixed,
+    dot_fixed,
+)
 
 # Library default for the degenerate-cluster guard. 4000 members is
 # ~8M in-array pairs from one collect_list row — a bounded single-task
@@ -73,15 +77,12 @@ def centroid_components(c: int, dim: int) -> list[int]:
 def _codebook(n_centroids: int, dim: int) -> F.Column:
     """The codebook as ONE constant-folded 2-D literal array — a
     single data-driven transform instead of n_centroids unrolled dot
-    expressions (keeps plan size flat as k grows; see
-    embedding._sign_array for the same pattern)."""
-    return F.array(
-        *[
-            F.array(
-                *[F.lit(v).cast("long") for v in centroid_components(c, dim)]
-            )
-            for c in range(n_centroids)
-        ]
+    expressions (keeps plan size flat as k grows), built as ONE
+    parsed SQL literal rather than nested F.array/F.lit calls (each
+    F.lit is a py4j round-trip; see embedding._sign_array for the
+    measured driver-side cost of the storm)."""
+    return const_int_matrix(
+        centroid_components(c, dim) for c in range(n_centroids)
     )
 
 

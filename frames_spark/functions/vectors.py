@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 FIXED_POINT = 1 << 20
 
 
+def const_int_matrix(rows) -> Column:
+    """A 2-D BIGINT literal array from driver-side integer rows, as
+    ONE parsed SQL expression. Nested F.array/F.lit construction
+    costs one py4j round-trip PER LITERAL — a 32x64 plane matrix is
+    2048 round-trips, ~4-6 s of driver time per query build
+    (measured r11); one expr string is one round-trip and yields the
+    identical constant-folded plan literals."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def to_fixed(vec: Column) -> Column:
     """array<float> -> array<bigint> fixed-point at 2^20."""
     return F.transform(

@@ -1834,11 +1834,10 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     fvec = to_fixed(F.col("embedding"))
-    planes = F.array(
-        *[
-            F.array(*[F.lit(v).cast("long") for v in embed_ops.plane_components(p, 64)])
-            for p in range(8)
-        ]
+    from frames_spark.functions.vectors import const_int_matrix
+
+    planes = const_int_matrix(
+        embed_ops.plane_components(p, 64) for p in range(8)
     )
     projs = F.transform(planes, lambda comp: dot_fixed(fvec, comp))
     return (

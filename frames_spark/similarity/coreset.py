@@ -27,17 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from frames_spark.dedup.embedding import _fixed
+from frames_spark.functions.vectors import const_int_matrix
 
 
 def _min_dist2(centers: list[list[int]]) -> F.Column:
     """Exact integer min squared-L2 from ``fvec`` to the literal
-    center matrix — ONE data-driven transform, constant-folded."""
-    mat = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in c])
-            for c in centers
-        ]
-    )
+    center matrix — ONE data-driven transform, constant-folded, built
+    as one parsed expr (the greedy traversal rebuilds this every
+    round, so the per-literal py4j cost compounds O(k^2 d) without
+    const_int_matrix)."""
+    mat = const_int_matrix(centers)
     dists = F.transform(
         mat,
         lambda c: F.aggregate(
@@ -89,12 +88,7 @@ def assign_to_centers(
     selected center (ties to the lowest center index) — the coreset
     partition induced by the traversal. One scan, no shuffle."""
     fixed = _fixed(df, id_col, vec_col)
-    mat = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in c])
-            for c in centers
-        ]
-    )
+    mat = const_int_matrix(centers)
     scored = F.transform(
         mat,
         lambda c, i: F.struct(
