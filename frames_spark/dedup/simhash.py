@@ -31,20 +31,19 @@ def simhash(
     index = shingle_index(df, id_col, text_col, n).withColumn(
         "h", hash60(F.col("shingle"), seed="sh", fast=fast)
     )
-    votes = index.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    # One parsed SQL expression for all 60 bit votes + the bit
+    # assembly: the per-bit F.sum/F.when construction was ~360 py4j
+    # round-trips of driver time per build (the const_int_matrix
+    # lesson); Catalyst plans the identical 60 partial-sum aggregate
+    # either way.
+    sig = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
     )
-    sig = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sig = sig + F.when(
-            F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc", sig.alias("simhash"))
+    return index.groupBy("doc").agg(
+        F.expr(f"CAST({sig} AS BIGINT)").alias("simhash")
+    )
 
 
 def hamming_candidates(fingerprints: DataFrame, bands: int = 4) -> DataFrame:
