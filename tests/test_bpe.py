@@ -109,3 +109,27 @@ def test_train_bpe_history_counts(spark):
     # counts strictly positive, >= 2 (the stop threshold), and the
     # first round's count is the global max pair frequency
     assert all(n >= 2 for *_, n in got)
+
+
+def test_train_bpe_random_corpus_differential(spark):
+    """Seeded random corpus over a 3-letter alphabet — maximal merge
+    ties and same-symbol runs (the greedy fold's hard cases) — must
+    match the pure-Python reference through 8 merge rounds."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    words = [
+        "".join(rng.choice(list("abc"), size=rng.randint(1, 9)))
+        for _ in range(200)
+    ]
+    texts = [
+        (i, " ".join(words[i * 20 : (i + 1) * 20])) for i in range(10)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = train_bpe(docs, n_merges=8)
+    want, want_vocab = _py_bpe([t for _, t in texts], 8)
+    assert got == want
+    enc = {
+        r["word"]: list(r["syms"]) for r in apply_merges(docs, got).collect()
+    }
+    assert enc == want_vocab
