@@ -79,3 +79,23 @@ def tie_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     weakref.finalize(result, _release)
     return result
+
+
+def retie(derived: DataFrame, *inner: DataFrame) -> DataFrame:
+    """Transfer cache liveness across a derivation.
+
+    The chaining caveat above is not hypothetical: any call site that
+    derives from a tie_cache result and drops the original —
+    ``tie_cache_result.withColumnRenamed(...)``, ``p1.union(p2)`` —
+    releases the caches the moment the original's refcount hits zero
+    (CPython finalizes synchronously), i.e. BEFORE the caller's
+    action, and the action silently recomputes every cached stage
+    (found r11: q_triplet_mining/q_hard_negatives/q_incremental_dedup
+    all materialized with ZERO InMemoryRelation in their executed
+    plans). ``retie(derived, inner...)`` keeps each ``inner`` frame
+    strongly referenced from ``derived``'s finalizer, so the inner
+    finalizers — and with them the caches — live exactly as long as
+    the outermost frame. Unpersist on a never-persisted ``inner`` is
+    a no-op; the value of the call is the reference chain.
+    tests/test_caching.py pins the registered-query class."""
+    return tie_cache(derived, *inner)

@@ -171,8 +171,13 @@ def dsir_select(
     """Deterministic top-k by importance log-weight (ties broken by
     id — a strict total order, so the selected SET is reproducible on
     any partition layout)."""
+    from frames_spark.operators.caching import retie
+
     w = dsir_logweights(docs, id_col, text_col, target, n_buckets, seed)
-    return w.orderBy(F.desc("logw_nanos"), F.asc(id_col)).limit(k)
+    # the top-k derives from the tie_cache result (caching.retie)
+    return retie(
+        w.orderBy(F.desc("logw_nanos"), F.asc(id_col)).limit(k), w
+    )
 
 
 def dsir_sample(
@@ -203,11 +208,14 @@ def dsir_sample(
     g_nanos = F.floor(-F.log(-F.log(u)) * 1_000_000_000 + F.lit(0.5)).cast(
         "long"
     )
-    return (
+    from frames_spark.operators.caching import retie
+
+    return retie(
         w.withColumn("gumbel_key", F.col("logw_nanos") + g_nanos)
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
-        .select(id_col, "logw_nanos", "gumbel_key")
+        .select(id_col, "logw_nanos", "gumbel_key"),
+        w,
     )
 
 

@@ -1093,7 +1093,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, b2, "doc_id", "text",
         num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
     )
-    return p1.unionByName(p2).distinct()
+    from frames_spark.operators.caching import retie
+
+    # the union derives from both tie_cache results (caching.retie)
+    return retie(p1.unionByName(p2).distinct(), p1, p2)
 
 
 # ---------------------------------------------------------------------------
@@ -1190,6 +1193,10 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, b2, "doc_id", "text",
         num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
     )
+    # no retie here: connected_components/update_components iterate
+    # EAGERLY (cache_scope actions inside the call), so p1/p2's
+    # caches are consumed before this returns — retaining them past
+    # the return would only delay the release.
     return cluster_ops.update_components(labels, p2, "doc_a", "doc_b")
 
 
@@ -1214,7 +1221,9 @@ def q_incremental_dedup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, b2, "day-002", "doc_id", "text",
         num_hashes=_MH_K, bands=_MH_BANDS, rows_per_band=_MH_ROWS,
     )
-    return p1.unionByName(p2).distinct()
+    from frames_spark.operators.caching import retie
+
+    return retie(p1.unionByName(p2).distinct(), p1, p2)
 
 
 # ---------------------------------------------------------------------------
@@ -2310,10 +2319,17 @@ _NB_B = 4096
     """,
 )
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.caching import retie
+
     docs = core_ops.spread(load_table(spark, sf_dir, "documents"))
-    return nb_ops.nb_confusion(
-        docs, "doc_id", "text", "lang", n_buckets=_NB_B
-    ).select(F.col("_label").alias("lang"), "pred", F.col("n").cast("long").alias("n"))
+    conf = nb_ops.nb_confusion(docs, "doc_id", "text", "lang", n_buckets=_NB_B)
+    return retie(
+        conf.select(
+            F.col("_label").alias("lang"), "pred",
+            F.col("n").cast("long").alias("n"),
+        ),
+        conf,
+    )
 
 
 # Gumbel-top-k DSIR resampling — the paper's actual selection rule:

@@ -67,19 +67,24 @@ def q_dsir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_ops.dsir_logweights(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_B
     )
+    from frames_spark.operators.caching import retie
+
     per_doc = w.join(docs.select("doc_id", "source"), "doc_id")
     # floor division toward -inf on both engines: Spark's pmod trick
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
+    return retie(
+        per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
             (
-                F.sum("logw_nanos")
-                - F.pmod(F.sum("logw_nanos"), F.count(F.lit(1)))
+                (
+                    F.sum("logw_nanos")
+                    - F.pmod(F.sum("logw_nanos"), F.count(F.lit(1)))
+                )
+                / F.count(F.lit(1))
             )
-            / F.count(F.lit(1))
-        )
-        .cast("long")
-        .alias("mean_logw_nanos"),
+            .cast("long")
+            .alias("mean_logw_nanos"),
+        ),
+        w,
     )
 
 

@@ -897,10 +897,12 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=_HN_TABLES,
         max_bucket=_HN_MAXB,
     )
+    from frames_spark.operators.caching import retie
+
     margin = F.floor(
         (F.col("pos_cosine") - F.col("neg_cosine")) * 1000000 + F.lit(0.5)
     ).cast("long")
-    return (
+    return retie(
         triplets
         .withColumn("margin_micros", margin)
         .select(
@@ -911,7 +913,8 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_cosine",
             "margin_micros",
             (F.col("margin_micros") < 200000).alias("violated"),
-        )
+        ),
+        triplets,
     )
 
 

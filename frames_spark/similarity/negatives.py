@@ -279,7 +279,11 @@ def hard_negatives_lsh(
         num_planes=num_planes, num_tables=num_tables,
         dim=dim, max_bucket=max_bucket, guard=guard,
     )
-    return out.withColumnRenamed("cand_id", "neg_id")
+    from frames_spark.operators.caching import retie
+
+    # the rename is a derivation — without retie the banded cache
+    # releases before the caller's action (caching.retie docstring)
+    return retie(out.withColumnRenamed("cand_id", "neg_id"), out)
 
 
 def hard_positives_lsh(
@@ -309,7 +313,9 @@ def hard_positives_lsh(
         num_planes=num_planes, num_tables=num_tables,
         dim=dim, max_bucket=max_bucket, guard=guard,
     )
-    return out.withColumnRenamed("cand_id", "pos_id")
+    from frames_spark.operators.caching import retie
+
+    return retie(out.withColumnRenamed("cand_id", "pos_id"), out)
 
 
 def mine_triplets(
