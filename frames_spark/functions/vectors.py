@@ -27,15 +27,34 @@ def const_int_matrix(rows) -> Column:
     costs one py4j round-trip PER LITERAL — a 32x64 plane matrix is
     2048 round-trips, ~4-6 s of driver time per query build
     (measured r11); one expr string is one round-trip and yields the
-    identical constant-folded plan literals."""
-    return F.expr(
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{int(v)}L" for v in r) + ")"
-            for r in rows
+    identical constant-folded plan literals.
+
+    Input contract: non-empty rows of non-empty int64 values. An
+    empty matrix (or an empty row) would render an untyped
+    ``array()`` the parser can't type, and INT64_MIN has no positive
+    SQL literal (the parser reads ``-9223372036854775808L`` as unary
+    minus over an out-of-range positive) — rendered as
+    ``(-9223372036854775807L - 1L)`` instead. Values outside int64
+    raise rather than silently wrap."""
+    rendered_rows = []
+    for r in rows:
+        vals = [int(v) for v in r]
+        if not vals:
+            raise ValueError("const_int_matrix: empty row (untyped array())")
+        for v in vals:
+            if not (-(1 << 63) <= v < (1 << 63)):
+                raise ValueError(f"const_int_matrix: {v} outside int64")
+        rendered_rows.append(
+            "array("
+            + ", ".join(
+                "(-9223372036854775807L - 1L)" if v == -(1 << 63) else f"{v}L"
+                for v in vals
+            )
+            + ")"
         )
-        + ")"
-    )
+    if not rendered_rows:
+        raise ValueError("const_int_matrix: empty matrix (untyped array())")
+    return F.expr("array(" + ", ".join(rendered_rows) + ")")
 
 
 def to_fixed(vec: Column) -> Column:

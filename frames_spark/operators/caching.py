@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
-__all__ = ["cache_scope", "tie_cache"]
+__all__ = ["cache_scope", "retie", "tie_cache"]
 
 
 @contextlib.contextmanager

@@ -469,6 +469,22 @@ def _exact_rerank(
     )
 
 
+def _probe_sort_key(dot, cluster):
+    """THE probe-routing rule — cell dot DESCENDING, cluster id
+    ASCENDING on ties — as a Python sort key for the driver-side
+    replay. Kept adjacent to :func:`_probe_order_cols` (the same
+    rule as Window orderBy columns) so the two execution forms
+    cannot silently drift (r11 ADVICE: the residual branch had
+    re-implemented routing inline)."""
+    return (-int(dot), int(cluster))
+
+
+def _probe_order_cols():
+    """The probe-routing rule of :func:`_probe_sort_key` as the
+    distributed Window orderBy column list."""
+    return [F.col("cdot").desc(), F.col("cluster").asc()]
+
+
 def ivfpq_topk_det(
     corpus: DataFrame,
     queries: DataFrame,
@@ -506,24 +522,6 @@ def ivfpq_topk_det(
 
     spark = corpus.sparkSession
 
-    qf = _fixed(queries, id_col, vec_col)
-    cell_dots = F.transform(
-        _codebook(n_centroids, dim),
-        lambda comp: dot_fixed(F.col("fvec"), comp),
-    )
-    qcells = qf.select(
-        F.col("vid").alias("query_id"),
-        F.posexplode(cell_dots).alias("cluster", "cdot"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cdot").desc(), F.col("cluster").asc()
-    )
-    probes = (
-        qcells.withColumn("_r", F.row_number().over(wp))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "cluster")
-    )
-
     if residual:
         books_q = fit_pq_det(
             corpus, id_col, vec_col, m=m, k=codebook_k,
@@ -548,7 +546,7 @@ def ivfpq_topk_det(
             ).astype(np.int64)
             by_dot = sorted(
                 range(n_centroids),
-                key=lambda c: (-int((xq * signs[c]).sum()), c),
+                key=lambda c: _probe_sort_key((xq * signs[c]).sum(), c),
             )
             for cell in by_dot[:nprobe]:
                 rq = xq - s * signs[cell]
@@ -586,6 +584,24 @@ def ivfpq_topk_det(
             .select("query_id", "neighbor_id")
         )
         return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
+
+    # raw-vector det tier: one ADC table per query, distributed probe
+    # routing (the residual branch routes driver-side per probed cell)
+    qf = _fixed(queries, id_col, vec_col)
+    cell_dots = F.transform(
+        _codebook(n_centroids, dim),
+        lambda comp: dot_fixed(F.col("fvec"), comp),
+    )
+    qcells = qf.select(
+        F.col("vid").alias("query_id"),
+        F.posexplode(cell_dots).alias("cluster", "cdot"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(*_probe_order_cols())
+    probes = (
+        qcells.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cluster")
+    )
 
     cells = assign_clusters(corpus, id_col, vec_col, n_centroids, dim).select(
         F.col("vid").alias(id_col), "cluster"

@@ -16,7 +16,11 @@ _mined_topk_lsh):
     bucket-mate under the label predicate, in BOTH anchor directions
     (the batch join produces both), then joins the store. A vector
     already stored emits nothing again — exactly-once per (bucket,
-    id) under redelivery, the near_dup_pairs_stream contract;
+    id) under redelivery WHILE the id remains in state: once FIFO
+    eviction at ``state_cap`` removes an id, a redelivered copy is
+    indistinguishable from a new vector and re-emits its pairs. The
+    downstream ``distinct`` (already required for cross-TABLE
+    repeats) absorbs eviction-induced re-emission;
   - the exact fixed-point cosine runs inside the state update on the
     stored int64 vectors — float(dot) / (sqrt(n2a) * sqrt(n2b)), the
     identical IEEE expression to cosine_from_fixed, so streamed
@@ -143,6 +147,13 @@ def hard_negative_candidates_stream(
             lbls = list(s_lbls or [])
             vecs = [np.asarray(v, dtype=np.int64) for v in (s_vecs or [])]
             n2s = [int(x) for x in (s_n2s or [])]
+        # Emit in bounded slices: a hot bucket at state_cap produces
+        # O(state_cap) pairs PER arriving vector; holding a whole
+        # micro-batch's pairs in one list is O(state_cap x batch)
+        # worker memory. Flush whenever the buffer crosses the bound
+        # and after every input chunk — output is identical (Spark
+        # concatenates the yielded frames), peak memory is bounded.
+        emit_bound = 1 << 15
         rows = []
         for pdf in pdfs:
             for vid, lbl, fvec, n2 in sorted(
@@ -174,13 +185,19 @@ def hard_negative_candidates_stream(
                     lbls.pop(0)
                     vecs.pop(0)
                     n2s.pop(0)
+                if len(rows) >= emit_bound:
+                    yield pd.DataFrame(
+                        rows, columns=["anchor_id", "cand_id", "cosine"]
+                    )
+                    rows = []
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["anchor_id", "cand_id", "cosine"]
+                )
+                rows = []
         state.update(
             (ids, lbls, [[int(x) for x in v] for v in vecs], n2s)
         )
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["anchor_id", "cand_id", "cosine"]
-            )
 
     return banded.groupBy("tbl", "bucket").applyInPandasWithState(
         update,
