@@ -312,6 +312,15 @@ def main() -> None:
         tot_base = sum(base["queries"][n] for n in common)
         out["vs_baseline"] = round(tot_now / tot_base, 3) if tot_base else None
 
+    # Auditability artifact (r11 verdict #1): the driver's stdout
+    # capture bounds the FINAL line to ~2.2 KB, so the COMPLETE
+    # per-query map + calibration fields also go to a committed file
+    # — a judge can compute every pin ratio without parsing
+    # BASELINE.md prose. The round number is derived from the
+    # driver-written BENCH_r{N}.json files (this run becomes N+1);
+    # overridable for ad-hoc sweeps via SPARK_GRAFT_BENCH_TAG.
+    write_full_artifact(out)
+
     # Output contract: the driver captures only the last ~2.2 KB of
     # stdout and parses the FINAL line as the round's bench artifact.
     # At 84 queries the full per-query map alone exceeds that (r7's
@@ -321,6 +330,45 @@ def main() -> None:
     # slowest-10 query map (~600 B — size pinned by a pytest test).
     print(json.dumps(out))
     print(summary_line(out))
+
+
+def artifact_tag() -> str:
+    """Tag for the full-artifact filename: SPARK_GRAFT_BENCH_TAG if
+    set, else r{N+1} where N is the highest driver-written
+    BENCH_r{N}.json in the repo root (the driver records THIS run as
+    round N+1)."""
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        return tag
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(root)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return f"r{max(rounds, default=0) + 1}"
+
+
+def write_full_artifact(out: dict) -> str | None:
+    """Write the COMPLETE bench object (full queries map, all calib
+    fields, no size cap) to sweeps/BENCH_full_{tag}.json, pretty-
+    printed for diff-friendly commits. Returns the path, or None if
+    the write fails (the stdout contract must survive a read-only
+    checkout)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, "sweeps", f"BENCH_full_{artifact_tag()}.json")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH full-artifact write failed: {exc}", file=sys.stderr)
+        return None
+    print(f"BENCH full artifact: {path}", file=sys.stderr)
+    return path
 
 
 def summary_line(out: dict) -> str:

@@ -1,7 +1,13 @@
 """Graph analytics on edge lists (the co-purchase/co-occurrence
-graphs the engine already builds without self-joins; connected
-components live in dedup/cluster.py, triangles/degrees in the query
-layer).
+graphs the engine builds without self-joins; connected components
+live in dedup/cluster.py).
+
+``cooccur_edges`` / ``degrees`` / ``oriented_wedges`` / ``triangles``
+are the shared wedge machinery behind q_triangle_count,
+q_clustering_coeff, q_degree_dist, q_pagerank and
+q_link_prediction's edge building (r11 verdict: the three copies in
+the query layer were drift risk — pure code motion, plans
+unchanged).
 
 ``pagerank`` runs in EXACT INTEGER micros: float PageRank sums
 incoming contributions in partition order, so two runs of the same
@@ -21,7 +27,97 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = [
+    "cooccur_edges",
+    "degrees",
+    "oriented_wedges",
+    "pagerank",
+    "triangles",
+]
+
+
+def cooccur_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges ``(u, v)`` with
+    ``u < v`` — items sharing a group become pairwise edges.
+
+    One groupBy + in-array i<j expansion: the fact table NEVER
+    self-joins (a groupwise self-join is |group|^2 shuffle rows
+    before the distinct; the array expansion emits each ordered pair
+    exactly once inside the aggregated row). collect_set bounds the
+    array by distinct items per group — hub groups are the
+    max_bucket-style cap's concern upstream, not a reducer funnel
+    here, because the expansion is data-parallel per group."""
+    baskets = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("parts")
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    f"y -> struct(x AS {u}, y AS {v}))))"
+                )
+            ).alias("e")
+        )
+        .select(f"e.{u}", f"e.{v}")
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, deg_col: str = "deg") -> DataFrame:
+    """``(n, deg)`` over an undirected ``(u, v)`` edge list — one
+    union + map-side-combined groupBy."""
+    return (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias(deg_col))
+    )
+
+
+def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Open wedges ``(p, a, b)`` with ``a < b``, generated at each
+    edge's LOW-degree endpoint (Suri & Vassilvitskii, WWW'11): every
+    wedge is opened at its lowest-degree vertex, bounding per-task
+    work by sum(deg^1.5) instead of max(deg^2) — hub nodes cannot
+    curse a single reducer. ``deg`` is ``degrees(edges)`` (pass it in
+    so consumers that also need degrees share the aggregate)."""
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
+    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    return w1.join(w2, "p").filter(F.col("a") < F.col("b"))
+
+
+def triangles(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Closed triangles ``(a, b, p)``, each enumerated exactly once
+    (at its lowest-degree corner): degree-oriented wedges closed
+    against the canonical ``(min, max)`` edge set."""
+    if deg is None:
+        deg = degrees(edges)
+    wedges = oriented_wedges(edges, deg)
+    canon = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    return wedges.join(canon, ["a", "b"])
 
 
 def pagerank(

@@ -345,58 +345,14 @@ def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.graph import cooccur_edges, triangles
+
     li = load_table(spark, sf_dir, "lineitem")
-    # undirected edge list via one groupBy + in-array i<j expansion
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
-    # degree-ordered orientation: lo = lower-degree endpoint
     # (measured: staging the edge list does NOT pay here — the wedge
     # join dominates and AQE already reuses the distinct's exchange
     # across the three consumers)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
-    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
-    )
-    # wedges open at the LOW-degree vertex; close them against the
-    # canonical (min, max) edge set
-    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
-    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
-    wedges = w1.join(w2, "p").filter(F.col("a") < F.col("b"))
-    canon = edges.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-    )
-    return wedges.join(canon, ["a", "b"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey")
+    return triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 # Equal-frequency feature binning (10 bins over order price) — the
@@ -736,29 +692,11 @@ ORACLES["q_minhash_calibration"] = ORACLES["q_minhash_calibration"].format(
     """,
 )
 def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.graph import cooccur_edges, degrees
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey")
+    deg = degrees(edges, deg_col="degree")
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -2174,25 +2112,10 @@ def _pagerank_iter_ctes(n: int) -> str:
     """,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.operators.graph import pagerank
+    from frames_spark.operators.graph import cooccur_edges, pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey", u="src", v="dst")
     return pagerank(edges, iterations=_PAGERANK_ITERS)
 
 

@@ -1860,50 +1860,13 @@ def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.graph import cooccur_edges, degrees, triangles
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
-    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
-    )
-    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
-    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
-    wedges = w1.join(w2, "p").filter(F.col("a") < F.col("b"))
-    canon = edges.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-    )
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey")
+    deg = degrees(edges)
     tri_nodes = (
-        wedges.join(canon, ["a", "b"])
+        triangles(edges, deg)
         .select(F.explode(F.array("p", "a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("t"))
@@ -1973,23 +1936,14 @@ _LP_MAX_DEG = 1024
     """,
 )
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.graph import cooccur_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey")
+    # candidate generation stays on the per-pivot sorted-adjacency
+    # expansion (degree-capped pivots), NOT oriented_wedges: link
+    # prediction needs wedges at EVERY pivot (common-neighbor counts),
+    # not each wedge once at its lowest-degree vertex
     nb = edges.select(F.col("u").alias("p"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("p"), F.col("u").alias("n"))
     )

@@ -118,3 +118,42 @@ def test_job_overhead_kernel_pinned_in_baseline():
     assert base is not None
     assert 0 < base["job_calib_sec"] < 10
     assert callable(bench.job_overhead_kernel)
+
+
+def test_full_artifact_schema_and_roundtrip(tmp_path, monkeypatch):
+    """The committed sweeps/BENCH_full_{tag}.json must carry the
+    COMPLETE queries map (every key, including nulls for failed
+    queries) and every calibration/noise scalar — a judge computes
+    all pin ratios from this file alone (r11 verdict #1)."""
+    out = _fake_out(200)
+    monkeypatch.setattr(bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TAG", "rtest")
+    path = bench.write_full_artifact(out)
+    assert path == str(tmp_path / "sweeps" / "BENCH_full_rtest.json")
+    loaded = json.load(open(path))
+    assert loaded == out  # lossless: no truncation, no slowest-N cap
+    assert len(loaded["queries"]) == 201
+    assert loaded["queries"]["broken_one"] is None
+    for key in (
+        "metric", "value", "unit", "sf", "failed", "vs_baseline",
+        "calib_before_sec", "calib_after_sec",
+        "bw_before_sec", "bw_after_sec",
+        "job_before_sec", "job_after_sec",
+        "box_noise_factor", "bw_noise_factor", "job_noise_factor",
+    ):
+        assert key in loaded, key
+
+
+def test_artifact_tag_derives_next_round(tmp_path, monkeypatch):
+    """Without the env override the tag is r{N+1} over the driver's
+    BENCH_r{N}.json files — the full artifact lands beside the round
+    it certifies."""
+    monkeypatch.setattr(bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_TAG", raising=False)
+    assert bench.artifact_tag() == "r1"  # empty repo -> first round
+    (tmp_path / "BENCH_r04.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    (tmp_path / "BENCH_rbogus.json").write_text("{}")  # ignored
+    assert bench.artifact_tag() == "r12"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TAG", "adhoc_sf1")
+    assert bench.artifact_tag() == "adhoc_sf1"
