@@ -166,7 +166,7 @@ def near_dup_pairs_lsh(
     num_tables: int = 4,
     dim: int = 64,
     max_bucket: int | None = None,
-    guard: str = "off",
+    guard: str = "warn",
 ) -> DataFrame:
     """Scale path: multi-table hyperplane LSH, exact cosine on the
     deduped candidate set only.
@@ -188,12 +188,13 @@ def near_dup_pairs_lsh(
     one-aggregate corpus-size pre-flight (suggest_num_planes), so
     default calls keep producing candidates as the corpus grows;
     explicit values pin the geometry (the oracled queries do).
-    ``guard`` (off|warn|raise, default off) measures the
-    directed-pair mass ``max_bucket`` would drop via a LIGHT
-    id-only bucket pre-pass and warns/raises when it exceeds half —
-    off by default because the pre-pass repeats the sign
-    computation; q_embed_bucket_stats is the standing audit for the
-    pinned configurations."""
+    ``guard`` (off|warn|raise, default warn — matching the miners'
+    eager-guard posture, r11 verdict #4) measures the directed-pair
+    mass ``max_bucket`` would drop via a LIGHT id-only bucket
+    pre-pass and warns/raises when it exceeds half. The pre-pass
+    repeats the sign computation as one extra id-only job, so the
+    pinned registered queries pass ``guard="off"`` explicitly and
+    lean on q_embed_bucket_stats as their standing audit."""
     if num_planes is None:
         num_planes = suggest_num_planes(
             df.count(), max_bucket if max_bucket is not None else 4000

@@ -1193,6 +1193,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_ops.near_dup_pairs_lsh(
         _with_perturbed_copies(emb), "vec_id", "embedding",
         threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+        guard="off",
     )
 
 
@@ -1202,6 +1203,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_ops.near_dup_pairs_lsh(
         _with_perturbed_copies(emb), "vec_id", "embedding",
         threshold=0.9, num_planes=8, num_tables=4, max_bucket=2000,
+        guard="off",
     )
 
 
@@ -1222,6 +1224,7 @@ def q_dedup_embed_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_ops.near_dup_pairs_lsh(
         _with_perturbed_copies(emb), "vec_id", "embedding",
         threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+        guard="off",
     )
 
 
@@ -1256,6 +1259,7 @@ def q_embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embed_ops.near_dup_pairs_lsh(
         subset, "vec_id", "embedding",
         threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+        guard="off",
     )
     found = exact.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))

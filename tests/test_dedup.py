@@ -155,3 +155,24 @@ def test_containment_has_no_inner_join_on_shingle(spark, sf_dir):
         if "Join Inner" in line and "shingle#" in line
     ]
     assert not bad, bad
+
+
+def test_near_dup_default_guard_warns_on_dense_corpus(spark):
+    """The library default is now guard="warn" (r11 verdict #4 — the
+    miners' eager posture): a corpus whose max_bucket filter would
+    drop most candidate mass warns instead of silently returning an
+    empty pair set. Registered queries pin guard="off" explicitly."""
+    import warnings
+
+    from frames_spark.dedup import embedding
+
+    rows = [(i, [1.0] + [0.0] * 63) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = embedding.near_dup_pairs_lsh(
+            df, "vec_id", "embedding", threshold=0.9,
+            num_planes=2, num_tables=2, max_bucket=4,
+        )
+        assert out.count() == 0  # dropped everything — but loudly
+    assert any("ppm" in str(w.message) for w in caught)
