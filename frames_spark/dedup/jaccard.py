@@ -34,6 +34,33 @@ from frames_spark.operators.core import spread
 DEFAULT_MAX_DF = 64
 
 
+def suggest_max_df(
+    n_docs: int, rate_ppm: int = 10_000, floor: int = DEFAULT_MAX_DF
+) -> int:
+    """Parameter governor for the stop-shingle cap — the jaccard
+    analog of embedding.suggest_num_planes. A FIXED df cap is an
+    inverse guard failure as the corpus grows: every content
+    shingle's document frequency scales with corpus size, so at some
+    scale the cap stops ALL shingles and dedup silently returns zero
+    pairs (measured: the r12 sf1 sweep — the pinned df<=64 drops
+    q_dedup_ngram's pair set to empty at 10x the bench corpus).
+    Boilerplate is a RATE, not a count: a shingle present in more
+    than ``rate_ppm`` of documents (default 1%) is boilerplate at any
+    corpus size; ``floor`` keeps small corpora on the proven fixed
+    cap. Callers derive n_docs from a one-aggregate pre-flight via
+    ``max_df="auto"``; pinned registered queries keep explicit
+    values."""
+    return max(floor, n_docs * rate_ppm // 1_000_000)
+
+
+def _resolve_max_df(df: DataFrame, max_df) -> int | None:
+    """``"auto"`` -> suggest_max_df over a one-aggregate pre-flight
+    count; ints and None pass through."""
+    if max_df == "auto":
+        return suggest_max_df(df.count())
+    return max_df
+
+
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -66,7 +93,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_df: int | None = DEFAULT_MAX_DF,
+    max_df: int | None | str = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """ORDERED pairs (doc_a, doc_b, n_common, n_shingles_a,
     containment = |A∩B| / |A|) over every document pair sharing at
@@ -84,7 +111,8 @@ def containment_pairs(
     posting list; on by default (``DEFAULT_MAX_DF``).
     """
     return containment_pairs_from_index(
-        shingle_index(df, id_col, text_col, n), max_df=max_df
+        shingle_index(df, id_col, text_col, n),
+        max_df=_resolve_max_df(df, max_df),
     )
 
 
@@ -147,7 +175,7 @@ def jaccard_pair_counts(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_df: int | None = DEFAULT_MAX_DF,
+    max_df: int | None | str = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """The raw pair relation every Jaccard consumer derives from:
     (doc_a < doc_b, n_common, size_a, size_b) for every pair sharing
@@ -158,7 +186,9 @@ def jaccard_pair_counts(
     lineage (shingle explode) runs ONCE and shuffles once, vs twice
     each for the self-join form. Posting lists are bounded by the
     max_df guard (and naturally for content shingles)."""
-    index = rare_shingles(shingle_index(df, id_col, text_col, n), max_df)
+    index = rare_shingles(
+        shingle_index(df, id_col, text_col, n), _resolve_max_df(df, max_df)
+    )
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (
         index.groupBy("shingle")
@@ -190,7 +220,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = DEFAULT_MAX_DF,
+    max_df: int | None | str = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
     return (

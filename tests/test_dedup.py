@@ -176,3 +176,30 @@ def test_near_dup_default_guard_warns_on_dense_corpus(spark):
         )
         assert out.count() == 0  # dropped everything — but loudly
     assert any("ppm" in str(w.message) for w in caught)
+
+
+def test_suggest_max_df_scales_with_corpus(spark):
+    """The stop-shingle governor (r12: the sf1 sweep showed a fixed
+    df<=64 stops EVERY shingle at 10x the bench corpus — dedup
+    silently returns zero pairs). Boilerplate is a rate: >1% of docs
+    at any corpus size; small corpora keep the proven fixed floor."""
+    from frames_spark.dedup import jaccard
+
+    assert jaccard.suggest_max_df(5_000) == 64       # floor
+    assert jaccard.suggest_max_df(50_000) == 500     # 1% of corpus
+    assert jaccard.suggest_max_df(10_000_000) == 100_000
+    # max_df="auto" resolves through a one-aggregate pre-flight
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("x" if i % 2 else "y"))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    auto = jaccard.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_df="auto"
+    )
+    pinned = jaccard.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_df=64
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
