@@ -951,6 +951,48 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The GOVERNED twin: max_df="auto" derives the stop-shingle cap from
+# a one-aggregate corpus-size pre-flight (suggest_max_df — boilerplate
+# is a rate, not a count; the r12 sf1 sweep showed the fixed df<=64
+# cap stops every shingle at 10x and silently empties the pair set).
+# The oracle mirrors the governor exactly: GREATEST(64, n_docs // 100)
+# over the same corpus relation, so the value check certifies the
+# derived cap cross-engine at whatever SF the sweep runs.
+@register(
+    "q_dedup_ngram_auto",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    gov AS (SELECT GREATEST(64, COUNT(*) // 100) AS max_df FROM corpus),
+    shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    rare AS (
+      SELECT shingle FROM shingled0 GROUP BY shingle
+      HAVING COUNT(*) <= (SELECT max_df FROM gov)
+    ),
+    shingled AS (SELECT s.* FROM shingled0 s JOIN rare USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def q_dedup_ngram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jac_ops.jaccard_pairs(
+        _with_near_copies(docs), "doc_id", "text", n=3, threshold=0.6,
+        max_df="auto",
+    )
+
+
 # MinHash signatures + banded LSH candidates (dedup/minhash.py).
 _MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
 
