@@ -130,6 +130,7 @@ BENCH_QUERIES = {
     "triplet_mining": Q.q_triplet_mining,
     "embed_bucket_stats": Q.q_embed_bucket_stats,
     "bpe_merges": Q.q_bpe_merges,
+    "dedup_ngram_auto": Q.q_dedup_ngram_auto,
 }
 
 
