@@ -29,7 +29,15 @@ def ewma_per_key(
 ) -> DataFrame:
     """Exponentially weighted moving average of ``value`` per key in
     event-time order: e_0 = x_0, e_t = alpha*x_t + (1-alpha)*e_{t-1}
-    (pandas ewm adjust=False). Adds ``out`` to the schema."""
+    (pandas ewm adjust=False). Adds ``out`` to the schema.
+
+    Bit-exact semantics (load-bearing for the cross-engine oracle):
+    pandas short-circuits when x_t == e_{t-1} EXACTLY, keeping the
+    average untouched — the recurrence form (1-a)*x + a*x is NOT x
+    in floats. Any replica (q_ewma's recursive-CTE oracle) must
+    mirror that fixpoint skip; the r12 sf1 sweep caught a last-ulp
+    divergence from omitting it on users whose first two values
+    collide."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)

@@ -603,12 +603,19 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expressible in portable SQL; exactness vs pandas is pinned in
 # tests/test_grouped_scd.py.
 # Full oracle (upgraded from rows-only): pandas ewm(adjust=False)
-# computes EXACTLY (1-a)*prev + a*x in IEEE doubles (verified
-# bit-for-bit against the literal recurrence), and a recursive CTE
-# replays the same operation sequence per key — order is total
-# because (user_id, ts) has no ties in this data. If the driver's
-# hash ever disagrees here, suspect FMA contraction differences
-# first.
+# computes (1-a)*prev + a*x in IEEE doubles WITH a fixpoint
+# short-circuit — when the incoming value equals the running average
+# exactly, pandas keeps the average untouched instead of computing
+# (1-a)*x + a*x, which is NOT x in floating point (0.7*2.61 + 0.3*
+# 2.61 = 2.6099999999999994). The r12 sf1 sweep caught exactly this:
+# users whose first two values collide (2-decimal values make that
+# likely) diverged in the last ulp. The CTE mirrors the
+# short-circuit with a CASE; otherwise it replays the identical
+# operation sequence per key — order is total because (user_id, ts)
+# has no ties in this data. Exact pandas parity of this formulation
+# is pinned over 200k values + the equal-run edge in
+# tests/test_grouped_scd.py. If the driver's hash ever disagrees
+# here, suspect FMA contraction differences first.
 @register(
     "q_ewma",
     """
@@ -621,7 +628,8 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value, rn, value AS ewma FROM base WHERE rn = 1
       UNION ALL
       SELECT b.user_id, b.ts, b.value, b.rn,
-             (1 - 0.3) * r.ewma + 0.3 * b.value
+             CASE WHEN b.value = r.ewma THEN r.ewma
+                  ELSE (1 - 0.3) * r.ewma + 0.3 * b.value END
       FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
     )
     SELECT user_id, ts, value, ewma FROM rec

@@ -112,3 +112,37 @@ def test_holt_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], ["k", "t", "x"])
     with _pytest.raises(ValueError):
         holt_per_key(df, "k", "t", "x", alpha=0.0, beta=0.5)
+
+
+def test_ewma_fixpoint_skip_matches_pandas_exactly(spark):
+    """pandas ewm(adjust=False) SHORT-CIRCUITS when the incoming
+    value equals the running average exactly (the recurrence
+    (1-a)*x + a*x is NOT x in floats: 0.7*2.61 + 0.3*2.61 =
+    2.6099999999999994). The r12 sf1 sweep caught the oracle
+    diverging in the last ulp on users whose first two values
+    collide; this pins the exact semantics — literal recurrence +
+    fixpoint skip — as bit-equal to both the operator and a 200k-
+    value pandas replay."""
+    import numpy as np
+    import pandas as pd
+
+    # the edge itself: equal first values must stay EXACTLY equal
+    df = spark.createDataFrame(
+        [(1, 1, 2.61), (1, 2, 2.61), (1, 3, 3.0), (1, 4, 3.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r.ts: r.ewma
+        for r in ewma_per_key(df, "k", "ts", "v", alpha=0.3).collect()
+    }
+    assert got[2] == 2.61  # skip branch: NOT 2.6099999999999994
+    assert got[3] == (1 - 0.3) * 2.61 + 0.3 * 3.0
+    # exhaustive replay: skip + literal recurrence == pandas, bitwise
+    rng = np.random.default_rng(7)
+    x = np.round(rng.exponential(50, 200_000), 2)
+    r = pd.Series(x).ewm(alpha=0.3, adjust=False).mean().to_numpy()
+    e = np.empty_like(x)
+    e[0] = x[0]
+    for i in range(1, len(x)):
+        e[i] = e[i - 1] if x[i] == e[i - 1] else (1 - 0.3) * e[i - 1] + 0.3 * x[i]
+    assert np.array_equal(r, e)
