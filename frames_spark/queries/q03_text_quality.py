@@ -1708,7 +1708,7 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT COUNT(*) AS n_gaps,
-           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(SUM(gap_us) AS DECIMAL(38,0)) AS total_gap_us,
            CAST(FLOOR(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
            CAST(FLOOR(quantile_cont(gap_us, 0.9)) AS BIGINT) AS p90_us
     FROM gaps WHERE gap_us IS NOT NULL
@@ -1725,9 +1725,12 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = o.select(
         (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
+    # DECIMAL(38,0) sum: ~n_gaps x mean-gap micros crosses int64 at
+    # ~1.4M gaps (the r12 sf1 sweep hit the ANSI overflow live; the
+    # q_embed_covariance widening idiom applies)
     return gaps.agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum("gap_us").alias("total_gap_us"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("total_gap_us"),
         F.floor(F.percentile(F.col("gap_us"), F.lit(0.5))).cast("long").alias("p50_us"),
         F.floor(F.percentile(F.col("gap_us"), F.lit(0.9))).cast("long").alias("p90_us"),
     )
@@ -2208,7 +2211,12 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i, SUM(CAST(qi AS HUGEINT)) AS s, COUNT(*) AS n FROM ex GROUP BY i
     )
     SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
-           CAST(mi.n * s_ij - mi.s * mj.s AS DOUBLE)
+           -- VARCHAR round-trip: DuckDB's direct HUGEINT->DOUBLE cast
+           -- double-rounds through 64-bit halves and is off by one
+           -- ulp once |c| crosses 2^53 (caught by the r12 sf1 sweep:
+           -- 99/2080 cells); string->double is correctly rounded and
+           -- matches Spark's decimal->double exactly.
+           CAST(CAST(mi.n * s_ij - mi.s * mj.s AS VARCHAR) AS DOUBLE)
              / mi.n / mi.n / 1048576 / 1048576 AS cov
     FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i
     """,
