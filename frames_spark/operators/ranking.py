@@ -39,29 +39,25 @@ def _auto_stage(df: DataFrame, stage: bool | None) -> bool:
 
     The ranked branch and the histogram branch both consume one
     repartitionByRange exchange; correctness requires both branches
-    to observe IDENTICAL partition ids. That holds when the input is
-    a deterministic scan (ReuseExchange sees one subtree), but the
-    moment the input plan itself contains an Exchange — a shuffle
-    join, an aggregation, or a broadcast that AQE may demote to a
-    shuffle at scale — each branch can independently re-plan the
-    upstream exchange (AQE re-optimizes per stage) and the two
-    branches silently disagree on ``spark_partition_id``. This has
-    corrupted ranks live three times (q_rfm, q_mann_whitney at
-    sf0.1, and two latent join-fed callers), always passing at small
-    SF by luck, so the default is now AUTO: localCheckpoint whenever
-    the input's physical plan contains any Exchange. Callers may
-    still force ``stage=True`` (nondeterministic upstreams that plan
-    exchange-free, e.g. sample()/rand()) or ``stage=False`` (input
-    proven deterministic AND exchange-free).
+    to observe IDENTICAL partition ids. Rank corruption from branch
+    divergence has now been caught live FOUR times: three
+    exchange-fed inputs (q_rfm, q_mann_whitney at sf0.1, two latent
+    join-fed callers) — which led to a plan-inspection heuristic
+    (stage iff the input plan contains an Exchange) — and then, r12,
+    a PLAIN SCAN-FED input (q_sample_per_source at sf1: 90/180 of
+    200 rows, session-shape-dependent). The scan-fed failure breaks
+    the heuristic's premise: RangePartitioner's sample seed derives
+    from the RDD id, a per-session counter, so whenever ReuseExchange
+    fails to dedupe the two subtrees (AQE stage planning makes this
+    session-history-dependent), the branches sample DIFFERENT range
+    bounds and disagree on ``spark_partition_id`` even over a
+    deterministic scan. There is no plan shape that provably reuses,
+    so the default is now: ALWAYS stage (one lazy localCheckpoint of
+    the partitioned slice — it replaces the second exchange
+    evaluation, so the cost is bounded and often negative).
+    ``stage=False`` remains for formulation-equivalence tests only.
     """
-    if stage is not None:
-        return stage
-    try:
-        from frames_spark.plans.explain import formatted_plan
-
-        return "Exchange" in formatted_plan(df)
-    except Exception:
-        return True  # un-inspectable plan: stage, never risk ranks
+    return True if stage is None else stage
 
 
 def grouped_rank(
@@ -83,16 +79,13 @@ def grouped_rank(
     histogram (not the data) passes through a global window.
 
     DETERMINISM REQUIREMENT: the ranked branch and the histogram
-    branch both read the same repartitionByRange exchange; for
-    deterministic inputs ReuseExchange (plus RangePartitioner's fixed
-    sampling seed) guarantees both branches observe identical
-    partition ids. A NONdeterministic upstream (sample(), rand()
-    columns, non-deterministic UDFs) can be re-evaluated differently
-    per branch and silently corrupt ranks; so can a shuffle-fed
-    upstream under AQE re-planning. ``stage=None`` (default)
-    auto-stages whenever the input plan contains an Exchange (see
-    ``_auto_stage``); staging localCheckpoints the partitioned
-    relation so it is computed exactly once.
+    branch must observe ONE evaluation of the range exchange.
+    ``stage=None`` (default) localCheckpoints the partitioned
+    relation unconditionally — RangePartitioner's sample seed
+    derives from the per-session RDD id, so ReuseExchange is the
+    only thing keeping the branches consistent and it is
+    session-shape-dependent (see ``_auto_stage`` for the four live
+    corruptions, the last on a plain scan-fed input at sf1).
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -168,7 +161,7 @@ def grouped_prefix_sum(
 
     Same determinism requirement as grouped_rank (both branches must
     observe one evaluation of the range exchange); ``stage=None``
-    auto-stages on any Exchange in the input plan (``_auto_stage``).
+    stages unconditionally (``_auto_stage``).
     Use integer/decimal value columns — float partial sums would make
     the offsets partition-dependent.
     """

@@ -130,32 +130,32 @@ def test_grouped_prefix_sum_plan_is_distributed(spark, sf_dir):
         (F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
 
+    # stage=False: the localCheckpoint boundary hides the upstream
+    # projection from the plan probe; the formulation is what this
+    # test pins, so inspect the unstaged twin
     plan = formatted_plan(
-        grouped_prefix_sum(o, [], ["cents", "o_orderkey"], "cents")
+        grouped_prefix_sum(o, [], ["cents", "o_orderkey"], "cents", stage=False)
     )
     assert "spark_partition_id" in plan.lower()
 
 
-def test_auto_stage_detects_shuffle_fed_input(spark, sf_dir):
-    """stage=None (default) localCheckpoints exchange-fed inputs and
-    leaves plain scans unstaged — the structural fix for the
-    silent-rank-corruption trap (two consumer branches of the range
-    exchange disagreeing on partition ids under AQE re-planning)."""
+def test_auto_stage_is_unconditional(spark, sf_dir):
+    """r12: rank corruption was caught live on a PLAIN SCAN-FED input
+    (q_sample_per_source at sf1, session-shape-dependent — the
+    RangePartitioner sample seed rides the per-session RDD id, so
+    ReuseExchange is the only consistency guarantee and it is not
+    one). The old plan-inspection heuristic (stage iff Exchange in
+    the plan) is gone: stage=None now ALWAYS stages; explicit
+    booleans pass through."""
+    import pyspark.sql.functions as F
+
     from frames_spark.operators.ranking import _auto_stage
 
-    o = load_table(spark, sf_dir, "orders")
-    # plain deterministic scan: no Exchange, no staging needed
-    assert _auto_stage(o.select("o_orderkey", "o_totalprice"), None) is False
-    # aggregation output: shuffle-fed, must stage
-    agg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert _auto_stage(o.select("o_orderkey", "o_totalprice"), None) is True
+    agg = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
     assert _auto_stage(agg, None) is True
-    # join output (the shape that corrupted q_rfm / q_mann_whitney
-    # live): must stage whether the join broadcasts or shuffles
-    c = load_table(spark, sf_dir, "customer")
-    j = o.join(c, o.o_custkey == c.c_custkey)
-    assert _auto_stage(j, None) is True
-    # explicit override still wins both ways
-    assert _auto_stage(j, False) is False
+    assert _auto_stage(agg, False) is False
     assert _auto_stage(o, True) is True
 
 
