@@ -7,11 +7,15 @@ one shingle ever meet, and the shuffle is keyed by shingle hash.
 Scale controls:
 - ``max_df`` drops stop-shingles (present in more than max_df docs)
   before pair generation — the classic guard against the quadratic
-  blowup on boilerplate shingles. ON by default (``DEFAULT_MAX_DF``):
-  one shingle shared by D documents otherwise becomes a single
-  O(D)-element posting-list row and D²/2 expanded pairs. The oracle
-  SQL twins mirror the guard exactly (a HAVING df <= max_df CTE), so
-  correctness checking does not require turning it off; pass
+  blowup on boilerplate shingles. One shingle shared by D documents
+  otherwise becomes a single O(D)-element posting-list row and D²/2
+  expanded pairs. Defaults to ``"auto"`` — the rate-based
+  ``suggest_max_df`` governor over a one-aggregate pre-flight count —
+  because a FIXED cap is an inverse guard failure as the corpus
+  grows: at ~10x the bench corpus df<=64 stopped EVERY shingle and
+  near-dup recall silently went to zero (the r12 sf1 find).
+  Registered oracle queries pass explicit pins (their SQL twins
+  mirror the guard exactly — a HAVING df <= max_df CTE); pass
   ``max_df=None`` only for formulation-equivalence tests.
 - Jaccard is exact: |A ∩ B| from the index join, |A|,|B| from
   per-doc shingle counts; integer-ratio division is deterministic
@@ -33,9 +37,16 @@ from frames_spark.operators.core import spread
 # (near-dup pairs share rare shingles) while cutting boilerplate.
 DEFAULT_MAX_DF = 64
 
+# Default boilerplate RATE for the governed cap: a shingle present in
+# more than this many docs per million (1%) is boilerplate at any
+# corpus size. A module constant so oracle SQL twins can interpolate
+# the SAME value suggest_max_df defaults to (they cannot desync).
+DEFAULT_MAX_DF_RATE_PPM = 10_000
+
 
 def suggest_max_df(
-    n_docs: int, rate_ppm: int = 10_000, floor: int = DEFAULT_MAX_DF
+    n_docs: int, rate_ppm: int = DEFAULT_MAX_DF_RATE_PPM,
+    floor: int = DEFAULT_MAX_DF,
 ) -> int:
     """Parameter governor for the stop-shingle cap — the jaccard
     analog of embedding.suggest_num_planes. A FIXED df cap is an
@@ -58,6 +69,15 @@ def _resolve_max_df(df: DataFrame, max_df) -> int | None:
     count; ints and None pass through."""
     if max_df == "auto":
         return suggest_max_df(df.count())
+    return max_df
+
+
+def _resolve_max_df_index(index: DataFrame, max_df) -> int | None:
+    """`_resolve_max_df` for the pre-built (doc, shingle) index entry
+    point: n_docs is the distinct doc count (the index has no corpus
+    relation to count rows of)."""
+    if max_df == "auto":
+        return suggest_max_df(index.select("doc").distinct().count())
     return max_df
 
 
@@ -93,7 +113,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_df: int | None | str = DEFAULT_MAX_DF,
+    max_df: int | None | str = "auto",
 ) -> DataFrame:
     """ORDERED pairs (doc_a, doc_b, n_common, n_shingles_a,
     containment = |A∩B| / |A|) over every document pair sharing at
@@ -108,7 +128,10 @@ def containment_pairs(
     (b,a) is produced AFTER the pair aggregation by a row-local
     2-element explode, so the pair shuffle carries each unordered
     pair once. ``max_df`` is the stop-shingle guard bounding every
-    posting list; on by default (``DEFAULT_MAX_DF``).
+    posting list; defaults to ``"auto"`` (suggest_max_df over a
+    one-aggregate pre-flight — boilerplate is a RATE, and the fixed
+    cap silently empties the pair set at ~10x the bench corpus, the
+    r12 sf1 find). Registered oracle queries pass explicit pins.
     """
     return containment_pairs_from_index(
         shingle_index(df, id_col, text_col, n),
@@ -117,12 +140,16 @@ def containment_pairs(
 
 
 def containment_pairs_from_index(
-    index: DataFrame, max_df: int | None = DEFAULT_MAX_DF
+    index: DataFrame, max_df: int | None | str = "auto"
 ) -> DataFrame:
     """:func:`containment_pairs` over a pre-built (doc, shingle)
     inverted index — lets one index relation feed several dedup
-    tiers (see q_dedup_summary, which persists the index once)."""
-    index = rare_shingles(index, max_df)
+    tiers (see q_dedup_summary, which persists the index once).
+    ``max_df="auto"`` (default) derives the cap from the index's
+    distinct doc count; persist the index first if the lineage is
+    expensive (the q_dedup_summary pattern), since the pre-flight is
+    an extra action over it."""
+    index = rare_shingles(index, _resolve_max_df_index(index, max_df))
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (
         index.groupBy("shingle")
@@ -175,7 +202,7 @@ def jaccard_pair_counts(
     id_col: str,
     text_col: str,
     n: int = 3,
-    max_df: int | None | str = DEFAULT_MAX_DF,
+    max_df: int | None | str = "auto",
 ) -> DataFrame:
     """The raw pair relation every Jaccard consumer derives from:
     (doc_a < doc_b, n_common, size_a, size_b) for every pair sharing
@@ -220,7 +247,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None | str = DEFAULT_MAX_DF,
+    max_df: int | None | str = "auto",
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
     return (

@@ -946,8 +946,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Explicit pin (the library default is now "auto"): this oracle's
+    # rare CTE hardcodes df <= _SHINGLE_MAX_DF, so the Spark side must
+    # pin the same cap. The governed twin is q_dedup_ngram_auto.
     return jac_ops.jaccard_pairs(
-        _with_near_copies(docs), "doc_id", "text", n=3, threshold=0.6
+        _with_near_copies(docs), "doc_id", "text", n=3, threshold=0.6,
+        max_df=_SHINGLE_MAX_DF,
     )
 
 
@@ -955,14 +959,18 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a one-aggregate corpus-size pre-flight (suggest_max_df — boilerplate
 # is a rate, not a count; the r12 sf1 sweep showed the fixed df<=64
 # cap stops every shingle at 10x and silently empties the pair set).
-# The oracle mirrors the governor exactly: GREATEST(64, n_docs // 100)
-# over the same corpus relation, so the value check certifies the
-# derived cap cross-engine at whatever SF the sweep runs.
+# The oracle mirrors the governor exactly, interpolating the SAME
+# constants suggest_max_df defaults to (DEFAULT_MAX_DF floor +
+# DEFAULT_MAX_DF_RATE_PPM rate), so the value check certifies the
+# derived cap cross-engine at whatever SF the sweep runs and the two
+# formulations cannot silently desynchronize (r12 ADVICE).
 @register(
     "q_dedup_ngram_auto",
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    gov AS (SELECT GREATEST(64, COUNT(*) // 100) AS max_df FROM corpus),
+    gov AS (SELECT GREATEST({jac_ops.DEFAULT_MAX_DF},
+                            COUNT(*) * {jac_ops.DEFAULT_MAX_DF_RATE_PPM} // 1000000) AS max_df
+            FROM corpus),
     shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
     rare AS (
       SELECT shingle FROM shingled0 GROUP BY shingle

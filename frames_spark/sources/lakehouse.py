@@ -39,8 +39,8 @@ Frames ref: no equivalent (lakehouse extension, SURVEY.md §2c).
 
 from __future__ import annotations
 
+import itertools
 import re
-from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -77,11 +77,12 @@ _HINTS = {
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 
 
-@lru_cache(maxsize=4)
 def format_available(fmt: str) -> bool:
     """True when ``format(fmt)`` would resolve — the registry Spark
     itself consults (sources/avro.py pattern: a bare Class.forName is
-    too loose)."""
+    too loose). Deliberately uncached: availability is a property of
+    the ACTIVE session (jars/extensions can differ between sessions in
+    one process), and the lookupDataSource probe is cheap."""
     spark = SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError(f"no active SparkSession to probe for {fmt}")
@@ -107,6 +108,16 @@ def _require(fmt: str) -> None:
         raise ValueError(f"format must be delta|iceberg, got {fmt!r}")
     if not format_available(fmt):
         raise RuntimeError(_HINTS[fmt])
+
+
+_view_seq = itertools.count()
+
+
+def _temp_view(prefix: str) -> str:
+    """A per-call unique temp-view name, so merge/delete never clobber
+    (or drop, via the finally) a same-named user view, and concurrent
+    calls in one session cannot collide."""
+    return f"{prefix}_{next(_view_seq)}"
 
 
 def _sql_ref(target: str, fmt: str) -> str:
@@ -224,7 +235,7 @@ def merge_upsert(
     files containing matched keys rewrite, unmatched files are
     untouched metadata-side. THIS is the 100 TB merge path."""
     _require(fmt)
-    view = "frames_spark_merge_updates"
+    view = _temp_view("frames_spark_merge_updates")
     updates.createOrReplaceTempView(view)
     try:
         spark.sql(_merge_upsert_sql(target, keys, updates.columns, fmt, view))
@@ -243,7 +254,7 @@ def delete_rows(
     (right-to-erasure), rewriting only the files that contain
     matching keys."""
     _require(fmt)
-    view = "frames_spark_delete_keys"
+    view = _temp_view("frames_spark_delete_keys")
     delete_keys.select(*keys).distinct().createOrReplaceTempView(view)
     try:
         spark.sql(_delete_rows_sql(target, keys, fmt, view))
@@ -265,8 +276,15 @@ def vacuum(
             f"VACUUM {_sql_ref(target, fmt)} RETAIN {int(retain_hours)} HOURS"
         )
         return
+    _sql_ref(target, fmt)  # validate identifier first (actionable error)
+    if "." not in target:
+        raise ValueError(
+            f"iceberg vacuum needs a catalog-qualified identifier"
+            f" (cat.db.tbl), got {target!r}"
+        )
+    catalog, table = target.split(".", 1)
     spark.sql(
-        f"CALL {target.split('.', 1)[0]}.system.expire_snapshots("
-        f"table => '{target.split('.', 1)[1]}', "
+        f"CALL {catalog}.system.expire_snapshots("
+        f"table => '{table}', "
         f"older_than => now() - INTERVAL {int(retain_hours)} HOURS)"
     )

@@ -122,9 +122,10 @@ def test_containment_max_df_drops_hot_shingle_pairs(spark):
 
 
 def test_jaccard_default_max_df_guards_hot_shingles(spark):
-    # DEFAULT_MAX_DF is ON by default: a boilerplate shingle shared by
-    # more docs than the guard generates ZERO candidate pairs instead
-    # of D²/2 — for both jaccard_pairs and containment_pairs.
+    # The default guard is "auto" (suggest_max_df), which sits at the
+    # DEFAULT_MAX_DF floor for small corpora: a boilerplate shingle
+    # shared by more docs than the floor generates ZERO candidate
+    # pairs instead of D²/2 — for jaccard_pairs and containment_pairs.
     hot = "x y z"
     n = jaccard.DEFAULT_MAX_DF + 6
     docs = spark.createDataFrame(
@@ -203,3 +204,35 @@ def test_suggest_max_df_scales_with_corpus(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, pinned.collect())
     )
+
+
+def test_default_max_df_derives_rate_cap_at_scale(spark):
+    """The library DEFAULT (no max_df argument) is the governor, at
+    both corpus sizes (r12 verdict #4): below the floor threshold it
+    behaves as the proven fixed cap (previous test); above it the cap
+    scales with the corpus, so shingles a fixed df<=64 would wrongly
+    stop (df between the floor and 1% of docs) still generate pairs.
+    This is the exact sf1 zero-recall failure mode, reproduced small:
+    8000 docs -> auto cap 80; a df=70 shingle family is content under
+    the governor, boilerplate under the stale fixed cap."""
+    n_docs, n_warm = 8_000, 70
+    assert jaccard.suggest_max_df(n_docs) == 80
+    rows = [
+        (
+            i,
+            "h1 h2 h3 "  # hot shingle in EVERY doc: df=8000, dropped by both
+            + ("w1 w2 w3 " if i < n_warm else "")
+            + f"u{i} v{i}",
+        )
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # default (auto): the warm docs pair up through their df=70 shingles
+    got = jaccard.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    assert got.count() == n_warm * (n_warm - 1) // 2
+    # the stale fixed cap stops the warm shingles too -> zero recall
+    stale = jaccard.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0,
+        max_df=jaccard.DEFAULT_MAX_DF,
+    )
+    assert stale.count() == 0
