@@ -131,6 +131,8 @@ BENCH_QUERIES = {
     "embed_bucket_stats": Q.q_embed_bucket_stats,
     "bpe_merges": Q.q_bpe_merges,
     "dedup_ngram_auto": Q.q_dedup_ngram_auto,
+    "hard_negatives_auto": Q.q_hard_negatives_auto,
+    "triplet_mining_auto": Q.q_triplet_mining_auto,
 }
 
 

@@ -133,11 +133,18 @@ def sign_buckets(
     )
 
 
+# suggest_num_planes search bounds, as module constants so oracle SQL
+# twins interpolate the SAME values the governor defaults to (the
+# jaccard.DEFAULT_MAX_DF_RATE_PPM pattern — they cannot desync).
+DEFAULT_MIN_PLANES = 4
+DEFAULT_MAX_PLANES = 24
+
+
 def suggest_num_planes(
     n: int,
     max_bucket: int = 4000,
-    min_planes: int = 4,
-    max_planes: int = 24,
+    min_planes: int = DEFAULT_MIN_PLANES,
+    max_planes: int = DEFAULT_MAX_PLANES,
 ) -> int:
     """Parameter governor (r10 verdict #1): the smallest plane count
     whose EXPECTED bucket size n / 2^p lands at or below

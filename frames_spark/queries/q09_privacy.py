@@ -919,6 +919,207 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GOVERNED-GEOMETRY twins (r12 verdict #2): num_planes derived from a
+# one-aggregate corpus-size pre-flight via suggest_num_planes instead
+# of the pinned _HN_PLANES — the sf1 evidence showed the pinned 4-plane
+# geometry is the suite's one super-linear scaler (bucket sizes grow
+# linearly with the corpus under a fixed plane count; the governor
+# holds expected bucket size at max_bucket/4). The oracle replays the
+# governor IN SQL over the same corpus count (the q_dedup_ngram_auto
+# gov-CTE pattern), interpolating the SAME constants the library
+# defaults to (DEFAULT_MIN/MAX_PLANES), so the derived plane count is
+# value-certified cross-engine at whatever SF the sweep runs: at the
+# 500/2000-vector tiers the governor sits at the 4-plane floor (same
+# result set as the pinned twins), at sf1's 20k vectors it derives 5.
+# ---------------------------------------------------------------------------
+
+# VALUES plane-table headroom: 12 planes/table covers corpora to ~2M
+# vectors (np > 12 needs n >> 11 > max_bucket/4). Past that the gov
+# CTE raises via error() instead of silently banding with truncated
+# plane rows.
+_HN_ORACLE_MAX_PLANES = 12
+
+
+def _gov_banded_ctes() -> str:
+    """The governed banding CTE prefix shared by the *_auto miner
+    oracles: gov replays suggest_num_planes (smallest p in
+    [DEFAULT_MIN_PLANES, DEFAULT_MAX_PLANES] with n >> p at or below
+    max_bucket/4) over COUNT(*) of the same corpus the Spark side
+    pre-flights; signs/banded use only the first np planes per table
+    out of the 12-plane VALUES headroom."""
+    return f"""
+    fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    gov AS (
+      SELECT CASE WHEN np > {_HN_ORACLE_MAX_PLANES}
+                  THEN CAST(error('governed miner oracle: derived num_planes '
+                       || np || ' exceeds the VALUES plane headroom') AS BIGINT)
+                  ELSE np END AS np
+      FROM (
+        SELECT COALESCE(
+          (SELECT MIN(range)
+           FROM range({embed_ops.DEFAULT_MIN_PLANES}, {embed_ops.DEFAULT_MAX_PLANES} + 1)
+           WHERE ((SELECT COUNT(*) FROM embeddings) >> range)
+                 <= GREATEST(1, {_HN_MAXB} // 4)),
+          {embed_ops.DEFAULT_MAX_PLANES}) AS np
+      )
+    ),
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(_HN_TABLES * _HN_ORACLE_MAX_PLANES)}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      WHERE p < {_HN_TABLES} * (SELECT np FROM gov)
+      GROUP BY vec_id, p
+    ),
+    banded AS (
+      SELECT vec_id, p // (SELECT np FROM gov) AS tbl,
+             string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id, p // (SELECT np FROM gov)
+    ),
+    ok_buckets AS (
+      SELECT tbl, bucket FROM banded
+      GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND {_HN_MAXB}
+    )"""
+
+
+@register(
+    "q_hard_negatives_auto",
+    f"""
+    WITH {_gov_banded_ctes()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id
+      FROM banded a
+      JOIN ok_buckets ob ON a.tbl = ob.tbl AND a.bucket = ob.bucket
+      JOIN banded b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                   AND a.vec_id != b.vec_id
+      JOIN lab la ON la.vec_id = a.vec_id
+      JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label != lb.label
+    ),
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
+      FROM fixed GROUP BY vec_id
+    ),
+    cos AS (
+      SELECT anchor_id, cand_id,
+             CAST(list_inner_product(a.v, b.v) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+               AS cosine
+      FROM cand JOIN vecs a ON a.vec_id = anchor_id
+                JOIN vecs b ON b.vec_id = cand_id
+    ),
+    ranked AS (
+      SELECT anchor_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM cos
+    )
+    SELECT anchor_id, cand_id AS neg_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+)
+def q_hard_negatives_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.similarity.negatives import hard_negatives_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # num_planes omitted -> the suggest_num_planes governor over a
+    # one-aggregate pre-flight; everything else matches the pinned twin
+    return hard_negatives_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        k=_HN_K,
+        num_tables=_HN_TABLES,
+        max_bucket=_HN_MAXB,
+    )
+
+
+@register(
+    "q_triplet_mining_auto",
+    f"""
+    WITH {_gov_banded_ctes()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+             la.label = lb.label AS same_lbl
+      FROM banded a
+      JOIN ok_buckets ob ON a.tbl = ob.tbl AND a.bucket = ob.bucket
+      JOIN banded b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                   AND a.vec_id != b.vec_id
+      JOIN lab la ON la.vec_id = a.vec_id
+      JOIN lab lb ON lb.vec_id = b.vec_id
+    ),
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
+      FROM fixed GROUP BY vec_id
+    ),
+    cos AS (
+      SELECT anchor_id, cand_id, same_lbl,
+             CAST(list_inner_product(a.v, b.v) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+               AS cosine
+      FROM cand JOIN vecs a ON a.vec_id = anchor_id
+                JOIN vecs b ON b.vec_id = cand_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id AS pos_id, cosine AS pos_cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine ASC, cand_id) AS r
+      FROM cos WHERE same_lbl
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, cand_id) AS r
+      FROM cos WHERE NOT same_lbl
+    ),
+    j AS (
+      SELECT anchor_id, pos_id, pos_cosine, neg_id, neg_cosine,
+             CAST(FLOOR((pos_cosine - neg_cosine) * 1000000 + 0.5) AS BIGINT)
+               AS margin_micros
+      FROM pos JOIN neg USING (anchor_id)
+      WHERE pos.r = 1 AND neg.r = 1
+    )
+    SELECT anchor_id, pos_id, pos_cosine, neg_id, neg_cosine,
+           margin_micros, margin_micros < 200000 AS violated
+    FROM j
+    """,
+)
+def q_triplet_mining_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.caching import retie
+    from frames_spark.similarity.negatives import mine_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    triplets = mine_triplets(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        k=1,
+        num_tables=_HN_TABLES,
+        max_bucket=_HN_MAXB,
+    )
+    margin = F.floor(
+        (F.col("pos_cosine") - F.col("neg_cosine")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return retie(
+        triplets
+        .withColumn("margin_micros", margin)
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_cosine",
+            "neg_id",
+            "neg_cosine",
+            "margin_micros",
+            (F.col("margin_micros") < 200000).alias("violated"),
+        ),
+        triplets,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sign-projection LSH bucket pre-flight — the probe-cost audit for
 # the embedding-LSH family (q_dedup_embed*, hard negatives, triplet
 # mining), symmetric with q_lsh_bucket_stats (MinHash bands) and

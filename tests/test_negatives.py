@@ -218,3 +218,48 @@ def test_mine_triplets_equals_two_call_composition(spark, sf_dir):
         ).collect()
     }
     assert got == want and want
+
+
+def test_gov_oracle_cte_matches_suggest_num_planes():
+    """The *_auto miner oracles replay suggest_num_planes in SQL (the
+    gov CTE). Certify the SQL derivation equals the Python governor
+    for corpus sizes across the whole ladder — including the floor,
+    every breakpoint up to the oracle's 12-plane VALUES headroom, and
+    that past the headroom the CTE raises instead of silently banding
+    with truncated plane rows."""
+    import duckdb
+    import pytest
+
+    from frames_spark.dedup.embedding import (
+        DEFAULT_MAX_PLANES,
+        DEFAULT_MIN_PLANES,
+        suggest_num_planes,
+    )
+    from frames_spark.queries.q09_privacy import (
+        _HN_MAXB,
+        _HN_ORACLE_MAX_PLANES,
+    )
+
+    con = duckdb.connect()
+
+    def sql_np(n: int) -> int:
+        return con.sql(f"""
+            SELECT CASE WHEN np > {_HN_ORACLE_MAX_PLANES}
+                        THEN CAST(error('headroom') AS BIGINT) ELSE np END
+            FROM (
+              SELECT COALESCE(
+                (SELECT MIN(range)
+                 FROM range({DEFAULT_MIN_PLANES}, {DEFAULT_MAX_PLANES} + 1)
+                 WHERE ({n} >> range) <= GREATEST(1, {_HN_MAXB} // 4)),
+                {DEFAULT_MAX_PLANES}) AS np
+            )
+        """).fetchone()[0]
+
+    for n in (1, 500, 2_000, 16_000, 16_001, 20_000, 64_000, 64_001,
+              500_000, 2_048_000, 2_050_048, 4_100_000):
+        assert sql_np(n) == suggest_num_planes(n, _HN_MAXB), n
+    # 12 planes (floor(n/2^11) > 1000 first at n = 1001*2^11) is the
+    # last geometry inside the oracle's VALUES headroom
+    assert suggest_num_planes(2_050_048, _HN_MAXB) == _HN_ORACLE_MAX_PLANES
+    with pytest.raises(Exception, match="headroom"):
+        sql_np(4_198_401)  # derives 13 > the VALUES table
