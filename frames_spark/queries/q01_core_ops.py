@@ -877,13 +877,20 @@ def _with_near_copies(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionAll(copies)
 
 
-_NEAR_CORPUS_SQL = f"""
-    SELECT doc_id, text FROM documents
+def _near_corpus_sql(where: str = "") -> str:
+    """The drop-last-word near-copy corpus over ``documents``
+    (optionally WHERE-restricted — the subset-witness twins pass a
+    deterministic doc_id cutoff)."""
+    return f"""
+    SELECT doc_id, text FROM documents {where}
     UNION ALL
     SELECT doc_id + {_DUP_OFFSET} AS doc_id,
            array_to_string(list_slice({_TOKENS_SQL}, 1, len({_TOKENS_SQL}) - 1), ' ') AS text
-    FROM documents
+    FROM documents {where}
 """
+
+
+_NEAR_CORPUS_SQL = _near_corpus_sql()
 
 # Distinct word-trigram shingles of a (doc_id, text) relation, in SQL.
 _SHINGLES_SQL = """
@@ -1008,8 +1015,12 @@ _MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
 # clustering oracle below. Nested WITH so it stays one self-contained
 # subquery. The CTE prefix is shared with the accuracy eval, which
 # additionally needs `sigs` and `shingled` in scope.
-_MH_CTES = f"""
-    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+def _mh_ctes_sql(corpus_sql: str) -> str:
+    """The MinHash CTE chain (corpus -> shingled -> hashed -> sigs ->
+    banded) over an arbitrary (doc_id, text) corpus relation — the
+    subset-witness twin passes a doc_id-restricted near corpus."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
     shingled AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
     hashed AS (
       SELECT doc, {hash60_sql("shingle", seed="mh")} % {mh_ops.MINHASH_P} AS base
@@ -1024,6 +1035,9 @@ _MH_CTES = f"""
       {" UNION ALL ".join(f"SELECT doc, {band} AS band, " + " || ',' || ".join(f"CAST(sig_{band * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)) + " AS band_key FROM sigs" for band in range(_MH_BANDS))}
     )
 """
+
+
+_MH_CTES = _mh_ctes_sql(_NEAR_CORPUS_SQL)
 
 _MH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b

@@ -913,10 +913,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numbers are ratios of exact integers, so the row hash is exact.
 # Exact-side work is restricted to the candidate pairs (inverted-
 # index join semi-filtered by pair membership), never all pairs.
-@register(
-    "q_minhash_accuracy",
-    _MH_CTES
-    + f"""
+_MH_ACCURACY_SUFFIX = f"""
     , pairs AS ({_MH_PAIRS_SELECT}),
     est AS (
       SELECT doc_a, doc_b,
@@ -942,10 +939,41 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc = e.doc_a
     JOIN sizes sb ON sb.doc = e.doc_b
     LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
-    """,
-)
+    """
+
+
+@register("q_minhash_accuracy", _MH_CTES + _MH_ACCURACY_SUFFIX)
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    return _minhash_accuracy_frame(docs)
+
+
+# Subset-witness twin (r12 verdict #3): the SAME estimator-accuracy
+# relation over the deterministic doc_id < 5000 base corpus (+ its
+# near copies) — at sf1 that is exactly the sf0.1-full workload, so
+# the family re-sweeps at 10x density in sf0.1 time while the full
+# query's oracle (~391 s DuckDB share at sf1) stays off the hot path.
+_MH_SMALL_MAX_DOC = 5_000
+
+
+@register(
+    "q_minhash_accuracy_small",
+    _mh_ctes_sql(_near_corpus_sql(f"WHERE doc_id < {_MH_SMALL_MAX_DOC}"))
+    + _MH_ACCURACY_SUFFIX,
+)
+def q_minhash_accuracy_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < _MH_SMALL_MAX_DOC
+        )
+    )
+    return _minhash_accuracy_frame(docs)
+
+
+def _minhash_accuracy_frame(docs: DataFrame) -> DataFrame:
+    """Signature-agreement estimate vs exact shingle Jaccard per LSH
+    candidate pair, over an already-near-copied corpus (shared by the
+    full query and its subset-witness twin)."""
     sigs = mh_ops.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=_MH_K)
     pairs = mh_ops.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
     sa = sigs.select(
