@@ -133,6 +133,7 @@ BENCH_QUERIES = {
     "dedup_ngram_auto": Q.q_dedup_ngram_auto,
     "hard_negatives_auto": Q.q_hard_negatives_auto,
     "triplet_mining_auto": Q.q_triplet_mining_auto,
+    "dedup_embed_auto": Q.q_dedup_embed_auto,
 }
 
 

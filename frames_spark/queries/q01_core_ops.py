@@ -1190,6 +1190,30 @@ def _lsh_planes_values(total_planes: int) -> str:
     )
 
 
+def _gov_np_sql(count_sql: str, max_bucket: int, headroom: int) -> str:
+    """dedup.embedding.suggest_num_planes replayed in SQL, as a
+    parenthesized one-row derived table ``(np)``: the smallest p in
+    [DEFAULT_MIN_PLANES, DEFAULT_MAX_PLANES] with (n >> p) at or
+    below max_bucket/4, where n comes from ``count_sql``. Interpolates
+    the SAME module constants the governor defaults to (they cannot
+    desync), and raises via error() past the plane ``headroom`` the
+    caller's VALUES table covers — never silently banding truncated
+    plane rows. Shared by every governed-geometry oracle twin."""
+    return f"""(
+      SELECT CASE WHEN np > {headroom}
+                  THEN CAST(error('governed oracle: derived num_planes '
+                       || np || ' exceeds the VALUES plane headroom') AS BIGINT)
+                  ELSE np END AS np
+      FROM (
+        SELECT COALESCE(
+          (SELECT MIN(range)
+           FROM range({embed_ops.DEFAULT_MIN_PLANES}, {embed_ops.DEFAULT_MAX_PLANES} + 1)
+           WHERE (({count_sql}) >> range) <= GREATEST(1, {max_bucket} // 4)),
+          {embed_ops.DEFAULT_MAX_PLANES}) AS np
+      )
+    )"""
+
+
 def _emb_lsh_oracle(
     num_planes: int, num_tables: int, max_bucket: int, corpus_sql: str
 ) -> str:
@@ -1257,6 +1281,77 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_ops.near_dup_pairs_lsh(
         _with_perturbed_copies(emb), "vec_id", "embedding",
         threshold=0.9, num_planes=4, num_tables=16, max_bucket=4000,
+        guard="off",
+    )
+
+
+# Governed-geometry twin of q_dedup_embed (r13 — completing the
+# suggest_num_planes story across all three LSH families beside
+# q_dedup_ngram_auto and the *_auto miners): num_planes derived from
+# the perturbed-corpus count against max_bucket=400 (target bucket
+# 100), so the geometry diverges from the 4-plane floor ALREADY at
+# sf0.1 (4000 rows -> 6 planes; sf1's 40000 -> 9) and the sweep
+# certifies the derived banding cross-engine at every tier. The
+# oracle shares _gov_np_sql and bands only the first np planes/table
+# out of a 12-plane VALUES headroom.
+_EMB_GOV_HEADROOM = 12
+
+
+def _emb_lsh_oracle_gov(num_tables: int, max_bucket: int, corpus_sql: str) -> str:
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    fixed AS ({_FIXED_SQL.format(corpus="SELECT * FROM corpus")}),
+    gov AS {_gov_np_sql("SELECT COUNT(*) FROM corpus", max_bucket, _EMB_GOV_HEADROOM)},
+    planes(p, i, c) AS (VALUES {_lsh_planes_values(num_tables * _EMB_GOV_HEADROOM)}),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN SUM(e * c) >= 0 THEN '1' ELSE '0' END AS sign
+      FROM fixed JOIN planes USING (i)
+      WHERE p < {num_tables} * (SELECT np FROM gov)
+      GROUP BY vec_id, p
+    ),
+    banded AS (
+      SELECT vec_id, p // (SELECT np FROM gov) AS tbl,
+             string_agg(sign, '' ORDER BY p) AS bucket
+      FROM signs GROUP BY vec_id, p // (SELECT np FROM gov)
+    ),
+    ok_buckets AS (
+      SELECT tbl, bucket FROM banded
+      GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a
+      JOIN ok_buckets ob ON a.tbl = ob.tbl AND a.bucket = ob.bucket
+      JOIN banded b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                   AND a.vec_id < b.vec_id
+    ),
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list(e ORDER BY i) AS v, SUM(e * e) AS n2
+      FROM fixed GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT id_a, id_b, list_inner_product(a.v, b.v) AS dot,
+             a.n2 AS na2, b.n2 AS nb2
+      FROM cand JOIN vecs a ON a.vec_id = id_a
+                JOIN vecs b ON b.vec_id = id_b
+    )
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+    FROM dots
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.9
+"""
+
+
+@register("q_dedup_embed_auto", _emb_lsh_oracle_gov(16, 400, _EMB_CORPUS_SQL))
+def q_dedup_embed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # num_planes omitted -> suggest_num_planes over the perturbed
+    # corpus count at max_bucket=400; guard="off" like every pinned
+    # registered query (the oracle mirrors the bucket cap exactly)
+    return embed_ops.near_dup_pairs_lsh(
+        _with_perturbed_copies(emb), "vec_id", "embedding",
+        threshold=0.9, num_tables=16, max_bucket=400,
         guard="off",
     )
 

@@ -942,28 +942,14 @@ _HN_ORACLE_MAX_PLANES = 12
 
 def _gov_banded_ctes() -> str:
     """The governed banding CTE prefix shared by the *_auto miner
-    oracles: gov replays suggest_num_planes (smallest p in
-    [DEFAULT_MIN_PLANES, DEFAULT_MAX_PLANES] with n >> p at or below
-    max_bucket/4) over COUNT(*) of the same corpus the Spark side
-    pre-flights; signs/banded use only the first np planes per table
-    out of the 12-plane VALUES headroom."""
+    oracles: gov replays suggest_num_planes via the shared
+    _gov_np_sql builder (q01_core_ops) over COUNT(*) of the same
+    corpus the Spark side pre-flights; signs/banded use only the
+    first np planes per table out of the 12-plane VALUES headroom."""
     return f"""
     fixed AS ({_FIXED_SQL.format(corpus="SELECT vec_id, embedding FROM embeddings")}),
     lab AS (SELECT vec_id, label FROM embeddings),
-    gov AS (
-      SELECT CASE WHEN np > {_HN_ORACLE_MAX_PLANES}
-                  THEN CAST(error('governed miner oracle: derived num_planes '
-                       || np || ' exceeds the VALUES plane headroom') AS BIGINT)
-                  ELSE np END AS np
-      FROM (
-        SELECT COALESCE(
-          (SELECT MIN(range)
-           FROM range({embed_ops.DEFAULT_MIN_PLANES}, {embed_ops.DEFAULT_MAX_PLANES} + 1)
-           WHERE ((SELECT COUNT(*) FROM embeddings) >> range)
-                 <= GREATEST(1, {_HN_MAXB} // 4)),
-          {embed_ops.DEFAULT_MAX_PLANES}) AS np
-      )
-    ),
+    gov AS {_gov_np_sql("SELECT COUNT(*) FROM embeddings", _HN_MAXB, _HN_ORACLE_MAX_PLANES)},
     planes(p, i, c) AS (VALUES {_lsh_planes_values(_HN_TABLES * _HN_ORACLE_MAX_PLANES)}),
     signs AS (
       SELECT vec_id, p,
