@@ -1289,7 +1289,12 @@ _GG_SIG_SQL = f"""
       FROM (SELECT doc_id, unnest(t) AS tok FROM base)
       GROUP BY doc_id
     ),
-    sig AS (
+    sig AS MATERIALIZED (
+      -- MATERIALIZED: q_gopher_gate_counts' 11 threshold branches
+      -- UNION ALL over this relation; inlined per-branch, the whole
+      -- extended n-gram machinery re-evaluates 11x and DuckDB's
+      -- spill exceeded the box's free disk at sf1 (r13). Evaluated
+      -- once it is the q_gopher_full workload (~30 s at sf1).
       SELECT w.doc_id,
              CAST(((len(ls) - len(list_distinct(ls))) * 1000000 + len(ls) // 2)
                   // len(ls) AS BIGINT) AS dup_line_frac_micros,
