@@ -94,6 +94,8 @@ BENCH_QUERIES = {
     "doc_keywords": Q.q_doc_keywords,
     "theil_sen": Q.q_theil_sen,
     "containment": Q.q_containment,
+    "containment_auto": Q.q_containment_auto,
+    "dedup_curve_auto": Q.q_dedup_curve_auto,
     "html_extract": Q.q_html_extract,
     "gopher_repetition": Q.q_gopher_repetition,
     "line_dedup": Q.q_line_dedup,

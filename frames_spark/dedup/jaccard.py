@@ -10,10 +10,12 @@ Scale controls:
   blowup on boilerplate shingles. One shingle shared by D documents
   otherwise becomes a single O(D)-element posting-list row and D²/2
   expanded pairs. Defaults to ``"auto"`` — the rate-based
-  ``suggest_max_df`` governor over a one-aggregate pre-flight count —
-  because a FIXED cap is an inverse guard failure as the corpus
-  grows: at ~10x the bench corpus df<=64 stopped EVERY shingle and
-  near-dup recall silently went to zero (the r12 sf1 find).
+  ``suggest_max_df`` governor, resolved LAZILY as a broadcast one-row
+  count aggregate inside the dedup plan itself (r14; constructors
+  stay action-free) — because a FIXED cap is an inverse guard failure
+  as the corpus grows: at ~10x the bench corpus df<=64 stopped EVERY
+  shingle and near-dup recall silently went to zero (the r12 sf1
+  find).
   Registered oracle queries pass explicit pins (their SQL twins
   mirror the guard exactly — a HAVING df <= max_df CTE); pass
   ``max_df=None`` only for formulation-equivalence tests.
@@ -60,24 +62,62 @@ def suggest_max_df(
     corpus size; ``floor`` keeps small corpora on the proven fixed
     cap. Callers derive n_docs from a one-aggregate pre-flight via
     ``max_df="auto"``; pinned registered queries keep explicit
-    values."""
+    values.
+
+    n_docs semantics per entry point (r13 ADVICE): the corpus-level
+    constructors (jaccard_pairs, containment_pairs, ...) count corpus
+    ROWS — the registered *_auto oracles mirror exactly that
+    (``COUNT(*) FROM corpus``). The pre-built-index entry point
+    (containment_pairs_from_index) has no corpus relation in scope
+    and counts the index's DISTINCT shingled docs instead — a lower
+    bound on corpus rows (docs shorter than n tokens contribute no
+    shingles), so its derived cap can sit at or slightly below the
+    corpus-level one. Both are valid governors (the cap needs the
+    right ORDER, not an exact census); callers needing bit-identical
+    caps across both paths should resolve the int once and pass it
+    explicitly, as containment_pairs itself does."""
     return max(floor, n_docs * rate_ppm // 1_000_000)
 
 
-def _resolve_max_df(df: DataFrame, max_df) -> int | None:
-    """``"auto"`` -> suggest_max_df over a one-aggregate pre-flight
-    count; ints and None pass through."""
+def _auto_cap_df(
+    counted: DataFrame,
+    rate_ppm: int = DEFAULT_MAX_DF_RATE_PPM,
+    floor: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """One-row ``(max_df BIGINT)`` relation: :func:`suggest_max_df`
+    replayed as a Spark aggregate over ``counted``'s row count — the
+    LAZY form of the ``"auto"`` governor (r13 ADVICE: plan
+    construction stays action-free; the cap folds into the same job
+    as the dedup plan via a broadcast one-row join instead of an
+    eager ``count()`` pre-flight). Integer arithmetic mirrors
+    suggest_max_df exactly: GREATEST of the floor and
+    ``count * rate_ppm div 1e6`` (bigint integer division), so the
+    lazy and eager caps are equal for every corpus size and the
+    registered *_auto oracles' gov CTEs stay value-identical."""
+    return counted.agg(
+        F.expr(
+            f"greatest(CAST({floor} AS BIGINT),"
+            f" count(1) * {rate_ppm} div 1000000) AS max_df"
+        )
+    )
+
+
+def _resolve_max_df(df: DataFrame, max_df) -> int | None | DataFrame:
+    """``"auto"`` -> the lazy one-row cap relation over the corpus
+    row count (no job at construction time); ints and None pass
+    through."""
     if max_df == "auto":
-        return suggest_max_df(df.count())
+        return _auto_cap_df(df)
     return max_df
 
 
-def _resolve_max_df_index(index: DataFrame, max_df) -> int | None:
+def _resolve_max_df_index(index: DataFrame, max_df) -> int | None | DataFrame:
     """`_resolve_max_df` for the pre-built (doc, shingle) index entry
     point: n_docs is the distinct doc count (the index has no corpus
-    relation to count rows of)."""
+    relation to count rows of — a lower bound on corpus rows, see
+    suggest_max_df's docstring)."""
     if max_df == "auto":
-        return suggest_max_df(index.select("doc").distinct().count())
+        return _auto_cap_df(index.select("doc").distinct())
     return max_df
 
 
@@ -92,19 +132,28 @@ def shingle_index(
     )
 
 
-def rare_shingles(index: DataFrame, max_df: int | None) -> DataFrame:
+def rare_shingles(
+    index: DataFrame, max_df: int | None | DataFrame
+) -> DataFrame:
     """Drop stop-shingles (document frequency > max_df) from the index.
 
     This is the linear LeftSemi guard every posting-list tier routes
-    through; ``max_df=None`` disables it (formulation tests only)."""
+    through; ``max_df=None`` disables it (formulation tests only).
+    ``max_df`` may also be a one-row ``(max_df)`` relation (the lazy
+    "auto" governor from :func:`_auto_cap_df`): it joins in broadcast
+    so the derived cap is computed inside the same job as the dedup
+    plan, never as a separate pre-flight action."""
     if max_df is None:
         return index
-    rare = (
-        index.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
-    )
+    counts = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if isinstance(max_df, DataFrame):
+        rare = (
+            counts.crossJoin(F.broadcast(max_df))
+            .filter(F.col("df") <= F.col("max_df"))
+            .select("shingle")
+        )
+    else:
+        rare = counts.filter(F.col("df") <= max_df).select("shingle")
     return index.join(rare, "shingle", "left_semi")
 
 
@@ -128,8 +177,8 @@ def containment_pairs(
     (b,a) is produced AFTER the pair aggregation by a row-local
     2-element explode, so the pair shuffle carries each unordered
     pair once. ``max_df`` is the stop-shingle guard bounding every
-    posting list; defaults to ``"auto"`` (suggest_max_df over a
-    one-aggregate pre-flight — boilerplate is a RATE, and the fixed
+    posting list; defaults to ``"auto"`` (suggest_max_df as a lazy
+    broadcast count aggregate — boilerplate is a RATE, and the fixed
     cap silently empties the pair set at ~10x the bench corpus, the
     r12 sf1 find). Registered oracle queries pass explicit pins.
     """
@@ -146,9 +195,10 @@ def containment_pairs_from_index(
     inverted index — lets one index relation feed several dedup
     tiers (see q_dedup_summary, which persists the index once).
     ``max_df="auto"`` (default) derives the cap from the index's
-    distinct doc count; persist the index first if the lineage is
-    expensive (the q_dedup_summary pattern), since the pre-flight is
-    an extra action over it."""
+    distinct doc count, lazily (a broadcast one-row aggregate in the
+    same job — no pre-flight action); persist the index first if the
+    lineage is expensive (the q_dedup_summary pattern), since the cap
+    subtree otherwise re-evaluates that lineage inside the job."""
     index = rare_shingles(index, _resolve_max_df_index(index, max_df))
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (

@@ -1322,10 +1322,67 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered mirror via a post-agg row-local explode) with the
     # max_df stop-shingle guard — never a raw two-sided index
     # self-join, which a hot boilerplate shingle turns quadratic.
+    # Explicit pin (the library default is "auto"): this oracle's rare
+    # CTE hardcodes df <= _CONTAIN_MAX_DF, so the Spark side must pin
+    # the same cap. The governed twin is q_containment_auto.
     docs = load_table(spark, sf_dir, "documents")
     return (
         jac_ops.containment_pairs(
             _with_near_copies(docs), "doc_id", "text", 3, max_df=_CONTAIN_MAX_DF
+        )
+        .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            "containment",
+        )
+    )
+
+
+# The GOVERNED containment twin (r14 — the last fixed-cap dedup family
+# without an oracle-gated governor witness; the pinned df<=64 cap above
+# stops every shingle at ~10x the bench corpus and q_containment is
+# agreed-empty at sf1, the exact inverse-guard failure q_dedup_ngram_auto
+# was built to witness for the Jaccard family). max_df="auto" derives
+# the stop-shingle cap from a one-aggregate corpus-count pre-flight
+# (suggest_max_df — boilerplate is a RATE, not a count); the oracle's
+# gov CTE interpolates the SAME module constants the governor defaults
+# to (DEFAULT_MAX_DF floor + DEFAULT_MAX_DF_RATE_PPM rate), so the
+# value check certifies the derived cap cross-engine at whatever SF
+# the sweep runs and the two formulations cannot silently desync.
+@register(
+    "q_containment_auto",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    gov AS (SELECT GREATEST({jac_ops.DEFAULT_MAX_DF},
+                            COUNT(*) * {jac_ops.DEFAULT_MAX_DF_RATE_PPM} // 1000000) AS max_df
+            FROM corpus),
+    shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    rare AS (
+      SELECT shingle FROM shingled0 GROUP BY shingle
+      HAVING COUNT(*) <= (SELECT max_df FROM gov)
+    ),
+    shingled AS (SELECT s.* FROM shingled0 s JOIN rare USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE)
+             AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc
+    WHERE 5 * n_common >= 4 * sa.n_shingles
+    """,
+)
+def q_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        jac_ops.containment_pairs(
+            _with_near_copies(docs), "doc_id", "text", 3, max_df="auto"
         )
         .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
         .select(

@@ -500,6 +500,75 @@ def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Governed twin of q_dedup_curve (r14, paired with q_containment_auto):
+# the pinned df<=64 cap above makes the curve agreed-empty (all-zero
+# rows) at ~10x the bench corpus; max_df="auto" derives the cap from
+# the corpus count via suggest_max_df, and the oracle's gov CTE
+# interpolates the SAME module constants (floor + rate) so the derived
+# cap is value-certified cross-engine at every sweep SF.
+@register(
+    "q_dedup_curve_auto",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    gov AS (SELECT GREATEST({jac_ops.DEFAULT_MAX_DF},
+                            COUNT(*) * {jac_ops.DEFAULT_MAX_DF_RATE_PPM} // 1000000) AS max_df
+            FROM corpus),
+    shingled0 AS ({_SHINGLES_SQL.format(tokens=_TOKENS_SQL, corpus="SELECT * FROM corpus")}),
+    rare AS (
+      SELECT shingle FROM shingled0 GROUP BY shingle
+      HAVING COUNT(*) <= (SELECT max_df FROM gov)
+    ),
+    shingled AS (SELECT s.* FROM shingled0 s JOIN rare USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM shingled GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, n_common,
+             sa.n_shingles + sb.n_shingles - n_common AS n_union
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc
+      JOIN sizes sb ON doc_b = sb.doc
+    ),
+    ts(t) AS (VALUES (5), (6), (7), (8), (9))
+    SELECT CAST(ts.t AS BIGINT) AS threshold_tenths,
+           CAST(COUNT(CASE WHEN 10 * n_common >= ts.t * n_union THEN 1 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN 10 * n_common >= ts.t * n_union
+                                    THEN doc_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM pairs CROSS JOIN ts
+    GROUP BY ts.t
+    """,
+)
+def q_dedup_curve_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_near_copies(docs)
+    pairs = jac_ops.jaccard_pair_counts(
+        corpus, "doc_id", "text", 3, max_df="auto"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (F.col("size_a") + F.col("size_b") - F.col("n_common")).alias("n_union"),
+    )
+    ts = spark.range(5, 10).select(F.col("id").alias("t"))
+    hit = 10 * F.col("n_common") >= F.col("t") * F.col("n_union")
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("long")
+            .alias("n_docs_dropped"),
+        )
+        .select(F.col("t").cast("long").alias("threshold_tenths"), "n_pairs", "n_docs_dropped")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pairwise source overlap: shingle-set Jaccard between every source
 # pair — the contamination / mirror detector ACROSS ingest feeds

@@ -236,3 +236,51 @@ def test_default_max_df_derives_rate_cap_at_scale(spark):
         max_df=jaccard.DEFAULT_MAX_DF,
     )
     assert stale.count() == 0
+
+
+def test_auto_cap_is_lazy_and_equals_eager_governor(spark, monkeypatch):
+    """r13 ADVICE: max_df="auto" used to run an eager count() job at
+    plan-construction time. Since r14 the cap resolves LAZILY — a
+    broadcast one-row count aggregate inside the dedup plan — so
+    constructors are action-free again. Certify (a) construction
+    never calls DataFrame.count, and (b) the lazy cap equals
+    suggest_max_df bit-for-bit across the floor/rate breakpoints."""
+    from pyspark.sql import DataFrame
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma u{i} v{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+
+    def boom(self):  # any eager action during construction fails loudly
+        raise AssertionError("construction triggered DataFrame.count()")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    auto_pairs = jaccard.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df="auto"
+    )
+    auto_contain = jaccard.containment_pairs(
+        docs, "doc_id", "text", 3, max_df="auto"
+    )
+    auto_from_index = jaccard.containment_pairs_from_index(
+        jaccard.shingle_index(docs, "doc_id", "text", 3), max_df="auto"
+    )
+    monkeypatch.undo()
+
+    pinned = jaccard.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0,
+        max_df=jaccard.suggest_max_df(12),
+    )
+    assert sorted(map(tuple, auto_pairs.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+    # both containment entry points execute and agree
+    assert sorted(map(tuple, auto_contain.collect())) == sorted(
+        map(tuple, auto_from_index.collect())
+    )
+    # the SQL aggregate replays suggest_max_df exactly at the
+    # floor boundary and in the rate regime
+    for n in (0, 1, 6_400, 6_401, 50_000, 10_000_000):
+        counted = spark.range(n)
+        got = jaccard._auto_cap_df(counted).collect()[0][0]
+        assert got == jaccard.suggest_max_df(n), n

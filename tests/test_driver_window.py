@@ -51,11 +51,15 @@ DRIVER_WINDOW = [
     "q_fingerprint",
     "q_tokens_bpe",
     "q_dedup_exact",
-    "q_dedup_ngram",
+    # round-14 deliberate promotion (VERDICT r13 #2): the governed
+    # twins replace their fixed-cap formulations so the EXTERNAL
+    # driver gate certifies the governor paths (the library defaults
+    # since r13). q_dedup_ngram / q_dedup_embed re-register at 51-52.
+    "q_dedup_ngram_auto",
     "q_dedup_minhash",
     "q_dedup_clusters",
     "q_dedup_simhash",
-    "q_dedup_embed",
+    "q_hard_negatives_auto",
     "q_dedup_embed_lsh",
     "q_dedup_embed_small",
     "q_embed_lsh_recall",
@@ -93,8 +97,15 @@ def test_every_window_query_has_a_full_oracle():
     assert missing == [], missing
 
 
-def test_approx_pair_registers_immediately_after_window():
-    # the rows-only approx sketches stay adjacent to their exact twins
-    # (positions 51-52) so the family remains easy to audit
-    got = list(entry.queries())[50:52]
-    assert got == ["q_approx_distinct", "q_approx_quantiles"], got
+def test_displaced_parents_register_immediately_after_window():
+    # the fixed-cap formulations displaced by the r14 promotion stay
+    # adjacent to the window (positions 51-52), then the rows-only
+    # approx sketches next to their exact twins (53-54) — both
+    # families remain easy to audit
+    got = list(entry.queries())[50:54]
+    assert got == [
+        "q_dedup_ngram",
+        "q_dedup_embed",
+        "q_approx_distinct",
+        "q_approx_quantiles",
+    ], got

@@ -226,15 +226,16 @@ def test_gov_oracle_cte_matches_suggest_num_planes():
     for corpus sizes across the whole ladder — including the floor,
     every breakpoint up to the oracle's 12-plane VALUES headroom, and
     that past the headroom the CTE raises instead of silently banding
-    with truncated plane rows."""
+    with truncated plane rows. The probe is built from the SAME
+    _gov_np_sql builder the *_auto oracles interpolate (r13 ADVICE:
+    a hand-copied transcript of the builder would keep passing after
+    a builder edit — the exact desync class the shared builder
+    exists to kill)."""
     import duckdb
     import pytest
 
-    from frames_spark.dedup.embedding import (
-        DEFAULT_MAX_PLANES,
-        DEFAULT_MIN_PLANES,
-        suggest_num_planes,
-    )
+    from frames_spark.dedup.embedding import suggest_num_planes
+    from frames_spark.queries.q01_core_ops import _gov_np_sql
     from frames_spark.queries.q09_privacy import (
         _HN_MAXB,
         _HN_ORACLE_MAX_PLANES,
@@ -243,17 +244,8 @@ def test_gov_oracle_cte_matches_suggest_num_planes():
     con = duckdb.connect()
 
     def sql_np(n: int) -> int:
-        return con.sql(f"""
-            SELECT CASE WHEN np > {_HN_ORACLE_MAX_PLANES}
-                        THEN CAST(error('headroom') AS BIGINT) ELSE np END
-            FROM (
-              SELECT COALESCE(
-                (SELECT MIN(range)
-                 FROM range({DEFAULT_MIN_PLANES}, {DEFAULT_MAX_PLANES} + 1)
-                 WHERE ({n} >> range) <= GREATEST(1, {_HN_MAXB} // 4)),
-                {DEFAULT_MAX_PLANES}) AS np
-            )
-        """).fetchone()[0]
+        gov = _gov_np_sql(str(n), _HN_MAXB, _HN_ORACLE_MAX_PLANES)
+        return con.sql(f"SELECT np FROM {gov}").fetchone()[0]
 
     for n in (1, 500, 2_000, 16_000, 16_001, 20_000, 64_000, 64_001,
               500_000, 2_048_000, 2_050_048, 4_100_000):
