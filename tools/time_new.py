@@ -6,10 +6,13 @@ times and pin the per-query MINIMUM."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-from bench import BENCH_QUERIES, calibration_kernel, materialize
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_QUERIES, calibration_kernel, materialize  # noqa: E402
 from frames_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
