@@ -45,6 +45,21 @@ DEFAULT_MAX_DF = 64
 # the SAME value suggest_max_df defaults to (they cannot desync).
 DEFAULT_MAX_DF_RATE_PPM = 10_000
 
+# Candidate-mass budget for the posting-list guard (r14 sf10 find):
+# the df cap bounds EVERY posting list, but NOT the total pair mass
+# sum(df*(df-1)/2) — when the shingle space SATURATES (a bounded
+# vocabulary over a growing corpus), every df compresses BELOW the 1%
+# rate cap and the cap filters nothing: measured at 10x the certified
+# density, all 29,791 possible vocab shingles sat at df 65-2006 under
+# a cap of 10,000 and the candidate set reached 46.2e9 pairs — a
+# cluster-melting shuffle constructed silently. Pairs-per-doc is the
+# density rate that catches it: ~460 at sf0.1, ~4.6k at sf1 (both
+# certified green), ~46k at sf10 (measured intractable). The default
+# budget separates those regimes; past it the honest answers are the
+# MinHash-LSH banded tier (candidates bounded by band width, not df)
+# or an explicit higher budget.
+DEFAULT_MAX_PAIRS_PER_DOC = 10_000
+
 
 def suggest_max_df(
     n_docs: int, rate_ppm: int = DEFAULT_MAX_DF_RATE_PPM,
@@ -121,6 +136,67 @@ def _resolve_max_df_index(index: DataFrame, max_df) -> int | None | DataFrame:
     return max_df
 
 
+def _guard_candidate_mass(
+    index: DataFrame,
+    max_df: int | None | DataFrame,
+    guard: str,
+    max_pairs_per_doc: int,
+) -> None:
+    """Eager candidate-mass guard for the posting-list tier (the
+    jaccard analog of near_dup_pairs_lsh's bucket guard — the r11
+    'miners' eager posture', triggered by the r14 sf10 find): ONE
+    light id-only action computes the pair mass the in-array i<j
+    expansion would generate under the (possibly lazy) df cap,
+    sum(df*(df-1)/2) over kept shingles, plus the distinct doc count,
+    and warns/raises when mass exceeds ``max_pairs_per_doc * docs``.
+    A saturated shingle space (bounded vocabulary, growing corpus)
+    slides EVERY df under the rate cap, so the cap alone stops
+    bounding total work — this is the backstop. ``guard="off"``
+    skips the action entirely (registered oracle queries do, keeping
+    construction action-free; their standing audit is the sweep)."""
+    if guard not in ("raise", "warn", "off"):
+        raise ValueError(f"guard must be raise|warn|off, got {guard!r}")
+    if guard == "off":
+        return
+    counts = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if isinstance(max_df, DataFrame):
+        counts = counts.crossJoin(F.broadcast(max_df))
+        kept = F.col("df") <= F.col("max_df")
+    elif max_df is None:
+        kept = F.lit(True)
+    else:
+        kept = F.col("df") <= max_df
+    mass_df = counts.agg(
+        F.sum(
+            F.when(kept, F.col("df") * (F.col("df") - 1) / 2).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("cand")
+    ).crossJoin(
+        index.select("doc").distinct().agg(
+            F.count(F.lit(1)).alias("docs")
+        )
+    )
+    row = mass_df.first()
+    cand, docs = row["cand"] or 0, row["docs"] or 0
+    if docs and cand > max_pairs_per_doc * docs:
+        msg = (
+            f"posting-list candidate mass {cand} is "
+            f"{cand // docs} pairs/doc over {docs} docs (budget "
+            f"{max_pairs_per_doc}/doc) — the shingle space is "
+            "saturated and the df cap no longer bounds total work; "
+            "use the MinHash-LSH banded tier (dedup.minhash) or pass "
+            "a higher max_pairs_per_doc explicitly"
+        )
+        if guard == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
+
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -163,6 +239,8 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     max_df: int | None | str = "auto",
+    guard: str = "warn",
+    max_pairs_per_doc: int = DEFAULT_MAX_PAIRS_PER_DOC,
 ) -> DataFrame:
     """ORDERED pairs (doc_a, doc_b, n_common, n_shingles_a,
     containment = |A∩B| / |A|) over every document pair sharing at
@@ -185,11 +263,16 @@ def containment_pairs(
     return containment_pairs_from_index(
         shingle_index(df, id_col, text_col, n),
         max_df=_resolve_max_df(df, max_df),
+        guard=guard,
+        max_pairs_per_doc=max_pairs_per_doc,
     )
 
 
 def containment_pairs_from_index(
-    index: DataFrame, max_df: int | None | str = "auto"
+    index: DataFrame,
+    max_df: int | None | str = "auto",
+    guard: str = "warn",
+    max_pairs_per_doc: int = DEFAULT_MAX_PAIRS_PER_DOC,
 ) -> DataFrame:
     """:func:`containment_pairs` over a pre-built (doc, shingle)
     inverted index — lets one index relation feed several dedup
@@ -198,8 +281,14 @@ def containment_pairs_from_index(
     distinct doc count, lazily (a broadcast one-row aggregate in the
     same job — no pre-flight action); persist the index first if the
     lineage is expensive (the q_dedup_summary pattern), since the cap
-    subtree otherwise re-evaluates that lineage inside the job."""
-    index = rare_shingles(index, _resolve_max_df_index(index, max_df))
+    subtree otherwise re-evaluates that lineage inside the job.
+    ``guard`` (off|warn|raise, default warn — the r11 eager-guard
+    posture) runs one light id-only action bounding the TOTAL
+    candidate mass the expansion would generate; see
+    :func:`_guard_candidate_mass` and the r14 sf10 saturation find."""
+    resolved = _resolve_max_df_index(index, max_df)
+    _guard_candidate_mass(index, resolved, guard, max_pairs_per_doc)
+    index = rare_shingles(index, resolved)
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (
         index.groupBy("shingle")
@@ -253,6 +342,8 @@ def jaccard_pair_counts(
     text_col: str,
     n: int = 3,
     max_df: int | None | str = "auto",
+    guard: str = "warn",
+    max_pairs_per_doc: int = DEFAULT_MAX_PAIRS_PER_DOC,
 ) -> DataFrame:
     """The raw pair relation every Jaccard consumer derives from:
     (doc_a < doc_b, n_common, size_a, size_b) for every pair sharing
@@ -263,9 +354,10 @@ def jaccard_pair_counts(
     lineage (shingle explode) runs ONCE and shuffles once, vs twice
     each for the self-join form. Posting lists are bounded by the
     max_df guard (and naturally for content shingles)."""
-    index = rare_shingles(
-        shingle_index(df, id_col, text_col, n), _resolve_max_df(df, max_df)
-    )
+    raw = shingle_index(df, id_col, text_col, n)
+    resolved = _resolve_max_df(df, max_df)
+    _guard_candidate_mass(raw, resolved, guard, max_pairs_per_doc)
+    index = rare_shingles(raw, resolved)
     sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = (
         index.groupBy("shingle")
@@ -298,10 +390,14 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None | str = "auto",
+    guard: str = "warn",
+    max_pairs_per_doc: int = DEFAULT_MAX_PAIRS_PER_DOC,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with jaccard >= threshold."""
     return (
-        jaccard_pair_counts(df, id_col, text_col, n, max_df)
+        jaccard_pair_counts(
+            df, id_col, text_col, n, max_df, guard, max_pairs_per_doc
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

@@ -958,7 +958,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the same cap. The governed twin is q_dedup_ngram_auto.
     return jac_ops.jaccard_pairs(
         _with_near_copies(docs), "doc_id", "text", n=3, threshold=0.6,
-        max_df=_SHINGLE_MAX_DF,
+        max_df=_SHINGLE_MAX_DF, guard="off",
     )
 
 
@@ -1004,7 +1004,7 @@ def q_dedup_ngram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jac_ops.jaccard_pairs(
         _with_near_copies(docs), "doc_id", "text", n=3, threshold=0.6,
-        max_df="auto",
+        max_df="auto", guard="off",
     )
 
 

@@ -1328,7 +1328,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         jac_ops.containment_pairs(
-            _with_near_copies(docs), "doc_id", "text", 3, max_df=_CONTAIN_MAX_DF
+            _with_near_copies(docs), "doc_id", "text", 3,
+            max_df=_CONTAIN_MAX_DF, guard="off",
         )
         .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
         .select(
@@ -1382,7 +1383,8 @@ def q_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         jac_ops.containment_pairs(
-            _with_near_copies(docs), "doc_id", "text", 3, max_df="auto"
+            _with_near_copies(docs), "doc_id", "text", 3, max_df="auto",
+            guard="off",
         )
         .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
         .select(
@@ -1595,7 +1597,9 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment leg reuses the repaired posting-list + max_df tier
     # (q_containment's exact formulation — never a raw index self-join)
     cont = (
-        jac_ops.containment_pairs_from_index(sh, max_df=_CONTAIN_MAX_DF)
+        jac_ops.containment_pairs_from_index(
+            sh, max_df=_CONTAIN_MAX_DF, guard="off"
+        )
         .filter(5 * F.col("n_common") >= 4 * F.col("n_shingles_a"))
         .agg(F.count(F.lit(1)).alias("containment_pairs"))
     )

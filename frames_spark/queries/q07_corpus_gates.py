@@ -478,7 +478,7 @@ def q_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes computed over the guarded index on both sides) — ONE pair
     # relation feeds every threshold row
     pairs = jac_ops.jaccard_pair_counts(
-        corpus, "doc_id", "text", 3, max_df=_SHINGLE_MAX_DF
+        corpus, "doc_id", "text", 3, max_df=_SHINGLE_MAX_DF, guard="off"
     ).select(
         "doc_a",
         "doc_b",
@@ -547,7 +547,7 @@ def q_dedup_curve_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = _with_near_copies(docs)
     pairs = jac_ops.jaccard_pair_counts(
-        corpus, "doc_id", "text", 3, max_df="auto"
+        corpus, "doc_id", "text", 3, max_df="auto", guard="off"
     ).select(
         "doc_a",
         "doc_b",

@@ -253,17 +253,24 @@ def test_auto_cap_is_lazy_and_equals_eager_governor(spark, monkeypatch):
     )
 
     def boom(self):  # any eager action during construction fails loudly
-        raise AssertionError("construction triggered DataFrame.count()")
+        raise AssertionError("construction triggered an eager action")
 
+    # guard="off" (what every registered query pins) must be fully
+    # action-free; the default guard="warn" deliberately runs ONE
+    # light id-only action (the candidate-mass backstop, r14 sf10
+    # find) and is exercised by test_candidate_mass_guard below.
     monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
     auto_pairs = jaccard.jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.0, max_df="auto"
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df="auto",
+        guard="off",
     )
     auto_contain = jaccard.containment_pairs(
-        docs, "doc_id", "text", 3, max_df="auto"
+        docs, "doc_id", "text", 3, max_df="auto", guard="off"
     )
     auto_from_index = jaccard.containment_pairs_from_index(
-        jaccard.shingle_index(docs, "doc_id", "text", 3), max_df="auto"
+        jaccard.shingle_index(docs, "doc_id", "text", 3), max_df="auto",
+        guard="off",
     )
     monkeypatch.undo()
 
@@ -284,3 +291,45 @@ def test_auto_cap_is_lazy_and_equals_eager_governor(spark, monkeypatch):
         counted = spark.range(n)
         got = jaccard._auto_cap_df(counted).collect()[0][0]
         assert got == jaccard.suggest_max_df(n), n
+
+
+def test_candidate_mass_guard(spark):
+    """r14 sf10 find: when the shingle space saturates (bounded
+    vocabulary over a growing corpus) every df slides UNDER the 1%
+    rate cap and max_df stops bounding total work — measured 46.2e9
+    candidate pairs at 10x the certified density with a cap of
+    10,000 and max df 2,006. The eager candidate-mass guard is the
+    backstop: pairs/doc over budget warns (default) or raises, and
+    points at the MinHash-LSH banded tier. Reproduced small: 40 docs
+    sharing one vocabulary of shingles, budget 10 pairs/doc."""
+    import warnings
+
+    import pytest
+
+    # every doc shares the same three shingles: candidate mass =
+    # 3 * C(40,2) = 2340, i.e. 58 pairs/doc >> budget 10, while every
+    # df (40) stays under the max_df cap (64 floor)
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = jaccard.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0,
+            max_pairs_per_doc=10,
+        )
+        assert out.count() == 40 * 39 // 2  # warn, not drop
+    assert any("MinHash" in str(w.message) for w in caught)
+    with pytest.raises(ValueError, match="pairs/doc"):
+        jaccard.containment_pairs(
+            docs, "doc_id", "text", 3, guard="raise", max_pairs_per_doc=10
+        )
+    # under budget: silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        jaccard.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0,
+            max_pairs_per_doc=100,
+        ).count()
+    assert not [w for w in caught if "pairs/doc" in str(w.message)]
