@@ -221,19 +221,29 @@ def near_dup_pairs_lsh(
             ).alias("bucket"),
         ),
     )
+    # LIGHT banding (r14 sf10 find — the miners' form, negatives.py):
+    # the banded relation and bucket posting lists carry IDS ONLY;
+    # vectors join back once per side after the cross-table distinct.
+    # The struct-payload form materialized every 64-dim vector once
+    # per bucket-mate (O(bucket²) vector copies per bucket) and then
+    # shuffled full payloads through dropDuplicates — measured at 10x
+    # the certified density, that dedup sort spilled past the local
+    # disk (hundreds of GB for ~3e8 candidates) where the id-only
+    # form shuffles ~16-byte rows and the payload never outlives a
+    # streamed cosine+filter row.
     banded = fixed.select(
-        F.struct("vid", "fvec", "n2").alias("v"), F.explode(tables).alias("b")
-    ).select("v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+        "vid", F.explode(tables).alias("b")
+    ).select("vid", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
     buckets = (
         banded.groupBy("tbl", "bucket")
-        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .agg(F.sort_array(F.collect_list("vid")).alias("vs"))
         .filter(F.size("vs") >= 2)
     )
     if max_bucket is not None:
         if guard != "off":
             pair_mass = F.col("n") * (F.col("n") - 1)
             m = (
-                banded.select(F.col("v.vid").alias("vid"), "tbl", "bucket")
+                banded.select("vid", "tbl", "bucket")
                 .groupBy("tbl", "bucket")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .agg(
@@ -268,18 +278,34 @@ def near_dup_pairs_lsh(
     )
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.a.vid").alias("id_a"),
-            F.col("p.b.vid").alias("id_b"),
-            F.col("p.a.fvec").alias("va"),
-            F.col("p.b.fvec").alias("vb"),
-            F.col("p.a.n2").alias("na2"),
-            F.col("p.b.n2").alias("nb2"),
-        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # broadcast join-backs (the negatives.py rationale): un-hinted,
+    # the second sort-merge join would sort the candidate stream with
+    # the first side's vector payload attached — the exact spill the
+    # light banding exists to avoid. The vec relation is n input rows.
+    scored = cand.join(
+        F.broadcast(
+            fixed.select(
+                F.col("vid").alias("id_a"),
+                F.col("fvec").alias("va"),
+                F.col("n2").alias("na2"),
+            )
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            fixed.select(
+                F.col("vid").alias("id_b"),
+                F.col("fvec").alias("vb"),
+                F.col("n2").alias("nb2"),
+            )
+        ),
+        "id_b",
+    )
     return (
-        cand.withColumn(
+        scored.withColumn(
             "cosine",
             cosine_from_fixed(
                 dot_fixed(F.col("va"), F.col("vb")), F.col("na2"), F.col("nb2")

@@ -1676,68 +1676,120 @@ def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Centered two-pass exact moments, shared by the grouped skewness /
+# kurtosis / Jarque-Bera family (r14 sf10 find — see q_group_kurtosis
+# for the full story): the old raw-moment combinations were
+# catastrophic cancellations (~4 decades at 10x density) that
+# amplified one input-cast ULP into wrong-sign results, and two of
+# the three hand-expanded formulas also carried stray factors of n.
+# Pass 1 takes (n, Σx) per group and derives the exact integer pivot
+# c = Σx div n; pass 2 sums EXACT integer centered powers y = x − c
+# (Σy = δ ∈ [0, n), so all cancellation happens in exact integer
+# arithmetic and the closing double corrections are scaled by
+# μ = δ/n < 1 — no large-term cancellation anywhere). The double
+# finish uses +,−,*,/,sqrt only: every op is IEEE-correctly-rounded,
+# so identical expression trees are bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+def _central_moments_sql(scale: int, hi: int) -> str:
+    """Two-pass centered-moment CTE chain (x -> p1 -> piv -> y -> m):
+    exact integer n, δ=Σy, Σy²(..Σy^hi) about the per-group integer
+    pivot. Interpolated by the skewness/kurtosis/JB oracles, mirroring
+    the Spark helper _central_moments — same pivot (floor division on
+    nonnegative sums), same exact integer sums."""
+    pows = {
+        2: "SUM(CAST(y AS HUGEINT) * y) AS d2",
+        3: "SUM(CAST(y AS HUGEINT) * y * y) AS d3",
+        4: "SUM(CAST(y AS HUGEINT) * y * y * y) AS d4",
+    }
+    sums = ",\n             ".join(pows[k] for k in range(2, hi + 1))
+    return f"""
+    x AS (
+      SELECT c_mktsegment,
+             CAST(FLOOR(o_totalprice * {scale} + 0.5) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    p1 AS (SELECT c_mktsegment, COUNT(*) AS n, SUM(x) AS s1
+           FROM x GROUP BY 1),
+    piv AS (SELECT c_mktsegment, n, s1 // n AS c FROM p1),
+    y AS (
+      SELECT x.c_mktsegment, piv.n, x.x - piv.c AS y
+      FROM x JOIN piv ON x.c_mktsegment = piv.c_mktsegment
+    ),
+    m AS (
+      SELECT c_mktsegment, MAX(n) AS n, SUM(y) AS dlt,
+             {sums}
+      FROM y GROUP BY c_mktsegment
+    )"""
+
+
+def _central_moments(spark: SparkSession, sf_dir: str, scale: int, hi: int) -> DataFrame:
+    """Spark twin of _central_moments_sql: one row per segment with
+    (n, dlt, d2[, d3[, d4]]) — exact LONG/DECIMAL(38) sums of centered
+    powers. The pivot join is a broadcast of the 5-row pass-1 dim."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = F.floor(F.col("o_totalprice") * scale + 0.5).cast("long")
+    xdf = join_ops.dim_join(
+        o, c, F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", x.alias("x"))
+    p1 = xdf.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s1")
+    )
+    piv = p1.select("c_mktsegment", "n", F.expr("s1 div n").alias("c"))
+    dec = "decimal(38,0)"
+    y = F.col("x") - F.col("c")
+    aggs = [
+        F.max("n").alias("n"),
+        F.sum(y).alias("dlt"),
+        F.sum(y.cast(dec) * y).alias("d2"),
+    ]
+    if hi >= 3:
+        aggs.append(F.sum(y.cast(dec) * y * y).alias("d3"))
+    if hi >= 4:
+        aggs.append(F.sum(y.cast(dec) * y * y * y).alias("d4"))
+    return (
+        xdf.join(F.broadcast(piv), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouped skewness (Fisher g1) of order values per segment: third
-# standardized moment from ONE fused aggregate of exact cents
-# moments (n, sum x, sum x^2, sum x^3 in DECIMAL(38)/HUGEINT —
-# cents keep sum(x^3) inside 38 digits through sf100). The closing
-# g1 = (n^2 m3) / (n m2)^1.5 combination runs in DOUBLE over the
-# exact integer aggregates with an identical expression tree on both
-# engines, micros-quantized at the end.
+# standardized moment over the exact centered cents moments (cents
+# keep Σ|y|³ inside 38 digits through sf100; the two-pass pivot and
+# non-cancelling double finish are _central_moments' — r14).
+# g1 = m3 / (m2·sqrt(m2)) closes in double with an identical
+# expression tree on both engines, micros-quantized at the end.
 # ---------------------------------------------------------------------------
 @register(
     "q_group_skewness",
-    """
-    WITH m AS (
-      SELECT c_mktsegment,
-             COUNT(*) AS n,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s3
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment
-    )
+    f"""
+    WITH {_central_moments_sql(100, 3)}
     SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
-           CAST(FLOOR(
-             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
-              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-             / CAST(n AS DOUBLE)
-             / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5)
-             * 1000000 + 0.5) AS BIGINT) AS skew_micros
-    FROM m
+           CAST(FLOOR(m3 / (m2 * sqrt(m2)) * 1000000 + 0.5) AS BIGINT)
+             AS skew_micros
+    FROM (
+      SELECT c_mktsegment, n,
+             (CAST(d2 AS DOUBLE) - CAST(dlt AS DOUBLE) * mu) / CAST(n AS DOUBLE) AS m2,
+             (CAST(d3 AS DOUBLE) - 3.0 * mu * CAST(d2 AS DOUBLE)
+              + 2.0 * CAST(dlt AS DOUBLE) * mu * mu) / CAST(n AS DOUBLE) AS m3
+      FROM (SELECT *, CAST(dlt AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM m)
+    )
     """,
 )
 def q_group_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    dec = "decimal(38,0)"
-    m = (
-        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_mktsegment", cents.alias("x"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x").cast(dec)).alias("s1"),
-            F.sum(F.col("x").cast(dec) * F.col("x")).alias("s2"),
-            F.sum(F.col("x").cast(dec) * F.col("x") * F.col("x")).alias("s3"),
-        )
-    )
-    d = lambda col: F.col(col).cast("double")  # noqa: E731
-    num = (
-        d("n") * d("n") * d("s3")
-        - 3.0 * d("n") * d("s1") * d("s2")
-        + 2.0 * d("s1") * d("s1") * d("s1")
-    )
-    g1 = num / d("n") / F.pow(d("n") * d("s2") - d("s1") * d("s1"), 1.5)
+    m = _central_moments(spark, sf_dir, scale=100, hi=3)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d("dlt") / d("n")
+    m2 = (d("d2") - d("dlt") * mu) / d("n")
+    m3 = (d("d3") - 3.0 * mu * d("d2") + 2.0 * d("dlt") * mu * mu) / d("n")
     return m.select(
         "c_mktsegment",
         F.col("n").cast("long").alias("n"),
-        F.floor(g1 * 1_000_000 + 0.5).cast("long").alias("skew_micros"),
+        F.floor(m3 / (m2 * F.sqrt(m2)) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("skew_micros"),
     )
 
 

@@ -1202,76 +1202,51 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grouped excess kurtosis (Fisher g2) per segment — the tail-weight
-# companion to q_group_skewness, from ONE fused aggregate of exact
-# deci-unit moments (x quantized to tenths keeps sum(x^4) inside 38
-# digits through sf1000). The g2 combination closes in double with
-# identical expression trees on both engines, micros-quantized.
-# Headroom (tests/test_headroom.py): oracle-exact at 30x-amplified
-# value magnitudes; at 1000x the sum-x^4 DECIMAL(38) ceiling RAISES
-# under ANSI (verified raising-not-wrapping, never silent).
+# companion to q_group_skewness. CENTERED two-pass formulation (r14
+# sf10 find): the original raw-moment combination n³s4−4n²s1s3+... is
+# a catastrophic cancellation — at sf10 density the ~1e47 terms cancel
+# 4+ decades, amplifying a single input-cast ULP into a wrong-SIGN
+# result (both engines agreed on the same garbage until the amplified
+# ULP finally diverged by 1 micro; measured −8.17e13 vs the true
+# +1.36e14... which exposed that the old expansion ALSO carried an
+# extra factor n on its last two terms). Pass 1 derives an exact
+# integer pivot c = s1 div n; pass 2 sums EXACT centered powers
+# y=x−c (Σy = δ < n, so the big terms carry no mean mass and all
+# cancellation happens inside exact integer arithmetic). The double
+# finish touches only non-cancelling corrections scaled by μ=δ/n<1
+# and uses +,−,*,/ ONLY (IEEE-exact, bit-identical cross-engine).
+# Deci-unit x keeps Σy⁴ inside 38 digits through sf1000.
 # ---------------------------------------------------------------------------
 @register(
     "q_group_kurtosis",
-    """
-    WITH m AS (
-      SELECT c_mktsegment,
-             COUNT(*) AS n,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s2,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s3,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s4
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment
-    )
+    f"""
+    WITH {_central_moments_sql(10, 4)}
     SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
-           CAST(FLOOR(
-             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
-                - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
-                + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
-             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-             * 1000000 - 3000000 + 0.5) AS BIGINT) AS kurtosis_micros
-    FROM m
+           CAST(FLOOR(m4 / (m2 * m2) * 1000000 - 3000000 + 0.5) AS BIGINT)
+             AS kurtosis_micros
+    FROM (
+      SELECT c_mktsegment, n, mu,
+             (CAST(d2 AS DOUBLE) - CAST(dlt AS DOUBLE) * mu) / CAST(n AS DOUBLE) AS m2,
+             (CAST(d4 AS DOUBLE) - 4.0 * mu * CAST(d3 AS DOUBLE)
+              + 6.0 * mu * mu * CAST(d2 AS DOUBLE)
+              - 3.0 * CAST(dlt AS DOUBLE) * mu * mu * mu) / CAST(n AS DOUBLE) AS m4
+      FROM (SELECT *, CAST(dlt AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM m)
+    )
     """,
 )
 def q_group_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    deci = F.floor(F.col("o_totalprice") * 10 + 0.5).cast("long")
-    dec = "decimal(38,0)"
-    m = (
-        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_mktsegment", deci.alias("x"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x").cast(dec)).alias("s1"),
-            F.sum(F.col("x").cast(dec) * F.col("x")).alias("s2"),
-            F.sum(F.col("x").cast(dec) * F.col("x") * F.col("x")).alias("s3"),
-            F.sum(
-                F.col("x").cast(dec) * F.col("x") * F.col("x") * F.col("x")
-            ).alias("s4"),
-        )
-    )
-    d = lambda col: F.col(col).cast("double")  # noqa: E731
-    num = d("n") * (
-        d("n") * d("n") * d("s4")
-        - 4.0 * d("n") * d("n") * d("s1") * d("s3")
-        + 6.0 * d("n") * d("s1") * d("s1") * d("s2")
-        - 3.0 * d("s1") * d("s1") * d("s1") * d("s1")
-    )
-    m2 = d("n") * d("s2") - d("s1") * d("s1")
+    m = _central_moments(spark, sf_dir, scale=10, hi=4)
+    mu = F.col("dlt").cast("double") / F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m2 = (d("d2") - d("dlt") * mu) / d("n")
+    m4 = (
+        d("d4") - 4.0 * mu * d("d3") + 6.0 * mu * mu * d("d2")
+        - 3.0 * d("dlt") * mu * mu * mu
+    ) / d("n")
     return m.select(
         "c_mktsegment",
         F.col("n").cast("long").alias("n"),
-        F.floor(num / m2 / m2 * 1_000_000 - 3_000_000 + 0.5)
+        F.floor(m4 / (m2 * m2) * 1_000_000 - 3_000_000 + 0.5)
         .cast("long")
         .alias("kurtosis_micros"),
     )
@@ -1955,94 +1930,49 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Jarque-Bera normality statistic per segment: JB = n/6 (g1² + g2²/4)
-# over the same deci-unit exact moment sums the skewness/kurtosis
-# queries use (one fused aggregate; sum x⁴ protected by the deci
-# quantization through sf1000 row counts). g1/g2 close in double with
-# IDENTICAL expression trees on both engines; JB micros-quantized.
+# over the exact CENTERED deci-unit moments (_central_moments, r14 —
+# the raw-moment g1/g2 combinations were catastrophic cancellations;
+# see q_group_kurtosis). g1 = m3/(m2·sqrt(m2)), g2 = m4/m2² − 3, all
+# closing ops IEEE-correctly-rounded with identical expression trees
+# on both engines; JB micros-quantized.
 # Differential-tested against an independent numpy computation.
 # ---------------------------------------------------------------------------
 @register(
     "q_jarque_bera",
-    """
-    WITH m AS (
-      SELECT c_mktsegment,
-             COUNT(*) AS n,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s2,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s3,
-             SUM(CAST(CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(o_totalprice * 10 + 0.5) AS BIGINT)) AS s4
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment
-    )
+    f"""
+    WITH {_central_moments_sql(10, 4)}
     SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
            CAST(FLOOR(
-             CAST(n AS DOUBLE) / 6.0 * (
-               ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
-                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5))
-               * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
-                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5))
-               + ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
-                   - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
-                   + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                  - 3.0)
-               * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
-                   - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
-                   + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                  - 3.0)
-               / 4.0
-             ) * 1000000 + 0.5) AS BIGINT) AS jb_micros
-    FROM m
+             CAST(n AS DOUBLE) / 6.0
+             * (g1 * g1 + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+             * 1000000 + 0.5) AS BIGINT) AS jb_micros
+    FROM (
+      SELECT c_mktsegment, n, m2, m4, m3 / (m2 * sqrt(m2)) AS g1
+      FROM (
+        SELECT c_mktsegment, n,
+               (CAST(d2 AS DOUBLE) - CAST(dlt AS DOUBLE) * mu) / CAST(n AS DOUBLE) AS m2,
+               (CAST(d3 AS DOUBLE) - 3.0 * mu * CAST(d2 AS DOUBLE)
+                + 2.0 * CAST(dlt AS DOUBLE) * mu * mu) / CAST(n AS DOUBLE) AS m3,
+               (CAST(d4 AS DOUBLE) - 4.0 * mu * CAST(d3 AS DOUBLE)
+                + 6.0 * mu * mu * CAST(d2 AS DOUBLE)
+                - 3.0 * CAST(dlt AS DOUBLE) * mu * mu * mu) / CAST(n AS DOUBLE) AS m4
+        FROM (SELECT *, CAST(dlt AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM m)
+      )
+    )
     """,
 )
 def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    deci = F.floor(F.col("o_totalprice") * 10 + 0.5).cast("long")
-    dec = "decimal(38,0)"
-    x = F.col("x")
-    m = (
-        join_ops.dim_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_mktsegment", deci.alias("x"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(x.cast(dec)).alias("s1"),
-            F.sum(x.cast(dec) * x).alias("s2"),
-            F.sum(x.cast(dec) * x * x).alias("s3"),
-            F.sum(x.cast(dec) * x * x * x).alias("s4"),
-        )
-    )
+    m = _central_moments(spark, sf_dir, scale=10, hi=4)
     d = lambda col: F.col(col).cast("double")  # noqa: E731
-    den = d("n") * d("s2") - d("s1") * d("s1")
-    g1 = (
-        d("n") * d("n") * d("s3")
-        - 3.0 * d("n") * d("s1") * d("s2")
-        + 2.0 * d("s1") * d("s1") * d("s1")
-    ) / F.pow(den, 1.5)
-    g2 = (
-        d("n") * d("n") * d("n") * d("s4")
-        - 4.0 * d("n") * d("n") * d("s1") * d("s3")
-        + 6.0 * d("n") * d("s1") * d("s1") * d("s2")
-        - 3.0 * d("s1") * d("s1") * d("s1") * d("s1")
-    ) / den / den - 3.0
+    mu = d("dlt") / d("n")
+    m2 = (d("d2") - d("dlt") * mu) / d("n")
+    m3 = (d("d3") - 3.0 * mu * d("d2") + 2.0 * d("dlt") * mu * mu) / d("n")
+    m4 = (
+        d("d4") - 4.0 * mu * d("d3") + 6.0 * mu * mu * d("d2")
+        - 3.0 * d("dlt") * mu * mu * mu
+    ) / d("n")
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
     jb = d("n") / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
     return m.select(
         "c_mktsegment",

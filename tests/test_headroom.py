@@ -187,8 +187,14 @@ def test_cramers_v_headroom_at_100x_rows(spark, sf_dir, tmp_path):
 @pytest.mark.parametrize("qname", ["q_group_kurtosis", "q_jarque_bera"])
 def test_fourth_moments_raise_not_wrap_at_1000x(spark, stress_dir, qname):
     # the documented DECIMAL(38) ceiling: ANSI mode must RAISE on the
-    # sum-x^4 overflow, never return silently wrapped moments
-    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+    # sum-y^4 overflow, never return silently wrapped moments. Since
+    # the r14 centered-moment rewrite the ceiling is hit by the SUM
+    # aggregate over exact centered fourth powers (ARITHMETIC_OVERFLOW)
+    # rather than the per-row cast (NUMERIC_VALUE_OUT_OF_RANGE) —
+    # either way the failure is loud, never a wrap.
+    with pytest.raises(
+        Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|ARITHMETIC_OVERFLOW"
+    ):
         QUERIES[qname](spark, stress_dir).collect()
 
 
