@@ -28,6 +28,13 @@ TABLES = (
 
 def duck_connection() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp directory, so any operator that
+    # needs to spill (the sf10 banded-candidate DISTINCT, large hash
+    # joins) dies with "Out of Memory Error: failed to allocate"
+    # instead of spilling — the r13 gopher_gate_counts class, found
+    # again by the r14 sf10 probe. Point it at disk explicitly.
+    con.sql("SET temp_directory='/tmp/duck_oracle_spill'")
+    con.sql("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
