@@ -281,26 +281,25 @@ def near_dup_pairs_lsh(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # broadcast join-backs (the negatives.py rationale): un-hinted,
-    # the second sort-merge join would sort the candidate stream with
-    # the first side's vector payload attached — the exact spill the
-    # light banding exists to avoid. The vec relation is n input rows.
+    # UN-HINTED join-backs (the dim_join doctrine, enforced by the
+    # advisor's BROADCAST_SCALED rule): the vec relation is n input
+    # rows — SF-scaled — so a forced broadcast hint would OOM at the
+    # 100 TB target instead of demoting. AQE broadcasts it whenever
+    # the runtime size fits (it does at every bench SF, giving the
+    # same hash-join plan as a hint) and falls back to a distributed
+    # shuffle join at sizes where broadcasting is the bug.
     scored = cand.join(
-        F.broadcast(
-            fixed.select(
-                F.col("vid").alias("id_a"),
-                F.col("fvec").alias("va"),
-                F.col("n2").alias("na2"),
-            )
+        fixed.select(
+            F.col("vid").alias("id_a"),
+            F.col("fvec").alias("va"),
+            F.col("n2").alias("na2"),
         ),
         "id_a",
     ).join(
-        F.broadcast(
-            fixed.select(
-                F.col("vid").alias("id_b"),
-                F.col("fvec").alias("vb"),
-                F.col("n2").alias("nb2"),
-            )
+        fixed.select(
+            F.col("vid").alias("id_b"),
+            F.col("fvec").alias("vb"),
+            F.col("n2").alias("nb2"),
         ),
         "id_b",
     )

@@ -204,32 +204,29 @@ def _mined_topk_lsh(
         )
         .distinct()
     )
-    # BROADCAST the vec relation on both join-backs (r14 sf10 find):
-    # un-hinted, Catalyst picks sort-merge and the SECOND join sorts
-    # the full candidate stream WITH the first side's 64-dim payload
-    # attached — at 10x the certified density (~1.2e9 directed
-    # candidates from the constant-bucket-size governor) that sort
-    # spilled past the local disk. The vec relation is n input rows
-    # (~100 MB at n=200k fixed-point vectors) — broadcasting it keeps
-    # the candidate stream payload-free until each row's cosine is
-    # computed and immediately reduced; corpora too large to
-    # broadcast belong on the IVF/PQ tiers, not the miner.
+    # UN-HINTED vec join-backs (dim_join doctrine / BROADCAST_SCALED):
+    # the vec relation is n input rows — SF-scaled — so a forced hint
+    # would OOM at the 100 TB target. AQE broadcasts it whenever the
+    # runtime size fits (every bench SF: the same payload-free
+    # hash-join plan the r14 sf10 fix needs) and demotes to a
+    # distributed shuffle join past the threshold, where the sort is
+    # spread across executors instead of one box's disk.
     vecs = base.select("vid", "fvec", "n2")
     scored = (
         cand.join(
-            F.broadcast(vecs.select(
+            vecs.select(
                 F.col("vid").alias("anchor_id"),
                 F.col("fvec").alias("va"),
                 F.col("n2").alias("na2"),
-            )),
+            ),
             "anchor_id",
         )
         .join(
-            F.broadcast(vecs.select(
+            vecs.select(
                 F.col("vid").alias("cand_id"),
                 F.col("fvec").alias("vb"),
                 F.col("n2").alias("nb2"),
-            )),
+            ),
             "cand_id",
         )
         .withColumn(
@@ -373,23 +370,23 @@ def mine_triplets(
         )
         .distinct()
     )
-    # broadcast join-backs: see _mined_topk_lsh (r14 sf10 find)
+    # un-hinted vec join-backs: see _mined_topk_lsh (dim_join doctrine)
     vecs = base.select("vid", "fvec", "n2")
     scored = (
         cand.join(
-            F.broadcast(vecs.select(
+            vecs.select(
                 F.col("vid").alias("anchor_id"),
                 F.col("fvec").alias("va"),
                 F.col("n2").alias("na2"),
-            )),
+            ),
             "anchor_id",
         )
         .join(
-            F.broadcast(vecs.select(
+            vecs.select(
                 F.col("vid").alias("cand_id"),
                 F.col("fvec").alias("vb"),
                 F.col("n2").alias("nb2"),
-            )),
+            ),
             "cand_id",
         )
         .select(
