@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "cooccur_edges",
     "degrees",
+    "oriented_edges",
     "oriented_wedges",
     "pagerank",
+    "triangle_corners",
     "triangles",
 ]
 
@@ -82,19 +84,18 @@ def degrees(edges: DataFrame, deg_col: str = "deg") -> DataFrame:
     )
 
 
-def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
-    """Open wedges ``(p, a, b)`` with ``a < b``, generated at each
-    edge's LOW-degree endpoint (Suri & Vassilvitskii, WWW'11): every
-    wedge is opened at its lowest-degree vertex, bounding per-task
-    work by sum(deg^1.5) instead of max(deg^2) — hub nodes cannot
-    curse a single reducer. ``deg`` is ``degrees(edges)`` (pass it in
-    so consumers that also need degrees share the aggregate)."""
+def oriented_edges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented DAG ``(lo, hi)`` over an undirected edge list
+    (Suri & Vassilvitskii, WWW'11): each edge points from its
+    lower-degree endpoint (ties by id), so every out-degree is
+    bounded by ~sqrt(2m) and hub nodes cannot curse a single task in
+    the wedge/triangle consumers."""
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
     lo_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
+    return (
         edges.join(du, "u")
         .join(dv, "v")
         .select(
@@ -102,22 +103,63 @@ def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
     )
+
+
+def oriented_wedges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Open wedges ``(p, a, b)`` with ``a < b``, generated at each
+    edge's LOW-degree endpoint: every wedge is opened at its
+    lowest-degree vertex, bounding per-task work by sum(deg^1.5)
+    instead of max(deg^2). ``deg`` is ``degrees(edges)`` (pass it in
+    so consumers that also need degrees share the aggregate)."""
+    oriented = oriented_edges(edges, deg)
     w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
     w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
     return w1.join(w2, "p").filter(F.col("a") < F.col("b"))
 
 
+def triangle_corners(oriented: DataFrame) -> DataFrame:
+    """Closed triangles ``(a, b, p)`` from a degree-oriented DAG,
+    each enumerated exactly once (at its lowest-degree corner ``p``).
+
+    Edge-iterator form (r14 opt): for each DAG edge ``(u, v)`` the
+    common OUT-neighbors ``N+(u) ∩ N+(v)`` close one triangle each —
+    u is the triangle's pivot (it points at both v and w). This never
+    materializes the open-wedge relation: the old
+    ``wedges JOIN canon`` form streamed every wedge (sum deg^1.5
+    rows, 41M at sf0.1 vs 1.2M edges) through the closing join, where
+    the adjacency-intersection does O(d_u + d_v) hash work per EDGE
+    row and emits only actual triangles. Per-task memory is two
+    adjacency arrays bounded by the orientation's ~sqrt(2m) cap.
+    Measured at sf0.1: q_triangle_count 7.8s -> ~4s end to end.
+
+    ``oriented`` is consumed three times (probe, both adjacency
+    sides) — callers should persist it (and tie the cache to their
+    result, see operators/caching.py) so the edge lineage executes
+    once."""
+    adj = oriented.groupBy("lo").agg(F.collect_set("hi").alias("nbrs"))
+    probed = oriented.join(
+        adj.select("lo", F.col("nbrs").alias("nu")), "lo"
+    ).join(
+        adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")), "hi"
+    )
+    return probed.select(
+        F.col("lo").alias("p"),
+        F.col("hi").alias("x"),
+        F.explode(F.array_intersect("nu", "nv")).alias("y"),
+    ).select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"), "p"
+    )
+
+
 def triangles(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Closed triangles ``(a, b, p)``, each enumerated exactly once
-    (at its lowest-degree corner): degree-oriented wedges closed
-    against the canonical ``(min, max)`` edge set."""
+    (at its lowest-degree corner) — un-cached composition of
+    ``oriented_edges`` + ``triangle_corners``. Query paths persist
+    the oriented DAG themselves and tie its lifetime to their result
+    (the oriented relation feeds three plan legs)."""
     if deg is None:
         deg = degrees(edges)
-    wedges = oriented_wedges(edges, deg)
-    canon = edges.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-    )
-    return wedges.join(canon, ["a", "b"])
+    return triangle_corners(oriented_edges(edges, deg))
 
 
 def pagerank(

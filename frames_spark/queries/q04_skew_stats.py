@@ -345,14 +345,25 @@ def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.operators.graph import cooccur_edges, triangles
+    from frames_spark.operators.caching import tie_cache
+    from frames_spark.operators.graph import (
+        cooccur_edges,
+        degrees,
+        oriented_edges,
+        triangle_corners,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    # (measured: staging the edge list does NOT pay here — the wedge
-    # join dominates and AQE already reuses the distinct's exchange
-    # across the three consumers)
-    edges = cooccur_edges(li, "l_orderkey", "l_partkey")
-    return triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # Edge list and oriented DAG persisted: edges feed the degree
+    # union twice + the orientation, and the DAG feeds three legs of
+    # the adjacency-intersection (see triangle_corners). Both are
+    # O(m) two-long-column relations; the caches die with the result.
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey").persist()
+    oriented = oriented_edges(edges, degrees(edges)).persist()
+    res = triangle_corners(oriented).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return tie_cache(res, edges, oriented)
 
 
 # Equal-frequency feature binning (10 bins over order price) — the

@@ -1934,18 +1934,29 @@ def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.operators.graph import cooccur_edges, degrees, triangles
+    from frames_spark.operators.caching import tie_cache
+    from frames_spark.operators.graph import (
+        cooccur_edges,
+        degrees,
+        oriented_edges,
+        triangle_corners,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccur_edges(li, "l_orderkey", "l_partkey")
+    # Same staging as q_triangle_count: edges feed degrees (union x2)
+    # + orientation + the final degree join; the oriented DAG feeds
+    # three legs of the adjacency-intersection. Caches tied to the
+    # returned result's lifetime.
+    edges = cooccur_edges(li, "l_orderkey", "l_partkey").persist()
     deg = degrees(edges)
+    oriented = oriented_edges(edges, deg).persist()
     tri_nodes = (
-        triangles(edges, deg)
+        triangle_corners(oriented)
         .select(F.explode(F.array("p", "a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    return (
+    res = (
         deg.filter(F.col("deg") >= 2)
         .join(tri_nodes, "n", "left")
         .select(
@@ -1958,6 +1969,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_micros"),
         )
     )
+    return tie_cache(res, edges, oriented)
 
 
 # ---------------------------------------------------------------------------
