@@ -70,11 +70,19 @@ def connected_components(
 
 
 def _cc_minlabel_rounds(sym, max_iter, stats):
+    # Round 1 folded into initialization (r14 opt): with identity
+    # labels the first propagation needs no join — every node's new
+    # label is min(self, min of its neighbors), ONE aggregate over
+    # the symmetric edge list (node appears as `b` once per incident
+    # edge; least(a, b) covers the self label). Saves a full
+    # join+checkpoint round on every call.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        sym.select(
+            F.col("b").alias("node"), F.least("a", "b").alias("component")
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=False)
     )
     # convergence probe. Numeric ids: sum of labels is strictly
     # decreasing until fixpoint — DECIMAL(38,0) so the probe can't
@@ -99,10 +107,14 @@ def _cc_minlabel_rounds(sym, max_iter, stats):
             ).first()
         )
 
+    # The checkpoints above and per round are LAZY: the convergence
+    # probe right after each build is the action that materializes
+    # them, so every round costs ONE job (join+aggregate+store+probe)
+    # instead of an eager-checkpoint job followed by a probe job.
     prev_sum = _label_sum(labels)
     converged = False
-    rounds = 0
-    for _ in range(max_iter):
+    rounds = 1  # the folded initialization IS the first propagation
+    for _ in range(max_iter - 1):
         rounds += 1
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "component"
@@ -112,7 +124,7 @@ def _cc_minlabel_rounds(sym, max_iter, stats):
             .union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
