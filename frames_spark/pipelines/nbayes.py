@@ -22,7 +22,7 @@ the argmax is deterministic with ties broken by label order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from frames_spark.functions import text as text_fns
@@ -139,15 +139,23 @@ def nb_predict(
     test_db: DataFrame, likelihoods: DataFrame, class_stats: DataFrame
 ) -> DataFrame:
     """(_id, _label, pred): argmax class per document, ties to the
-    lowest label."""
+    lowest label.
+
+    The argmax is a MIN over (-score, cand) struct ordering — a hash
+    aggregate with map-side partial combining — instead of a
+    row_number window, which shuffled AND sorted every (doc, class)
+    score row just to keep one of them (guide §2.3: aggregate before
+    you shuffle). Identical tie-breaking: desc score == asc -score,
+    then asc cand lexicographically."""
     scores = nb_scores(test_db, likelihoods, class_stats)
-    w = Window.partitionBy("_id").orderBy(
-        F.desc("score_nanos"), F.asc("cand")
-    )
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("_id", "_label", F.col("cand").alias("pred"))
+        scores.groupBy("_id", "_label")
+        .agg(
+            F.min(F.struct((-F.col("score_nanos")).alias("neg"), "cand")).alias(
+                "m"
+            )
+        )
+        .select("_id", "_label", F.col("m.cand").alias("pred"))
     )
 
 
