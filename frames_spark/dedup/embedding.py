@@ -101,15 +101,26 @@ def _sign_array(num_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
     const_int_matrix), not nested F.array/F.lit calls: the 32x64
     witness config is 2048 literal nodes, and 2048 py4j round-trips
     cost ~4-6 s of DRIVER time per query build (measured r11) — a
-    fixed overhead the executors never see."""
-    planes = const_int_matrix(
-        plane_components(plane_offset + p, dim) for p in range(num_planes)
-    )
-    return F.transform(
-        planes,
-        lambda comp: F.when(
-            dot_fixed(F.col("fvec"), comp) >= 0, F.lit("1")
-        ).otherwise(F.lit("0")),
+    fixed overhead the executors never see. The whole fragment is a
+    pure function of (num_planes, dim, plane_offset) over the fixed
+    ``fvec`` column, so it is memoized (exprcache.memo_col) — the
+    md5 plane derivation and the literal parse run once per
+    process."""
+    from frames_spark.functions.exprcache import memo_col
+
+    def _build() -> F.Column:
+        planes = const_int_matrix(
+            plane_components(plane_offset + p, dim) for p in range(num_planes)
+        )
+        return F.transform(
+            planes,
+            lambda comp: F.when(
+                dot_fixed(F.col("fvec"), comp) >= 0, F.lit("1")
+            ).otherwise(F.lit("0")),
+        )
+
+    return memo_col(
+        "embedding.sign_array", (num_planes, dim, plane_offset), _build
     )
 
 

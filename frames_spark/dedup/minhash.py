@@ -63,18 +63,26 @@ def minhash_signatures_from_index(
     lets one index relation feed several dedup tiers (e.g. the
     comparative summary persists the index once for MinHash AND
     containment instead of re-scanning the corpus per tier)."""
+    from frames_spark.functions.exprcache import memo_col
+
     index = index.withColumn(
         "base", hash60(F.col("shingle"), seed="mh", fast=fast) % MINHASH_P
     )
-    consts = [_mix_consts(i) for i in range(num_hashes)]
-    return index.groupBy("doc").agg(
-        *[
+
+    def _sig_cols() -> list:
+        consts = [_mix_consts(i) for i in range(num_hashes)]
+        return [
             F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(
                 f"sig_{i}"
             )
             for i, (a, b) in enumerate(consts)
         ]
-    )
+
+    # the k min-aggregate fragments are a pure function of num_hashes
+    # over the fixed "base" column — memoized (5k py4j calls saved per
+    # query build at k=16)
+    sig_cols = memo_col("minhash.sig_cols", (num_hashes,), _sig_cols)
+    return index.groupBy("doc").agg(*sig_cols)
 
 
 def banded_signatures(
@@ -83,20 +91,28 @@ def banded_signatures(
     """Long-form (doc, band, band_key) banding of wide signatures —
     the storable/probe-able shape (see dedup/index.py's persisted
     cross-run index); lsh_candidate_pairs builds on it in-flight."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for band in range(bands)
-        ]
+    from frames_spark.functions.exprcache import memo_col
+
+    band_structs = memo_col(
+        "minhash.band_structs",
+        (bands, rows_per_band),
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"sig_{band * rows_per_band + r}").cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("band_key"),
+                )
+                for band in range(bands)
+            ]
+        ),
     )
     return signatures.select(
         "doc", F.explode(band_structs).alias("b")

@@ -262,7 +262,23 @@ def repetition_signals(
 ) -> dict[str, Column]:
     """The battery as named micros columns. ``extended=True`` adds the
     rest of Table A1: duplicated-{5..10}-gram char fractions, the
-    symbol-to-word ratio, and the bullet/ellipsis line fractions."""
+    symbol-to-word ratio, and the bullet/ellipsis line fractions.
+
+    The battery is ~10k py4j round-trips to assemble (≈2 s of driver
+    time per query build, measured r14) and is a pure function of two
+    Column fragments — memoized via exprcache.memo_col."""
+    from frames_spark.functions.exprcache import memo_col
+
+    return memo_col(
+        "gopher.repetition_signals",
+        (toks, total_chars, extended),
+        lambda: _repetition_signals(toks, total_chars, extended),
+    )
+
+
+def _repetition_signals(
+    toks: Column, total_chars: Column, extended: bool
+) -> dict[str, Column]:
     out = {
         "dup_line_frac_micros": dup_fraction_micros(
             token_windows(toks, LINE_WIDTH)

@@ -76,7 +76,18 @@ def _fold_counts(tokens_col: Column) -> Column:
 def predicted_lang_from_tokens(tokens_col: Column) -> Column:
     """Argmax language over a pre-tokenized array — use when the
     caller already carries the token array (the tokenizer then runs
-    exactly once per row for ALL its consumers)."""
+    exactly once per row for ALL its consumers). Memoized: the fold
+    interpolates five stopword IN-lists (hundreds of py4j calls)."""
+    from frames_spark.functions.exprcache import memo_col
+
+    return memo_col(
+        "langid.predicted_lang_from_tokens",
+        (tokens_col,),
+        lambda: _predicted_lang_from_tokens(tokens_col),
+    )
+
+
+def _predicted_lang_from_tokens(tokens_col: Column) -> Column:
     return F.aggregate(
         tokens_col,
         F.array(*[F.lit(0).cast("long") for _ in LANGS]),
