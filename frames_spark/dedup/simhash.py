@@ -28,7 +28,15 @@ def simhash(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, fast: bool = False
 ) -> DataFrame:
     """(doc, simhash) 60-bit fingerprint per document."""
-    index = shingle_index(df, id_col, text_col, n).withColumn(
+    return simhash_from_index(shingle_index(df, id_col, text_col, n), fast=fast)
+
+
+def simhash_from_index(index: DataFrame, fast: bool = False) -> DataFrame:
+    """Fingerprints from a pre-built (doc, shingle) inverted index —
+    lets one (persisted) index relation feed SimHash alongside the
+    Jaccard/containment tiers instead of re-shingling the corpus per
+    tier (the minhash_signatures_from_index pattern)."""
+    index = index.withColumn(
         "h", hash60(F.col("shingle"), seed="sh", fast=fast)
     )
     # One parsed SQL expression for all 60 bit votes + the bit

@@ -1834,8 +1834,15 @@ def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frames_spark.operators.caching import tie_cache
+
     corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
-    sigs = simh_ops.simhash(corpus, "doc_id", "text")
+    # ONE persisted shingle index feeds the SimHash fingerprints AND
+    # the Jaccard intersection/size legs (4 consumers) — the
+    # per-consumer form re-ran the tokenize+shingle explode over the
+    # doubled corpus once per leg. Cache tied to the result.
+    sh = jac_ops.shingle_index(corpus, "doc_id", "text", 3).persist()
+    sigs = simh_ops.simhash_from_index(sh)
     orig = load_table(spark, sf_dir, "documents").select("doc_id")
     dup = orig.select(
         F.col("doc_id").alias("a"),
@@ -1847,7 +1854,6 @@ def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         orig.select(F.col("doc_id").alias("b")), "b", "left_semi"
     ).withColumn("label", F.lit("non_dup"))
     prs = dup.unionByName(nondup.select("a", "b", "label"))
-    sh = jac_ops.shingle_index(corpus, "doc_id", "text", 3)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     ia = sh.select(F.col("doc").alias("a"), "shingle").join(
         prs.select("a", "b"), "a"
@@ -1874,7 +1880,7 @@ def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return j.groupBy("label", "hamming").agg(
+    res = j.groupBy("label", "hamming").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         (
             F.sum(
@@ -1887,6 +1893,7 @@ def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_jaccard"),
     )
+    return tie_cache(res, sh)
 
 
 # ---------------------------------------------------------------------------
