@@ -52,6 +52,21 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1 MiB) decides post-shuffle
+        # parallelism from MAP OUTPUT BYTES, but several operators
+        # amplify work after the shuffle read: the posting-list tiers
+        # read ~10 MB of compact (shingle, docs) lists and explode
+        # them to millions of candidate pairs, so the default floor
+        # ran that expansion on 10 of 32 cores (measured r14). A
+        # lower floor lets parallelismFirst actually reach the
+        # cluster's default parallelism on compact-but-CPU-heavy
+        # shuffles; it is scale-neutral (above ~cores x 1 MiB of
+        # shuffle bytes the target size, total/parallelism, dominates
+        # and the floor never binds). Env-overridable for A/B.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
