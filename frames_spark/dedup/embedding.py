@@ -124,6 +124,46 @@ def _sign_array(num_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
     )
 
 
+def table_buckets(num_tables: int, num_planes: int, dim: int) -> F.Column:
+    """array<struct<tbl,bucket>> — every LSH table's bucket of the
+    ``fvec`` column from ONE sign evaluation per row.
+
+    The historical form sliced ``_sign_array`` INSIDE the per-table
+    ``transform`` lambda; lambda bodies re-evaluate per invocation
+    (no cross-invocation subexpression hoisting in interpreted HOF
+    eval), so the full num_tables*num_planes sign computation ran
+    once PER TABLE per row — 16x redundant work at the miner/auto
+    geometry, measured r14: the banding leg of the auto corpus noop'd
+    at 1.66 s vs 0.51 s for this form. Here the joined signature
+    string is let-bound by a transform over a one-element array (the
+    only binding construct SQL HOFs offer), so signs evaluate once
+    and each table's bucket is a substring — byte-identical buckets
+    (array_join of a slice == substring of the full join of
+    single-char elements)."""
+    from frames_spark.functions.exprcache import memo_col
+
+    def _build() -> F.Column:
+        sigstr = F.array_join(_sign_array(num_tables * num_planes, dim), "")
+        return F.flatten(
+            F.transform(
+                F.array(sigstr),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(num_tables - 1)),
+                    lambda t: F.struct(
+                        t.alias("tbl"),
+                        s.substr(
+                            t * F.lit(num_planes) + 1, F.lit(num_planes)
+                        ).alias("bucket"),
+                    ),
+                ),
+            )
+        )
+
+    return memo_col(
+        "embedding.table_buckets", (num_tables, num_planes, dim), _build
+    )
+
+
 def fixed_with_buckets(
     df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8, dim: int = 64
 ) -> DataFrame:
@@ -220,18 +260,10 @@ def near_dup_pairs_lsh(
     if guard not in ("raise", "warn", "off"):
         raise ValueError(f"guard must be raise|warn|off, got {guard!r}")
     fixed = _fixed(df, id_col, vec_col)
-    # ALL tables' signs in one data-driven pass (see _sign_array);
-    # each table's bucket is a slice of the shared sign array
-    signs = _sign_array(num_tables * num_planes, dim)
-    tables = F.transform(
-        F.sequence(F.lit(0), F.lit(num_tables - 1)),
-        lambda t: F.struct(
-            t.alias("tbl"),
-            F.array_join(
-                F.slice(signs, t * num_planes + 1, num_planes), ""
-            ).alias("bucket"),
-        ),
-    )
+    # ALL tables' signs in one sign evaluation per row (see
+    # table_buckets — each table's bucket is a substring of the
+    # let-bound signature string)
+    tables = table_buckets(num_tables, num_planes, dim)
     # LIGHT banding (r14 sf10 find — the miners' form, negatives.py):
     # the banded relation and bucket posting lists carry IDS ONLY;
     # vectors join back once per side after the cross-table distinct.

@@ -1153,20 +1153,11 @@ def q_triplet_mining_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from frames_spark.dedup.embedding import _fixed, _sign_array
+    from frames_spark.dedup.embedding import _fixed, table_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
     fixed = _fixed(emb, "vec_id", "embedding")
-    signs = _sign_array(_HN_TABLES * _HN_PLANES, 64)
-    tables = F.transform(
-        F.sequence(F.lit(0), F.lit(_HN_TABLES - 1)),
-        lambda t: F.struct(
-            t.alias("tbl"),
-            F.array_join(
-                F.slice(signs, t * _HN_PLANES + 1, _HN_PLANES), ""
-            ).alias("bucket"),
-        ),
-    )
+    tables = table_buckets(_HN_TABLES, _HN_PLANES, 64)
     banded = fixed.select("vid", F.explode(tables).alias("b")).select(
         "vid",
         F.col("b.tbl").cast("long").alias("tbl"),

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from frames_spark.dedup.embedding import _sign_array
+from frames_spark.dedup.embedding import table_buckets
 from frames_spark.functions.vectors import (
     cosine_from_fixed,
     dot_fixed,
@@ -69,16 +69,7 @@ def _banded_relation(
         )
         .withColumn("n2", norm2_fixed(F.col("fvec")))
     )
-    signs = _sign_array(num_tables * num_planes, dim)
-    tables = F.transform(
-        F.sequence(F.lit(0), F.lit(num_tables - 1)),
-        lambda t: F.struct(
-            t.alias("tbl"),
-            F.array_join(
-                F.slice(signs, t * num_planes + 1, num_planes), ""
-            ).alias("bucket"),
-        ),
-    )
+    tables = table_buckets(num_tables, num_planes, dim)
     # LIGHT bucket rows only — (vid, lbl, tbl, bucket); the 64-dim
     # vectors never enter the quadratic expansion (see _mined_topk_lsh
     # scale note).

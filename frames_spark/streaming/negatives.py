@@ -7,7 +7,7 @@ Stage mapping from the batch miner (similarity/negatives.py
 _mined_topk_lsh):
 
   - the multi-table hyperplane LSH bucketing is STATELESS — the same
-    shared sign-array pass (dedup/embedding._sign_array), fused into
+    shared sign-array pass (dedup/embedding.table_buckets), fused into
     each micro-batch's scan; one arriving vector explodes to
     num_tables (tbl, bucket) rows;
   - the bucket self-join becomes per-(tbl, bucket) STATE: the store
@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from frames_spark.dedup.embedding import _sign_array
+from frames_spark.dedup.embedding import table_buckets
 from frames_spark.functions.vectors import norm2_fixed, to_fixed
 
 __all__ = ["hard_negative_candidates_stream"]
@@ -87,16 +87,7 @@ def _banded_vectors(
         to_fixed(F.col(vec_col)).alias("fvec"),
         F.col(label_col).cast("string").alias("lbl"),
     ).withColumn("n2", norm2_fixed(F.col("fvec")))
-    signs = _sign_array(num_tables * num_planes, dim)
-    tables = F.transform(
-        F.sequence(F.lit(0), F.lit(num_tables - 1)),
-        lambda t: F.struct(
-            t.alias("tbl"),
-            F.array_join(
-                F.slice(signs, t * num_planes + 1, num_planes), ""
-            ).alias("bucket"),
-        ),
-    )
+    tables = table_buckets(num_tables, num_planes, dim)
     return base.select(
         "vid", "lbl", "fvec", "n2", F.explode(tables).alias("b")
     ).select(
