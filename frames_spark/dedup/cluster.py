@@ -131,6 +131,23 @@ def _cc_minlabel_rounds(sym, max_iter, stats):
             converged = True
             break
         prev_sum = cur_sum
+    if max_iter == 1 and not converged:
+        # The loop above never runs, so an already-converged (or
+        # empty) graph would spuriously raise (r14 ADVICE). One
+        # PROBE-ONLY confirm pass: compute what one propagation
+        # would produce and compare checksums — labels themselves
+        # are not advanced and rounds stays 1, because at fixpoint
+        # the pass changes nothing and on a change we raise anyway.
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "component"
+        )
+        probe = (
+            labels.select("node", "component")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        converged = _label_sum(probe) == prev_sum
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:

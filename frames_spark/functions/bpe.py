@@ -104,7 +104,16 @@ def train_bpe_history(
     ``(round, a, b, n)`` — the merged pair plus its corpus frequency
     at the moment it won (1-based rounds, training order). Stops
     early when no pair occurs at least twice."""
-    vocab = word_symbol_counts(docs, text_col, word_re).localCheckpoint()
+    # Checkpoints are LAZY: each round's top-pair collect is the
+    # action that materializes the checkpoint feeding it, so a round
+    # costs ONE Spark job instead of an eager-checkpoint job plus the
+    # collect (the connected-components precedent, guide §5 driver/
+    # job overhead). The FINAL round's merge is never applied at all
+    # — nothing consumes the vocabulary after the last pair is
+    # chosen, so applying+materializing it was a pure waste job.
+    vocab = word_symbol_counts(docs, text_col, word_re).localCheckpoint(
+        eager=False
+    )
     history: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
         top = (
@@ -117,7 +126,10 @@ def train_bpe_history(
             break
         a, b = top[0]["pair"].split(" ", 1)
         history.append((rnd, a, b, int(top[0]["n"])))
-        vocab = vocab.withColumn("syms", _merge_expr(a, b)).localCheckpoint()
+        if rnd < n_merges:
+            vocab = vocab.withColumn("syms", _merge_expr(a, b)).localCheckpoint(
+                eager=False
+            )
     return history
 
 

@@ -34,12 +34,19 @@ __all__ = ["memo_col"]
 
 _CACHE: dict[tuple, Any] = {}
 
+# The gateway the current _CACHE contents were built against. Cached
+# Column handles reference JVM objects through this gateway; a NEW
+# gateway (restarted JVM) makes every cached handle defunct, and
+# CPython id() reuse could otherwise serve them silently (r14 ADVICE).
+# Observing a different live gateway clears the cache wholesale —
+# eviction by generation, immune to id() reuse.
+_CACHE_GATEWAY: Any = None
 
-def _gateway_key() -> int:
+
+def _gateway() -> Any:
     from pyspark import SparkContext
 
-    gw = SparkContext._gateway  # noqa: SLF001 — documented py4j handle
-    return id(gw) if gw is not None else 0
+    return SparkContext._gateway  # noqa: SLF001 — documented py4j handle
 
 
 def _canon(part: Any) -> Any:
@@ -48,17 +55,50 @@ def _canon(part: Any) -> Any:
     return part
 
 
-def memo_col(tag: str, key_parts: tuple, build: Callable[[], Any]) -> Any:
-    """Return ``build()`` memoized on ``(tag, gateway, *key_parts)``.
+def _copy(val: Any) -> Any:
+    """Shallow-copy container results so no two callers share one
+    mutable object — a caller mutating a returned dict/list would
+    otherwise poison the cache for everyone after it (r14 ADVICE).
+    Copying a handful of dict slots is nanoseconds vs the seconds the
+    cache saves; Column values themselves are immutable."""
+    if isinstance(val, dict):
+        return dict(val)
+    if isinstance(val, list):
+        return list(val)
+    return val
 
-    ``key_parts`` may contain Columns (canonicalized via ``str``) and
-    hashable scalars. The built value may be a Column or any
-    container of Columns (dict/list) — callers must treat it as
-    immutable (they already do: Column has no mutating API)."""
-    key = (tag, _gateway_key(), *(map(_canon, key_parts)))
+
+def memo_col(tag: str, key_parts: tuple, build: Callable[[], Any]) -> Any:
+    """Return ``build()`` memoized on ``(tag, *key_parts)`` for the
+    lifetime of the current py4j gateway.
+
+    CONTRACT (violations poison the cache silently):
+
+    * ``build`` must be a PURE function of ``tag`` + ``key_parts`` —
+      no closing over mutable state that is not part of the key.
+    * Column ``key_parts`` are canonicalized via ``str(col)``; pass
+      only plain ``F.col("name")``-rooted fragments (or fragments
+      whose string form captures every distinction that matters).
+      Two same-named columns from DIFFERENT DataFrames stringify
+      identically, so dataset-tagged ``df["c"]`` handles must not be
+      keys. All in-repo call sites pass pure ``F.col`` fragments
+      (tests/test_exprcache.py pins the same-name/different-frame
+      behavior).
+    * Scalar key_parts must be hashable.
+
+    The built value may be a Column or a flat dict/list of Columns;
+    containers are returned as shallow copies so callers can't mutate
+    the cached instance. A new py4j gateway (restarted JVM) clears
+    the cache — cached handles are bound to the old JVM."""
+    global _CACHE_GATEWAY
+    gw = _gateway()
+    if gw is not _CACHE_GATEWAY:
+        _CACHE.clear()
+        _CACHE_GATEWAY = gw
+    key = (tag, *(map(_canon, key_parts)))
     try:
-        return _CACHE[key]
+        return _copy(_CACHE[key])
     except KeyError:
         val = build()
         _CACHE[key] = val
-        return val
+        return _copy(val)

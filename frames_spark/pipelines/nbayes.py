@@ -66,12 +66,23 @@ def nb_fit(train_db: DataFrame, n_buckets: int = 4096):
     """
     b = F.lit(float(n_buckets))
     ncb = train_db.groupBy("_label", "bucket").agg(F.sum("c").alias("ncb"))
-    nc = ncb.groupBy("_label").agg(F.sum("ncb").alias("nc"))
-    dc = train_db.groupBy("_label").agg(
-        F.countDistinct("_id").alias("dcount")
+    # ONE per-class aggregate for token mass AND distinct-doc count
+    # (r15, guide §2.4/§5): nc/dc/dtot were three separate passes —
+    # nc re-aggregated ncb, dc ran a per-label countDistinct over the
+    # corpus-scale bucket relation, and dtot ran a SECOND global
+    # countDistinct over it. sum(c) over (label,bucket) groups equals
+    # sum(ncb), and every _id carries exactly one label (doc_buckets
+    # copies the doc row's label), so the global distinct-doc count
+    # is the SUM of the per-label ones — dtot collapses to a 5-row
+    # aggregate over cls. Values are bit-identical; two corpus-scale
+    # passes and three AQE stage-jobs disappear.
+    cls = train_db.groupBy("_label").agg(
+        F.sum("c").alias("nc"), F.countDistinct("_id").alias("dcount")
     )
-    dtot = train_db.agg(F.countDistinct("_id").alias("dt"))
-    likelihoods = ncb.join(F.broadcast(nc), "_label").select(
+    dtot = cls.agg(F.sum("dcount").alias("dt"))
+    likelihoods = ncb.join(
+        F.broadcast(cls.select("_label", "nc")), "_label"
+    ).select(
         "_label",
         "bucket",
         _q_nanos(
@@ -82,8 +93,7 @@ def nb_fit(train_db: DataFrame, n_buckets: int = 4096):
         ).alias("lp_nanos"),
     )
     class_stats = (
-        nc.join(dc, "_label")
-        .crossJoin(F.broadcast(dtot))
+        cls.crossJoin(F.broadcast(dtot))
         .select(
             "_label",
             _q_nanos(

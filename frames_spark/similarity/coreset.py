@@ -56,10 +56,12 @@ def kcenter_select(
     from frames_spark.operators.caching import cache_scope
 
     with cache_scope(_fixed(df, id_col, vec_col)) as (fixed,):
-        seed = fixed.agg(F.min("vid")).first()[0]
-        seed_vec = fixed.filter(F.col("vid") == seed).first()["fvec"]
+        # min-id row in ONE TakeOrdered job (was two: agg(min) then
+        # filter+first — guide §5, driver/job overhead)
+        seed_row = fixed.orderBy("vid").first()
+        seed = seed_row["vid"]
         trace = [(0, seed, 0)]
-        centers = [list(seed_vec)]
+        centers = [list(seed_row["fvec"])]
         for rnd in range(1, k):
             best = (
                 fixed.select("vid", "fvec", _min_dist2(centers).alias("mind"))

@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for bench queries to plans/r14/.
+"""Dump .explain("formatted") for bench queries to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each named bench key
+Writes plans/$SPARK_GRAFT_PLANS_ROUND (default r15)/<query>_<suffix>.txt for each named bench key
 (default: all BENCH_QUERIES). Plan capture is driver-side analysis
 only — no jobs run except the eager pre-flights some governed
 queries perform by design (e.g. suggest_num_planes count()).
@@ -22,8 +22,9 @@ from frames_spark.session import get_spark
 def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:] or sorted(BENCH_QUERIES)
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
