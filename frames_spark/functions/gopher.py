@@ -13,11 +13,12 @@ pretraining quality gate computes per document —
 
 Everything here is a PURE SCAN EXPRESSION over the token array: no
 explode, no shuffle, embarrassingly parallel at any corpus size.
-The most-frequent-n-gram count uses sort_array + a single
-aggregate() fold over runs of equal neighbors — O(d log d) per doc
-instead of the O(d²) distinct×filter formulation, and the first
-maximum in ascending order makes the tie-break the lexically
-SMALLEST gram (mirrored in oracles as ORDER BY cnt DESC, gram ASC).
+The most-frequent-n-gram count uses sort_array + a run-boundary scan
+(r15: an int filter finds run starts, one struct per DISTINCT run —
+2.2x the per-element fold it replaced) — O(d log d) per doc instead
+of the O(d²) distinct×filter formulation, with ties kept at the
+lexically SMALLEST gram via min(struct(-cnt, gram)) (mirrored in
+oracles as ORDER BY cnt DESC, gram ASC).
 
 The synthetic corpus carries no newlines, so "lines" are fixed
 windows of LINE_WIDTH tokens and "paragraphs" PARA_WIDTH tokens —
@@ -82,117 +83,216 @@ def token_windows(toks: Column, width: int) -> Column:
     """Fixed-width token windows (the 'lines'/'paragraphs' of a
     newline-free corpus): ceil(n/width) strings; empty input yields
     ZERO windows (F.sequence(0, -1) would otherwise produce the
-    descending [0, -1] and two phantom empty windows)."""
-    n = F.size(toks)
-    return F.when(
-        n > 0,
-        F.transform(
-            F.sequence(
-                F.lit(0), F.floor((n + width - 1) / width).cast("int") - 1
+    descending [0, -1] and two phantom empty windows).
+
+    ``toks`` is LET-BOUND (r15, functions/binding.py): gate callers
+    pass the raw tokenize expression, and the window lambda's capture
+    of it would re-tokenize per window under interpreted HOF eval."""
+    from frames_spark.functions.binding import let
+
+    def with_toks(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((n + width - 1) / width).cast("int") - 1
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)),
             ),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(toks, with_toks)
 
 
 def ngrams(toks: Column, n: int) -> Column:
     """Sliding word n-grams as space-joined strings (empty array for
-    docs shorter than n)."""
-    size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    docs shorter than n). ``toks`` let-bound — see token_windows."""
+    from frames_spark.functions.binding import let
+
+    def with_toks(t: Column) -> Column:
+        size = F.size(t)
+        return F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(1), size - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(toks, with_toks)
 
 
 def dup_fraction_micros(arr: Column) -> Column:
     """(len - distinct) / len as a micros-quantized integer (0 for
-    empty arrays)."""
-    n = F.size(arr)
-    dup = n - F.size(F.array_distinct(arr))
-    return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
-        _round_div_micros(dup, n)
+    empty arrays). ``arr`` (typically a token_windows build) is
+    let-bound so it evaluates once per row — an unbound window build
+    referenced from size + array_distinct + the division re-ran the
+    concat_ws windowing once per reference (r15, see
+    top_gram_char_frac_micros)."""
+
+    def with_arr(a: Column) -> Column:
+        n = F.size(a)
+        return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+            _bind(
+                F.struct(
+                    (n - F.size(F.array_distinct(a))).alias("dup"),
+                    n.alias("n"),
+                ),
+                lambda p: _round_div_micros(p["dup"], p["n"]),
+            )
+        )
+
+    return _bind(arr, with_arr)
+
+
+def _bind(col: Column, f) -> Column:
+    """Let-bind ``col`` once and evaluate ``f(bound)`` — the
+    one-element-array transform, SQL HOFs' only binding construct
+    (the table_buckets precedent). Without it a lambda body that
+    references a subexpression re-evaluates it PER INVOCATION
+    (interpreted HOF eval does no cross-invocation hoisting):
+    measured r15, an unbound sort_array referenced from a filter
+    lambda turned the O(d log d) run-boundary scan into O(d² log d)
+    — minutes instead of sub-second at sf0.1."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
+def _run_starts(s: Column) -> Column:
+    """1-based start positions of each run of equal neighbors in the
+    SORTED array ``s`` (callers guard size > 0: ANSI element_at
+    rejects index 0, and i==1 short-circuits the look-back)."""
+    return F.filter(
+        F.sequence(F.lit(1), F.size(s)),
+        lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    )
+
+
+def _run_ends(starts: Column, n: Column) -> Column:
+    """Exclusive end positions paired with ``_run_starts``: the next
+    run's start, and n+1 for the last run."""
+    return F.concat(
+        F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1)
     )
 
 
 def top_gram(grams: Column) -> Column:
-    """struct(cnt, gram) of the most frequent element — one fold over
-    the SORTED array counting runs of equal neighbors; ties keep the
-    lexically smallest gram (first max in ascending order)."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("cnt"),
-        F.lit(None).cast("string").alias("gram"),
-    )
+    """struct(cnt, gram) of the most frequent element — run-boundary
+    scan over the SORTED array; ties keep the lexically smallest gram
+    (min over struct(-cnt, gram)).
 
-    def merge(acc: Column, g: Column) -> Column:
-        run = F.when(
-            acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1
-        ).otherwise(F.lit(1).cast("long"))
-        better = run > acc["cnt"]
-        return F.struct(
-            g.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
-            F.when(better, g).otherwise(acc["gram"]).alias("gram"),
+    r15 rewrite (guide §1.2 per-task work): the previous form folded
+    a 4-field struct accumulator across EVERY element (interpreted
+    HOF eval allocates the struct per element); this form finds run
+    boundaries with a cheap int filter and allocates one small struct
+    per DISTINCT run — measured 0.90 → 0.40 s on the top-2 leg at
+    sf0.1, byte-identical output (equivalence tested per n and
+    pinned by the oracle's ORDER BY cnt DESC, gram ASC)."""
+
+    def with_sorted(s: Column) -> Column:
+        n = F.size(s)
+
+        def with_starts(st: Column) -> Column:
+            best = F.array_min(
+                F.zip_with(
+                    st,
+                    _run_ends(st, n),
+                    lambda b, e: F.struct(
+                        (b - e).alias("negcnt"),
+                        F.element_at(s, b).alias("gram"),
+                    ),
+                )
+            )
+            return F.struct(
+                (-best["negcnt"]).cast("long").alias("cnt"),
+                best["gram"].alias("gram"),
+            )
+
+        return F.when(n > 0, _bind(_run_starts(s), with_starts)).otherwise(
+            F.struct(
+                F.lit(0).cast("long").alias("cnt"),
+                F.lit(None).cast("string").alias("gram"),
+            )
         )
 
-    return F.aggregate(
-        F.sort_array(grams),
-        init,
-        merge,
-        lambda acc: F.struct(acc["cnt"].alias("cnt"), acc["gram"].alias("gram")),
-    )
+    return _bind(F.sort_array(grams), with_sorted)
 
 
 def top_gram_char_frac_micros(
     toks: Column, n: int, total_chars: Column
 ) -> Column:
     """Characters covered by the most frequent n-gram / total chars,
-    micros-quantized (0 when the doc has no n-grams)."""
-    top = top_gram(ngrams(toks, n))
-    covered = top["cnt"] * F.length(top["gram"]).cast("long")
-    return F.when(
-        (top["cnt"] <= 0) | (total_chars <= 0), F.lit(0).cast("long")
-    ).otherwise(_round_div_micros(covered, total_chars))
+    micros-quantized (0 when the doc has no n-grams).
+
+    The ENTIRE computation lives inside one binding chain (r15):
+    a column expression referenced k times is COPIED k times into the
+    projection and interpreted HOF eval re-runs each copy, so
+    ``top["cnt"]``/``top["gram"]`` referenced from separate
+    sub-expressions re-sorted the gram array once per reference.
+    Here sort, run starts, and the winning run are each let-bound
+    (``_bind``) and every value is referenced only through its bound
+    variable — one sort per row, full stop."""
+
+    def with_sorted(s: Column) -> Column:
+        nsz = F.size(s)
+
+        def with_starts(st: Column) -> Column:
+            best = F.array_min(
+                F.zip_with(
+                    st,
+                    _run_ends(st, nsz),
+                    lambda b, e: F.struct(
+                        (b - e).alias("negcnt"),
+                        F.element_at(s, b).alias("gram"),
+                    ),
+                )
+            )
+
+            def with_best(top: Column) -> Column:
+                covered = (-top["negcnt"]).cast("long") * F.length(
+                    top["gram"]
+                ).cast("long")
+                return _round_div_micros(covered, total_chars)
+
+            return _bind(best, with_best)
+
+        return F.when(
+            (nsz > 0) & (total_chars > 0), _bind(_run_starts(s), with_starts)
+        ).otherwise(F.lit(0).cast("long"))
+
+    return _bind(F.sort_array(ngrams(toks, n)), with_sorted)
 
 
 def dup_gram_chars(grams: Column) -> Column:
     """Characters covered by ALL occurrences of grams appearing >= 2
     times: sum over duplicated grams of cnt * length(gram) — the same
-    single fold over the sorted array as :func:`top_gram`, banking a
-    finished run when the neighbor changes."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("dup"),
-    )
+    run-boundary scan as :func:`top_gram` (r15; previously a per-
+    element struct-accumulator fold), summing (e-b) * length(s[b])
+    over runs of length >= 2."""
 
-    def merge(acc: Column, g: Column) -> Column:
-        same = acc["prev"].isNotNull() & (g == acc["prev"])
-        banked = F.when(
-            ~same & (acc["run"] >= 2),
-            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
-        ).otherwise(acc["dup"])
-        return F.struct(
-            g.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            banked.alias("dup"),
+    def with_sorted(s: Column) -> Column:
+        n = F.size(s)
+
+        def with_starts(st: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    st,
+                    _run_ends(st, n),
+                    lambda b, e: F.when(
+                        e - b >= 2,
+                        (e - b).cast("long")
+                        * F.length(F.element_at(s, b)).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        return F.when(n > 0, _bind(_run_starts(s), with_starts)).otherwise(
+            F.lit(0).cast("long")
         )
 
-    return F.aggregate(
-        F.sort_array(grams),
-        init,
-        merge,
-        lambda acc: F.when(
-            acc["run"] >= 2,
-            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
-        ).otherwise(acc["dup"]),
-    )
+    return _bind(F.sort_array(grams), with_sorted)
 
 
 def dup_gram_char_frac_micros(
@@ -200,10 +300,12 @@ def dup_gram_char_frac_micros(
 ) -> Column:
     """Duplicated-n-gram character fraction, micros-quantized (may
     exceed 1e6 on heavily repeated text — overlapping windows count a
-    character once per window, as in the published formulation)."""
+    character once per window, as in the published formulation).
+    The dup-chars scan is let-bound: the rounding division references
+    its numerator twice (r15)."""
     d = dup_gram_chars(ngrams(toks, n))
     return F.when(total_chars <= 0, F.lit(0).cast("long")).otherwise(
-        _round_div_micros(d, total_chars)
+        _bind(d, lambda dv: _round_div_micros(dv, total_chars))
     )
 
 
@@ -226,34 +328,43 @@ def symbol_word_ratio_micros(toks: Column) -> Column:
         lambda acc, t: acc + per_tok(t),
     )
     n = F.size(toks)
+    # total (a per-token scan) is let-bound: the rounding division
+    # references its numerator twice (r15).
     return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
-        _round_div_micros(total, n)
+        _bind(total, lambda t: _round_div_micros(t, n))
     )
+
+
+def _line_frac_micros(toks: Column, pred) -> Column:
+    """Fraction of LINE_WIDTH-token windows satisfying ``pred``,
+    micros-quantized — the window build is let-bound so the concat_ws
+    windowing runs once per row instead of once per reference (r15)."""
+
+    def with_ws(ws: Column) -> Column:
+        n = F.size(ws)
+        return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+            _bind(
+                F.struct(F.size(F.filter(ws, pred)).alias("k"), n.alias("n")),
+                lambda p: _round_div_micros(p["k"], p["n"]),
+            )
+        )
+
+    return _bind(token_windows(toks, LINE_WIDTH), with_ws)
 
 
 def bullet_line_frac_micros(toks: Column) -> Column:
     """Fraction of 'lines' (LINE_WIDTH-token windows) starting with a
     bullet character, micros-quantized."""
-    ws = token_windows(toks, LINE_WIDTH)
-    nb = F.size(
-        F.filter(ws, lambda w: F.substring(w, 1, 1).isin(*BULLET_CHARS))
-    )
-    n = F.size(ws)
-    return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
-        _round_div_micros(nb, n)
+    return _line_frac_micros(
+        toks, lambda w: F.substring(w, 1, 1).isin(*BULLET_CHARS)
     )
 
 
 def ellipsis_line_frac_micros(toks: Column) -> Column:
     """Fraction of 'lines' ending with an ellipsis ('...' or '…'),
     micros-quantized."""
-    ws = token_windows(toks, LINE_WIDTH)
-    ne = F.size(
-        F.filter(ws, lambda w: w.endswith("...") | w.endswith("…"))
-    )
-    n = F.size(ws)
-    return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
-        _round_div_micros(ne, n)
+    return _line_frac_micros(
+        toks, lambda w: w.endswith("...") | w.endswith("…")
     )
 
 

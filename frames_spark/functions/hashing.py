@@ -38,12 +38,23 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
 
     Built-in-only: slide over the token array with transform+slice,
     join each window with spaces, drop ragged tails, dedupe.
+
+    ``tokens_col`` is LET-BOUND internally (r15, functions/binding.py):
+    callers pass the tokenize EXPRESSION and the window lambda
+    captures it — interpreted HOF eval would otherwise re-tokenize
+    the document once per window (plus once per size() reference).
     """
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
-        lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
-    )
-    # sequence(1, k) DESCENDS for k < 1 — guard short docs explicitly.
-    return F.when(
-        F.size(tokens_col) >= n, F.array_distinct(windows)
-    ).otherwise(F.array().cast("array<string>"))
+    from frames_spark.functions.binding import let
+
+    def with_toks(t: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        # sequence(1, k) DESCENDS for k < 1 — guard short docs
+        # explicitly.
+        return F.when(F.size(t) >= n, F.array_distinct(windows)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens_col, with_toks)

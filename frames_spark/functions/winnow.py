@@ -36,19 +36,28 @@ _POS_CAP = (1 << _POS_BITS) - 1
 
 
 def gram_hashes(text: Column, n: int = 3, seed: str = "win") -> Column:
-    """array<long>: seeded 40-bit hashes of the token n-grams."""
-    toks = text_fns.tokens(text)
-    # guard: sequence(1, len-(n-1)) DESCENDS when len < n (Spark's
-    # default step is -1 for start > stop — the gopher token_windows
-    # trap), yielding phantom grams; short docs get an empty array
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.transform(grams, lambda g: hash60(g, seed=seed) % _HASH_MOD)
+    """array<long>: seeded 40-bit hashes of the token n-grams.
+
+    The token array is LET-BOUND (r15, functions/binding.py): the
+    window lambda captures it, and interpreted HOF eval re-ran the
+    tokenize expression once per gram otherwise."""
+    from frames_spark.functions.binding import let
+
+    def with_toks(toks: Column) -> Column:
+        # guard: sequence(1, len-(n-1)) DESCENDS when len < n
+        # (Spark's default step is -1 for start > stop — the gopher
+        # token_windows trap), yielding phantom grams; short docs get
+        # an empty array
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(grams, lambda g: hash60(g, seed=seed) % _HASH_MOD)
+
+    return let(text_fns.tokens(text), with_toks)
 
 
 def winnow_keys(text: Column, n: int = 3, w: int = 4, seed: str = "win") -> Column:
@@ -57,22 +66,31 @@ def winnow_keys(text: Column, n: int = 3, w: int = 4, seed: str = "win") -> Colu
     Documents with fewer than ``w`` grams yield one selection over
     all their grams (the degenerate single window); documents with no
     grams yield an empty array."""
-    hs = gram_hashes(text, n, seed)
-    ng = F.size(hs)
-    nwin = F.greatest(ng - (w - 1), F.lit(1))
-    sel = F.transform(
-        F.sequence(F.lit(1), nwin),
-        lambda i: F.array_min(
-            F.transform(
-                F.slice(hs, i, w),
-                lambda h, off: h * (1 << _POS_BITS)
-                + (F.lit(_POS_CAP) - (i + off)),
-            )
-        ),
-    )
-    return F.when(ng > 0, F.array_distinct(sel)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    from frames_spark.functions.binding import let
+
+    def with_hashes(hs: Column) -> Column:
+        # hs is a BOUND reference (r15): unbound, every window's
+        # lambda re-evaluated the whole gram-hash array — G windows
+        # became G² md5 calls, measured 29 s vs 1.5 s at sf0.1 (the
+        # winnow_keys_rows docstring's finding, now fixed in the
+        # array form too).
+        ng = F.size(hs)
+        nwin = F.greatest(ng - (w - 1), F.lit(1))
+        sel = F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(
+                F.transform(
+                    F.slice(hs, i, w),
+                    lambda h, off: h * (1 << _POS_BITS)
+                    + (F.lit(_POS_CAP) - (i + off)),
+                )
+            ),
+        )
+        return F.when(ng > 0, F.array_distinct(sel)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return let(gram_hashes(text, n, seed), with_hashes)
 
 
 def winnow_fingerprints(

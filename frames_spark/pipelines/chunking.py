@@ -39,11 +39,17 @@ def chunk_text(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = tokens(F.col(text_col))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
-    chunks = F.transform(
-        starts, lambda s: F.slice(toks, s, max_tokens)
-    )
+    from frames_spark.functions.binding import let
+
+    # token array LET-BOUND (r15): the chunk lambda captures it, and
+    # interpreted HOF eval re-tokenized the document once per chunk.
+    def with_toks(toks):
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+        )
+        return F.transform(starts, lambda s: F.slice(toks, s, max_tokens))
+
+    chunks = let(tokens(F.col(text_col)), with_toks)
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__ctoks")
     ).filter(F.size("__ctoks") > 0)

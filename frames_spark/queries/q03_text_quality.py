@@ -109,7 +109,18 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ts = F.filter(_tokens_col(), lambda t: t != "")
+    # The token array is BOUND as a real column before the span
+    # transform (r15): interpreted HOF eval re-runs any non-lambda
+    # subexpression referenced from a lambda body PER INVOCATION, so
+    # `slice(<tokenize expr>, i, 8)` re-tokenized the document once
+    # per span index — O(d²) work per row. As a projected attribute
+    # the lambda sees an O(1) bound reference; measured 2.58 -> 0.87 s
+    # on the span-build leg at sf0.1 (plan unchanged except the added
+    # Project; identical spans).
+    docs = docs.select(
+        "doc_id", F.filter(_tokens_col(), lambda t: t != "").alias("_ts")
+    )
+    ts = F.col("_ts")
     # sequence() is INCLUSIVE of its stop (and descends when stop <
     # start) where DuckDB's range() is exclusive — guard both the
     # off-by-one and the <8-token case explicitly
@@ -1217,7 +1228,13 @@ def q_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ts = F.filter(_tokens_col(), lambda t: t != "")
+    # token array BOUND as a column before the bigram transform (r15,
+    # the q_boilerplate fix): the lambda captured the tokenize
+    # expression and interpreted HOF eval re-tokenized per bigram.
+    docs = docs.select(
+        "doc_id", F.filter(_tokens_col(), lambda t: t != "").alias("_ts")
+    )
+    ts = F.col("_ts")
     bigrams_arr = F.transform(
         F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
         lambda _x, i: F.concat_ws(" ", F.element_at(ts, i + 1), F.element_at(ts, i + 2)),

@@ -53,9 +53,19 @@ def _unit(vec) -> "F.Column":
     ranks by; unnormalized L2 would mix magnitude into the ranking).
     Zero vectors pass through via nullif -> NULL norm -> NULL codes.
     """
-    v = vec.cast("array<double>")
-    n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
-    return F.transform(v, lambda x: x / F.nullif(F.sqrt(n2), F.lit(0.0)))
+    from frames_spark.functions.binding import let
+
+    # v and the norm are LET-BOUND (r15): the division lambda
+    # captured the n2 aggregate, so interpreted HOF eval re-summed
+    # the whole vector once PER COMPONENT — O(d²) per row.
+    def with_v(v: "F.Column") -> "F.Column":
+        norm = F.nullif(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
+            F.lit(0.0),
+        )
+        return let(norm, lambda nrm: F.transform(v, lambda x: x / nrm))
+
+    return let(vec.cast("array<double>"), with_v)
 
 
 def fit_pq(
